@@ -1,0 +1,32 @@
+"""Query catalog: each module exposes ``QUERIES`` (name -> fn(spark, sf_dir)
+-> DataFrame) and ``ORACLE`` (name -> equivalent DuckDB SQL).
+
+Determinism contract for the oracle hash-compare:
+- money/rate doubles are cast to DECIMAL before arithmetic so sums are
+  exact and order-independent, then cast to DOUBLE at the end;
+- any float division is wrapped in round(..., 6);
+- every computed column is aliased identically in Spark and SQL;
+- hashes (md5 hex, lowercase) are used as the portable hash function —
+  identical strings in Spark and DuckDB.
+"""
+
+from goconnect_spark.queries import analytics, parity, dedup, similarity, text
+
+ALL_MODULES = (parity, analytics, dedup, similarity, text)
+
+
+def all_queries():
+    out = {}
+    for m in ALL_MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in ALL_MODULES:
+        out.update(m.ORACLE)
+    return out

@@ -1,0 +1,238 @@
+"""Reference-parity queries: goconnect's own operator surface.
+
+Each query exercises one row of SURVEY.md §2's inventory re-expressed
+on DataFrames:
+
+- map / filter        -> reference def.go:45-55, fn.go:97-152
+- flatmap / str.Split -> reference def.go:49-51, coder/str/splitter.go:28-51
+- Fold / Count        -> reference def.go:57-65, fn.go:154-193
+- Limit               -> reference def.go:88-91, context.go:671-686
+- NetMergeOrdered     -> reference network/net_mergeordered.go:27-61
+- str/kv coders       -> reference coder/str/, coder/kv/
+- xml decode          -> reference coder/xml/decoder.go:28-47
+
+All stay in built-in column expressions (whole-stage codegen); nothing
+here needs a Python UDF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from goconnect_spark.tables import load
+
+
+# Map + Filter: element-wise transform then predicate, as a pipeline
+# `root(lineitem).map(project+compute).filter(pred)` would compile.
+def map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_quantity").cast("decimal(12,2)") * F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("gross"),
+            F.upper("l_returnflag").alias("flag"),
+        )
+        .where((F.col("gross") > 100000.0) & (F.col("flag") != "N"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_MAP_FILTER_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS gross,
+       UPPER(l_returnflag) AS flag
+FROM lineitem
+WHERE CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) > 100000.0
+  AND UPPER(l_returnflag) <> 'N'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# FlatMap (1->N): str.Split parity — explode(split(text)) into words,
+# then count. A linear `root.flatMap(split).fold(count)` chain.
+def flatmap_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word")).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+_FLATMAP_SQL = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 20
+"""
+
+
+# Fold/Count: the reference's only aggregation — a global running
+# accumulator (snapshot emitted per trigger). Batch view = one global
+# agg row; the per-trigger streaming twin lives in streaming/run.py.
+def fold_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+_FOLD_SQL = """
+SELECT COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events
+"""
+
+
+# Limit: deterministic bounded prefix — reference Limit makes any
+# pipeline bounded via a stop cascade; Spark's limit is the batch
+# equivalent. Sorted first so the prefix is well-defined.
+def limit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    return ev.orderBy("event_id").limit(100).select("event_id", "user_id", "event_type")
+
+
+_LIMIT_SQL = """
+SELECT event_id, user_id, event_type
+FROM events ORDER BY event_id LIMIT 100
+"""
+
+
+# NetMergeOrdered: global order restored after parallelism by sorting
+# on the sequence column (reference gathers to one node and reorders by
+# Stamp.Uniq; Spark expresses this as a global sort — same single-sink
+# scalability cliff, but range-partitioned sort until the final write).
+def ordered_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    scattered = ev.repartition(8)  # NetRoundRobin parity: round-robin scatter
+    return (
+        scattered.select("event_id", F.upper("event_type").alias("event_type_uc"))
+        .orderBy("event_id")
+        .limit(50)
+    )
+
+
+_ORDERED_MERGE_SQL = """
+SELECT event_id, UPPER(event_type) AS event_type_uc
+FROM events ORDER BY event_id LIMIT 50
+"""
+
+
+# str + kv coders: string <-> bytes round-trip and null-key KV framing
+# (reference kv.NilKeyEncoder drops/injects the key; here the value
+# round-trips through binary and back, with the md5 of the bytes as a
+# portable witness that the binary payload is identical).
+def kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    kv = ev.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.encode(F.col("props"), "UTF-8").alias("value"),
+        "event_id",
+    )
+    return kv.select(
+        "event_id",
+        F.col("key").isNull().alias("key_is_null"),
+        F.md5("value").alias("value_md5"),
+        F.decode(F.col("value"), "UTF-8").alias("value_str"),
+    ).orderBy("event_id").limit(200)
+
+
+_KV_SQL = """
+SELECT event_id,
+       TRUE AS key_is_null,
+       md5(props) AS value_md5,
+       props AS value_str
+FROM events ORDER BY event_id LIMIT 200
+"""
+
+
+# XML decode: build '<name>…</name>' docs from nation (the reference's
+# list-xml-filter-stdout example does exactly this shape), parse with
+# from_xml, extract, filter NOT contains 'B', fold sum(length).
+def xml_extract_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, "nation", sf_dir)
+    xml_doc = F.concat(F.lit("<r><name>"), F.col("n_name"), F.lit("</name></r>"))
+    parsed = nation.select(
+        "n_nationkey",
+        F.from_xml(xml_doc, "name STRING").alias("doc"),
+    ).select("n_nationkey", F.col("doc.name").alias("name"))
+    kept = parsed.where(~F.upper("name").contains("B"))
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_names"),
+        F.sum(F.length("name")).cast("long").alias("total_len"),
+    )
+
+
+_XML_SQL = """
+WITH parsed AS (
+  SELECT n_nationkey,
+         regexp_extract('<name>' || n_name || '</name>', '<name>(.*)</name>', 1) AS name
+  FROM nation
+)
+SELECT COUNT(*) AS n_names, CAST(SUM(LENGTH(name)) AS BIGINT) AS total_len
+FROM parsed WHERE NOT contains(UPPER(name), 'B')
+"""
+
+
+# RoundRobin list source parity (io.RoundRobin replays a list n times):
+# spark.range + element_at. Uses nation names as the list.
+def roundrobin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, "nation", sf_dir)
+    names = [r.n_name for r in nation.select("n_name").orderBy("n_nationkey").collect()]
+    n = 1000
+    arr = F.array(*[F.lit(x) for x in names])
+    return (
+        spark.range(n)
+        .select(F.element_at(arr, (F.col("id") % len(names)).cast("int") + 1).alias("name"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("name")
+    )
+
+
+_ROUNDROBIN_SQL = """
+WITH names AS (
+  SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS idx,
+         (SELECT COUNT(*) FROM nation) AS total FROM nation
+), replay AS (
+  SELECT n.n_name AS name
+  FROM range(1000) r JOIN names n ON n.idx = r.range % n.total
+)
+SELECT name, COUNT(*) AS n FROM replay GROUP BY name ORDER BY name
+"""
+
+
+QUERIES = {
+    "map_filter": map_filter,
+    "flatmap_word_counts": flatmap_word_counts,
+    "fold_global": fold_global,
+    "limit_events": limit_events,
+    "ordered_merge": ordered_merge,
+    "kv_roundtrip": kv_roundtrip,
+    "xml_extract_fold": xml_extract_fold,
+    "roundrobin_replay": roundrobin_replay,
+}
+
+ORACLE = {
+    "map_filter": _MAP_FILTER_SQL,
+    "flatmap_word_counts": _FLATMAP_SQL,
+    "fold_global": _FOLD_SQL,
+    "limit_events": _LIMIT_SQL,
+    "ordered_merge": _ORDERED_MERGE_SQL,
+    "kv_roundtrip": _KV_SQL,
+    "xml_extract_fold": _XML_SQL,
+    "roundrobin_replay": _ROUNDROBIN_SQL,
+}

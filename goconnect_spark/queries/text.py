@@ -1,0 +1,239 @@
+"""Text analysis for LLM-data pipelines, over the `documents` table.
+
+Operators: token statistics, quality scoring, n-gram language ID,
+document fingerprinting (winnowing). Everything is built-in column
+expressions (explode / substring / md5 / window mins) — no Python in
+the hot path, so the whole module stays in whole-stage codegen and
+scales by shuffle on doc_id/shingle keys.
+
+Determinism: all scores are integer counts or divisions of identical
+doubles, rounded; hashes are md5 hex strings (portable across Spark
+and the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from goconnect_spark.tables import load
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+
+
+# --------------------------------------------------------------------
+# Token statistics per source.
+# --------------------------------------------------------------------
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    toks = _tokens(docs)
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("w").alias("distinct_tokens"),
+            (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+_TOKEN_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS total_tokens,
+       COUNT(DISTINCT w) AS distinct_tokens,
+       (CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id)) AS avg_tokens_per_doc
+FROM toks WHERE w <> ''
+GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------
+# Quality scoring per document: token count, mean token length,
+# stopword ratio, type/token ratio, composite score. The standard
+# cheap pre-filter stage of a training-data pipeline.
+# --------------------------------------------------------------------
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    toks = _tokens(docs)
+    sw = F.when(F.col("w").isin(*_STOPWORDS), 1).otherwise(0)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("w")).cast("long").alias("token_chars"),
+        F.sum(sw).cast("long").alias("n_stopwords"),
+        F.countDistinct("w").alias("n_types"),
+    )
+    n_tokens_d = F.col("n_tokens").cast("double")
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            (F.col("token_chars") / n_tokens_d).alias("avg_token_len"),
+            (F.col("n_stopwords") / n_tokens_d).alias("stopword_ratio"),
+            (F.col("n_types") / n_tokens_d).alias("type_token_ratio"),
+            (
+                (F.least(n_tokens_d, F.lit(200.0)) / F.lit(200.0))
+                * (F.lit(1.0) - F.col("n_stopwords") / n_tokens_d)
+                * (F.col("n_types") / n_tokens_d)
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(LENGTH(w)) AS BIGINT) AS token_chars,
+         CAST(SUM(CASE WHEN w IN {_STOPWORDS!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+         COUNT(DISTINCT w) AS n_types
+  FROM toks WHERE w <> '' GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       (token_chars / CAST(n_tokens AS DOUBLE)) AS avg_token_len,
+       (n_stopwords / CAST(n_tokens AS DOUBLE)) AS stopword_ratio,
+       (n_types / CAST(n_tokens AS DOUBLE)) AS type_token_ratio,
+       ((LEAST(CAST(n_tokens AS DOUBLE), 200.0) / 200.0)
+             * (1.0 - n_stopwords / CAST(n_tokens AS DOUBLE))
+             * (n_types / CAST(n_tokens AS DOUBLE))) AS quality_score
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# n-gram language ID. Profiles are *learned from the data*: for each
+# labeled language, the top-50 char trigrams (by count, trigram
+# tie-break) over training docs (doc_id % 5 != 0). A held-out doc is
+# assigned the language whose profile shares the most distinct
+# trigrams with it (integer overlap, lexicographic tie-break) — fully
+# deterministic, no floats.
+#
+# Scale: profiles are a 250-row broadcast dim; the doc-trigram explode
+# shuffles once on the trigram key.
+# --------------------------------------------------------------------
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    tris = docs.select(
+        "doc_id", "lang", F.explode(F.expr("transform(sequence(1, greatest(length(text)-2, 0)), i -> substr(text, i, 3))")).alias("tri")
+    )
+    train = tris.where(F.col("doc_id") % 5 != 0)
+    test = tris.where(F.col("doc_id") % 5 == 0).select("doc_id", F.col("lang").alias("true_lang"), "tri").distinct()
+
+    counts = train.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
+    profiles = counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 50).select("lang", "tri")
+
+    overlap = (
+        test.join(F.broadcast(profiles), "tri")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    return (
+        overlap.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "true_lang", F.col("lang").alias("pred_lang"), "hits")
+        .orderBy("doc_id")
+    )
+
+
+_LANG_ID_SQL = """
+WITH tris AS (
+  SELECT doc_id, lang, substr(text, i, 3) AS tri
+  FROM documents, unnest(generate_series(1, GREATEST(LENGTH(text)-2, 0))) AS t(i)
+), train AS (
+  SELECT * FROM tris WHERE doc_id % 5 <> 0
+), test AS (
+  SELECT DISTINCT doc_id, lang AS true_lang, tri FROM tris WHERE doc_id % 5 = 0
+), counts AS (
+  SELECT lang, tri, COUNT(*) AS n FROM train GROUP BY lang, tri
+), profiles AS (
+  SELECT lang, tri FROM (
+    SELECT lang, tri, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tri ASC) AS rk
+    FROM counts
+  ) WHERE rk <= 50
+), overlap AS (
+  SELECT t.doc_id, t.true_lang, p.lang, COUNT(*) AS hits
+  FROM test t JOIN profiles p ON t.tri = p.tri
+  GROUP BY t.doc_id, t.true_lang, p.lang
+)
+SELECT doc_id, true_lang, lang AS pred_lang, hits
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rk
+  FROM overlap
+) WHERE rk = 1
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------
+# Document fingerprinting by winnowing (Schleimer et al., MOSS):
+# k=8 char shingles -> md5 -> sliding window of w=4 -> per-window min
+# -> distinct fingerprints. md5-hex lexicographic min is the portable
+# "hash min".
+# --------------------------------------------------------------------
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    k, w = 8, 4
+    hashes = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(1, greatest(length(text)-{k-1}, 1)), i -> named_struct('i', i, 'h', md5(substr(text, i, {k}))))")
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    fps = hashes.withColumn("wmin", F.min("h").over(win)).select("doc_id", "wmin").distinct()
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"), F.min("wmin").alias("min_fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+_FINGERPRINT_SQL = """
+WITH hashes AS (
+  SELECT doc_id, i, md5(substr(text, i, 8)) AS h
+  FROM documents, unnest(generate_series(1, GREATEST(LENGTH(text)-7, 1))) AS t(i)
+), wins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM hashes
+), fps AS (
+  SELECT DISTINCT doc_id, wmin FROM wins
+)
+SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(wmin) AS min_fingerprint
+FROM fps GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLE = {
+    "text_token_stats": _TOKEN_STATS_SQL,
+    "text_quality_score": _QUALITY_SQL,
+    "text_lang_id": _LANG_ID_SQL,
+    "doc_fingerprint": _FINGERPRINT_SQL,
+}

@@ -1,0 +1,201 @@
+"""Sources (reference Root transforms, SURVEY.md §2.1).
+
+Every source yields the pipeline column contract
+(seq LONG, event_time TIMESTAMP, value <T>); see pipeline.py.
+
+- ListSource      ≈ io.From (reference io/list.go:27-29): bounded
+                    in-memory list; seq = list index (the reference's
+                    checkpoint is the index too, io/list.go:63).
+- RoundRobinSource≈ io.RoundRobin (io/list.go:31-39): n elements
+                    cycling over the list — expressed as spark.range(n)
+                    + element_at, so it scales to any n without
+                    materializing the replay on the driver.
+- FileSource      ≈ file.Source + file.Reader (io/file/source.go:29-64,
+                    reader.go:30-74): one row per file with path /
+                    mod-time / content — Spark's binaryFile source
+                    provides exactly the Url{Proto,Path,Name,Mod} +
+                    ByteStream pair as columns.
+- TextFileSource  ≈ file.Source→Reader→Text chain (io/file/text.go):
+                    one row per line.
+- ParquetSource   — the engine's native columnar source (the reference
+                    lists parquet as TODO, README.md:82).
+- RateSource      — streaming test source (rows/sec), for throttle /
+                    trigger semantics tests.
+- KafkaSource     ≈ kafka1.Source (io/kafka1/source.go:39-135):
+                    streaming KVM-binary records with headers + event
+                    timestamp; offset commit ≡ Spark checkpointing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Source:
+    is_streaming = False
+
+    def read(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass
+class ListSource(Source):
+    values: Sequence[Any]
+    event_time: Optional[str] = None  # ISO timestamp applied to all rows
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        rows = [(i, v) for i, v in enumerate(self.values)]
+        df = spark.createDataFrame(rows, ["seq", "value"])
+        et = F.lit(self.event_time).cast("timestamp") if self.event_time else F.current_timestamp()
+        return df.select(F.col("seq").cast("long"), et.alias("event_time"), "value")
+
+
+@dataclass
+class RoundRobinSource(Source):
+    n: int
+    values: Sequence[Any]
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        arr = F.array(*[F.lit(v) for v in self.values])
+        k = len(self.values)
+        return spark.range(self.n).select(
+            F.col("id").alias("seq"),
+            F.current_timestamp().alias("event_time"),
+            F.element_at(arr, (F.col("id") % k).cast("int") + 1).alias("value"),
+        )
+
+
+@dataclass
+class FileSource(Source):
+    """Binary file-for-a-file source. value = content bytes; the Url
+    struct (proto/path/name/mod — reference coder/url/url.go:29-34) is
+    carried alongside."""
+
+    path: str
+    glob: str = "*"
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        df = spark.read.format("binaryFile").option("pathGlobFilter", self.glob).load(self.path)
+        w_seq = F.row_number().over(Window.orderBy("path")) - 1
+        return df.select(
+            w_seq.cast("long").alias("seq"),
+            F.col("modificationTime").alias("event_time"),
+            F.col("content").alias("value"),
+            F.struct(
+                F.lit("file").alias("proto"),
+                F.regexp_replace("path", "file:", "").alias("path"),
+                F.element_at(F.split("path", "/"), -1).alias("name"),
+                F.col("modificationTime").cast("long").alias("mod"),
+            ).alias("url"),
+        )
+
+
+@dataclass
+class TextFileSource(Source):
+    path: str
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        df = spark.read.text(self.path).select(F.col("value"), F.lit(None).cast("timestamp").alias("event_time"))
+        return df.select(
+            (F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1).cast("long").alias("seq"),
+            F.coalesce("event_time", F.current_timestamp()).alias("event_time"),
+            "value",
+        )
+
+
+@dataclass
+class ParquetSource(Source):
+    path: str
+    seq_col: Optional[str] = None
+    event_time_col: Optional[str] = None
+    streaming: bool = False
+    schema: Optional[str] = None
+
+    @property
+    def is_streaming(self):
+        return self.streaming
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if self.streaming:
+            # the streaming file source requires a directory; point it
+            # at the parent with a glob when given a single file
+            path, glob = self.path, None
+            if path.endswith(".parquet"):
+                parent, _, fname = path.rpartition("/")
+                path, glob = parent, fname
+            reader = spark.readStream.schema(self.schema or spark.read.parquet(self.path).schema)
+            if glob:
+                reader = reader.option("pathGlobFilter", glob)
+            df = reader.parquet(path)
+        else:
+            df = spark.read.parquet(self.path)
+        cols = list(df.columns)
+        seq = F.col(self.seq_col) if self.seq_col else F.monotonically_increasing_id()
+        et = F.col(self.event_time_col) if self.event_time_col else F.current_timestamp()
+        return df.select(
+            seq.cast("long").alias("seq"),
+            # NTZ parquet timestamps -> LTZ (session TZ is UTC) so
+            # watermarks/windows accept the column
+            et.cast("timestamp").alias("event_time"),
+            F.struct(*cols).alias("value"),
+        )
+
+
+@dataclass
+class RateSource(Source):
+    rows_per_second: int = 100
+    is_streaming = True
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        df = spark.readStream.format("rate").option("rowsPerSecond", self.rows_per_second).load()
+        return df.select(
+            F.col("value").alias("seq"),
+            F.col("timestamp").alias("event_time"),
+            F.col("value"),
+        )
+
+
+@dataclass
+class KafkaSource(Source):
+    """KVMBinary parity (reference types.go:43-48): key/value binary +
+    headers, event_time from the broker timestamp (the reference stamps
+    elements the same way, io/kafka1/source.go:107)."""
+
+    bootstrap_servers: str
+    topic: str
+    starting_offsets: str = "earliest"
+    include_headers: bool = True
+    max_offsets_per_trigger: Optional[int] = None
+    is_streaming = True
+    extra_options: dict = field(default_factory=dict)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("subscribe", self.topic)
+            .option("startingOffsets", self.starting_offsets)
+            .option("includeHeaders", str(self.include_headers).lower())
+        )
+        if self.max_offsets_per_trigger:
+            reader = reader.option("maxOffsetsPerTrigger", self.max_offsets_per_trigger)
+        for k, v in self.extra_options.items():
+            reader = reader.option(k, v)
+        df = reader.load()
+        value_cols = [F.col("key"), F.col("value")]
+        if self.include_headers:
+            value_cols.append(F.col("headers"))
+        return df.select(
+            F.col("offset").alias("seq"),
+            F.col("timestamp").alias("event_time"),
+            F.struct(*value_cols).alias("value"),
+            F.col("partition"),
+        )

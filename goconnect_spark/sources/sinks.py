@@ -1,0 +1,125 @@
+"""Sinks (reference §2.7): console, memory, parquet, kafka.
+
+Reference semantics preserved: a sink flush happens per trigger, and
+source progress commits only after flush — in Spark that is the
+micro-batch commit log; at-least-once (exactly-once for idempotent
+file sinks) comes from checkpointing, replacing the reference's
+per-element ack protocol (io/kafka1/sink.go:109-128)."""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _apply_trigger(writer, trigger: Optional[dict]):
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer
+
+
+@dataclass
+class ConsoleSink:
+    """std.Out parity (reference io/std/out.go:29-60)."""
+
+    num_rows: int = 20
+    truncate: bool = False
+
+    def write(self, df: DataFrame):
+        df.show(self.num_rows, truncate=self.truncate)
+        return df
+
+    def write_stream(self, df: DataFrame, trigger=None):
+        w = _apply_trigger(df.writeStream.format("console").outputMode(_mode_for(df)), trigger)
+        return w.start()
+
+
+@dataclass
+class MemorySink:
+    """Named in-memory table — the test sink (query results readable
+    via spark.sql('select * from <name>'))."""
+
+    name: str = field(default_factory=lambda: f"mem_{uuid.uuid4().hex[:8]}")
+
+    def write(self, df: DataFrame):
+        df.createOrReplaceTempView(self.name)
+        return df
+
+    def write_stream(self, df: DataFrame, trigger=None):
+        w = _apply_trigger(
+            df.writeStream.format("memory").queryName(self.name).outputMode(_mode_for(df)), trigger
+        )
+        return w.start()
+
+
+@dataclass
+class ParquetSink:
+    path: str
+    checkpoint: Optional[str] = None
+    mode: str = "overwrite"
+    partition_by: tuple = ()
+
+    def write(self, df: DataFrame):
+        w = df.write.mode(self.mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+        return df
+
+    def write_stream(self, df: DataFrame, trigger=None):
+        w = df.writeStream.format("parquet").option("path", self.path)
+        w = w.option("checkpointLocation", self.checkpoint or f"{self.path}_chk")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        return _apply_trigger(w, trigger).start()
+
+
+@dataclass
+class KafkaSink:
+    """kafka1.Sink parity (reference io/kafka1/sink.go:30-92): value
+    (and optional key) binary columns published to a topic; delivery
+    guarantees come from checkpointing + idempotent producer."""
+
+    bootstrap_servers: str
+    topic: str
+    checkpoint: str = "/tmp/goconnect_spark_kafka_chk"
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        cols = df.columns
+        if "value" not in cols:
+            raise ValueError("KafkaSink requires a 'value' column")
+        out = [F.col("value").cast("binary").alias("value")]
+        if "key" in cols:
+            out.insert(0, F.col("key").cast("binary").alias("key"))
+        return df.select(*out)
+
+    def write(self, df: DataFrame):
+        (
+            self._prepare(df)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("topic", self.topic)
+            .save()
+        )
+        return df
+
+    def write_stream(self, df: DataFrame, trigger=None):
+        w = (
+            self._prepare(df)
+            .writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("topic", self.topic)
+            .option("checkpointLocation", self.checkpoint)
+        )
+        return _apply_trigger(w, trigger).start()
+
+
+def _mode_for(df: DataFrame) -> str:
+    # global/keyed aggregations stream in update mode (the reference
+    # Fold emits accumulator snapshots per trigger — same contract)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "update" if "Aggregate" in plan else "append"

@@ -1,0 +1,115 @@
+"""Pipeline API semantics — the reference's behavioral contracts
+(reference README.md:90-104 manifest, translated to Spark semantics;
+see SURVEY.md §5)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from goconnect_spark.pipeline import Pipeline, PipelineError
+from goconnect_spark.plans.coders import CoderInjectionError, default_registry, TypeTag
+from goconnect_spark.sources import ListSource, MemorySink, RoundRobinSource
+
+
+def test_map_filter_chain(spark):
+    p = (
+        Pipeline(spark)
+        .root(ListSource(["aaa\tbbb", "ccc\tddd"]))
+        .map(F.upper)
+        .filter(lambda v: v != "CCC\tDDD")
+    )
+    out = [r.value for r in p.ordered_dataframe().collect()]
+    assert out == ["AAA\tBBB"]
+
+
+def test_flatmap_preserves_order(spark):
+    # reference contract: FlatMap output order preserved per input
+    # element (README.md:101) — seq + position ordering
+    p = (
+        Pipeline(spark)
+        .root(ListSource(["a\tb\tc", "d\te"]))
+        .flat_map(lambda v: F.split(v, "\t"))
+        .map(F.upper)
+    )
+    out = [r.value for r in p.ordered_dataframe().collect()]
+    assert out == ["A", "B", "C", "D", "E"]
+
+
+def test_fold_count(spark):
+    # bounded pipeline terminates and the fold emits the final value
+    # (reference README.md:100 bounded-termination contract)
+    p = Pipeline(spark).root(RoundRobinSource(100, ["x", "y", "z"])).count()
+    rows = p.dataframe().collect()
+    assert len(rows) == 1 and rows[0]["count"] == 100
+
+
+def test_fold_aggregates(spark):
+    p = (
+        Pipeline(spark)
+        .root(ListSource(list(range(10))))
+        .fold(F.sum("value").alias("s"), F.max("value").alias("mx"))
+    )
+    r = p.dataframe().collect()[0]
+    assert r.s == 45 and r.mx == 9
+
+
+def test_limit_after_par_is_seq_prefix(spark):
+    # reference contract: Limit yields exactly the first n elements in
+    # stamp order even with Par>1 (README.md:102-103)
+    p = Pipeline(spark).root(RoundRobinSource(1000, list(range(7)))).par(8).limit(10)
+    out = [r.seq for r in p.ordered_dataframe().collect()]
+    assert out == list(range(10))
+
+
+def test_coder_injection_string_to_binary(spark):
+    from pyspark.sql import types as T
+
+    # a map stage that declares binary input while the stream carries
+    # strings -> str.Encoder must be auto-injected (reference
+    # pipeline.go:168-197)
+    p = (
+        Pipeline(spark)
+        .root(ListSource(["hello", "world"]))
+        .map(F.md5, in_type=T.BinaryType())
+    )
+    out = [r.value for r in p.ordered_dataframe().collect()]
+    import hashlib
+
+    assert out == [hashlib.md5(b"hello").hexdigest(), hashlib.md5(b"world").hexdigest()]
+
+
+def test_coder_injection_unsatisfiable_raises(spark):
+    from pyspark.sql import types as T
+
+    p = Pipeline(spark).root(ListSource([1, 2])).map(lambda c: c, in_type=T.BinaryType())
+    with pytest.raises(CoderInjectionError):
+        p.dataframe()
+
+
+def test_coder_bfs_chain():
+    r = default_registry()
+    # string -> kv struct requires two hops (string->binary->struct)
+    chain = r.find_chain(TypeTag("string"), TypeTag("struct<key:binary,value:binary>"))
+    assert chain is not None and len(chain) == 2
+
+
+def test_linear_chain_enforced(spark):
+    p = Pipeline(spark).root(ListSource([1]))
+    with pytest.raises(PipelineError):
+        p.root(ListSource([2]))
+
+
+def test_memory_sink_run(spark):
+    sink = MemorySink("t_mem_run")
+    Pipeline(spark).root(ListSource([1, 2, 3])).map(lambda v: v * 2).run(sink)
+    vals = sorted(r.value for r in spark.sql("select * from t_mem_run").collect())
+    assert vals == [2, 4, 6]
+
+
+def test_key_fold(spark):
+    p = (
+        Pipeline(spark)
+        .root(RoundRobinSource(90, ["a", "b", "c"]))
+        .key_fold(["value"], F.count(F.lit(1)).alias("n"))
+    )
+    rows = {r.value: r.n for r in p.dataframe().collect()}
+    assert rows == {"a": 30, "b": 30, "c": 30}
