@@ -1,0 +1,122 @@
+"""Serde helpers: Confluent Schema Registry wire format, Avro, XML,
+JSON — the engine's explicit counterparts of the reference's coder
+package (reference coder/serde/, coder/xml/).
+
+The Confluent wire format (reference coder/serde/decoder.go:30-83):
+byte 0 = 0x00 magic, bytes 1-4 = big-endian schema id, rest = Avro
+binary. Header strip/prepend are pure column expressions; the Avro
+body decode uses spark-avro's from_avro when the jar is on the
+classpath (gated — see `avro_available`).
+
+A minimal SR REST client (`SchemaRegistryClient`) covers the
+reference's fetch-schema-by-id / register-schema flows with a local
+cache (reference's client caches too); it is network-gated and unit
+tests stub it.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+from urllib import request as _urlreq
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def sr_strip_header(value: Column) -> Column:
+    """Confluent payload -> raw Avro body (drop magic + schema id)."""
+    return F.substring(value, 6, 2147483647)
+
+
+def sr_schema_id(value: Column) -> Column:
+    """Big-endian schema id from bytes 2-5."""
+    conv = [F.conv(F.hex(F.substring(value, i, 1)), 16, 10).cast("long") for i in range(2, 6)]
+    return (conv[0] * 16777216 + conv[1] * 65536 + conv[2] * 256 + conv[3]).cast("int")
+
+
+def sr_prepend_header(avro_body: Column, schema_id: int) -> Column:
+    """Raw Avro body -> Confluent payload (reference encoder.go:50-96)."""
+    header = bytes([0]) + int(schema_id).to_bytes(4, "big")
+    return F.concat(F.lit(bytearray(header)), avro_body)
+
+
+def avro_available(spark) -> bool:
+    """True when the spark-avro jar is on the classpath."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        df = spark.range(1).select(F.lit(bytearray(b"\x00")).alias("b"))
+        df.select(from_avro("b", '{"type":"long"}')).schema
+        return True
+    except Exception:
+        return False
+
+
+def decode_avro(body: Column, writer_schema: str, reader_schema: Optional[str] = None) -> Column:
+    """Avro body -> struct column. Reader-schema projection covers the
+    reference's GenericProjector (schema evolution with aliases and
+    defaults, reference coder/serde/projector.go:8-32)."""
+    from pyspark.sql.avro.functions import from_avro
+
+    options = {"mode": "PERMISSIVE"}
+    if reader_schema is not None:
+        # writer schema decodes the bytes; the reader schema is what
+        # the column is projected into
+        options["actualSchema"] = writer_schema
+        return from_avro(body, reader_schema, options)
+    return from_avro(body, writer_schema, options)
+
+
+def encode_avro(struct: Column, schema: str) -> Column:
+    from pyspark.sql.avro.functions import to_avro
+
+    return to_avro(struct, schema)
+
+
+def xml_decode(xml: Column, schema: str) -> Column:
+    """XML string -> struct (reference coder/xml/decoder.go:28-47);
+    attributes surface as `_attr` fields."""
+    return F.from_xml(xml, schema, {"attributePrefix": "_"})
+
+
+def xml_encode(struct: Column, row_tag: str = "r") -> Column:
+    return F.to_xml(struct, {"rowTag": row_tag})
+
+
+def json_encode(struct: Column) -> Column:
+    """GenericRecord -> JSON (reference serde.JsonEncoder)."""
+    return F.to_json(struct)
+
+
+def json_decode(s: Column, schema: str) -> Column:
+    return F.from_json(s, schema)
+
+
+class SchemaRegistryClient:
+    """Tiny Confluent SR REST client with the reference's semantics:
+    schema-by-id fetch with cache, and subject registration returning
+    the id (reference registers under topic + '-value')."""
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+        self._by_id: dict[int, str] = {}
+        self._ids: dict[tuple[str, str], int] = {}
+
+    def schema_by_id(self, schema_id: int) -> str:
+        if schema_id not in self._by_id:
+            with _urlreq.urlopen(f"{self.base_url}/schemas/ids/{schema_id}") as r:
+                self._by_id[schema_id] = json.loads(r.read())["schema"]
+        return self._by_id[schema_id]
+
+    def register(self, subject: str, schema: str) -> int:
+        key = (subject, schema)
+        if key not in self._ids:
+            req = _urlreq.Request(
+                f"{self.base_url}/subjects/{subject}/versions",
+                data=json.dumps({"schema": schema}).encode(),
+                headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+            )
+            with _urlreq.urlopen(req) as r:
+                self._ids[key] = json.loads(r.read())["id"]
+        return self._ids[key]

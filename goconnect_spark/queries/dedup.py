@@ -6,7 +6,8 @@ Four families over `documents` (+ one over `embeddings`):
 - minhash_lsh:  word-bigram shingles -> 12 minhashes -> 4 bands of 3
                 -> band-bucket join -> exact-Jaccard verify
 - ngram_jaccard: shared-shingle candidate join -> exact Jaccard
-- simhash:      32-bit simhash, 4x8-bit band join, Hamming<=3 verify
+- simhash:      48-bit simhash (one wide aggregation), 4x12-bit band
+                join, Hamming<=3 verify via bit_count(xor)
 
 Portability/determinism choices (so the DuckDB oracle hash-matches):
 - the minhash function is the *lexicographic min of md5 hex strings*
@@ -87,23 +88,28 @@ GROUP BY 1 ORDER BY keeper_doc_id
 # MinHash + LSH banding.
 # --------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All 12 minhashes come out of ONE aggregation pass over the
+    # shingle table (12 MIN columns) — no seed cross join, one shuffle
+    # on doc_id. Band keys are md5 over each band's 3 signature
+    # columns; the LSH candidate join is an equi-join on (band, key).
     docs = load(spark, "documents", sf_dir)
     sh = _shingles(docs)
 
-    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("mh"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+            for s in range(_N_HASHES)
+        ]
     )
-    bands = (
-        sig.withColumn("band", (F.col("seed") / _BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"), "|")
-            ).alias("band_key")
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_structs = ", ".join(
+        "named_struct('band', {k}, 'band_key', md5(concat_ws('|', {cols})))".format(
+            k=k, cols=", ".join(f"mh{s}" for s in range(k * _BAND_SIZE, (k + 1) * _BAND_SIZE))
         )
+        for k in range(n_bands)
+    )
+    bands = sig.select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
     )
     cand = (
         bands.alias("a")
@@ -134,18 +140,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sig_sql() -> str:
+    return ",\n         ".join(
+        f"MIN(md5('{s}' || '|' || shingle)) AS mh{s}" for s in range(_N_HASHES)
+    )
+
+
+def _minhash_bands_sql() -> str:
+    n_bands = _N_HASHES // _BAND_SIZE
+    return "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {k} AS band, md5({cols}) AS band_key FROM sig".format(
+            k=k,
+            cols=" || '|' || ".join(f"mh{s}" for s in range(k * _BAND_SIZE, (k + 1) * _BAND_SIZE)),
+        )
+        for k in range(n_bands)
+    )
+
+
 _MINHASH_SQL = f"""
 WITH {_SHINGLES_CTE},
-seeds AS (SELECT CAST(range AS INT) AS seed FROM range({_N_HASHES})),
 sig AS (
-  SELECT s.doc_id, sd.seed, MIN(md5(sd.seed || '|' || s.shingle)) AS mh
-  FROM shingles s CROSS JOIN seeds sd
-  GROUP BY s.doc_id, sd.seed
+  SELECT doc_id,
+         {_minhash_sig_sql()}
+  FROM shingles
+  GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, CAST(seed / {_BAND_SIZE} AS INT) AS band,
-         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
-  FROM sig GROUP BY doc_id, CAST(seed / {_BAND_SIZE} AS INT)
+{_minhash_bands_sql()}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -225,6 +246,35 @@ ORDER BY doc_a, doc_b
 # --------------------------------------------------------------------
 # SimHash (32-bit, integer-only), banded candidate join, Hamming<=3.
 # --------------------------------------------------------------------
+# 48-bit simhash, computed as ONE wide aggregation (48 sum columns)
+# instead of a doc×bit explode — at 100 TB that's the difference
+# between shuffling 48x the token table and shuffling it once.
+# Bit b of md5(token): hex digit b//4, within-digit bit b%4. All
+# divisors are powers of two, so FLOOR(x / 2^j) is exact in both
+# engines. Hamming distance = bit_count(xor) (both engines native).
+_SIMHASH_BITS = 48
+_SIMHASH_HAM_T = 3
+_SIMHASH_BAND_BITS = 12  # 4 bands of 12 bits
+
+
+def _sign_sql(b: int) -> str:
+    """+1/-1 from bit b of the token's md5 prefix (column `h`)."""
+    c, j = b // 4, b % 4
+    return (
+        f"(((CAST(FLOOR((instr('0123456789abcdef', substr(h, {c + 1}, 1)) - 1)"
+        f" / {2 ** j}) AS INT) % 2) * 2) - 1)"
+    )
+
+
+def _simhash_agg_sql() -> str:
+    """SUM-per-bit then recombine: CASE WHEN SUM(f*sign_b)>0 THEN 2^b."""
+    terms = [
+        f"(CASE WHEN SUM(f * {_sign_sql(b)}) > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(_SIMHASH_BITS)
+    ]
+    return " + ".join(terms)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     toks = (
@@ -232,25 +282,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") != "")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("f"))
-        .withColumn("h8", F.substring(F.md5("w"), 1, 8))
+        .withColumn("h", F.substring(F.md5("w"), 1, _SIMHASH_BITS // 4))
     )
-    bits = spark.range(32).select(F.col("id").cast("int").alias("b"))
-    # hex digit containing bit b is char (b div 4)+1; bit within digit is b%4
-    hexval = F.expr("instr('0123456789abcdef', substr(h8, CAST(b/4 AS INT)+1, 1)) - 1")
-    bit = F.floor(hexval / F.pow(F.lit(2), F.col("b") % 4)).cast("int") % 2
-    contrib = (
-        toks.crossJoin(F.broadcast(bits))
-        .select("doc_id", "b", (F.col("f") * (bit * 2 - 1)).alias("c"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("c").alias("s"))
-    )
-    sim = contrib.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(F.lit(0))).alias("simhash")
+    sim = toks.groupBy("doc_id").agg(F.expr(_simhash_agg_sql()).alias("simhash"))
+    n_bands = _SIMHASH_BITS // _SIMHASH_BAND_BITS
+    modulus = 2 ** _SIMHASH_BAND_BITS
+    band_structs = ", ".join(
+        f"named_struct('band', {k}, 'bk', CAST(floor(simhash / {modulus ** k}) AS BIGINT) % {modulus})"
+        for k in range(n_bands)
     )
     bands = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.expr("transform(sequence(0, 3), k -> named_struct('band', k, 'bk', CAST(floor(simhash / power(2, k*8)) AS BIGINT) % 256))")).alias("e"),
+        "doc_id", "simhash", F.explode(F.expr(f"array({band_structs})")).alias("e")
     ).select("doc_id", "simhash", F.col("e.band").alias("band"), F.col("e.bk").alias("bk"))
     cand = (
         bands.alias("a")
@@ -264,56 +306,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hamming = F.expr(
-        "aggregate(sequence(0, 31), 0, (acc, k) -> acc + CAST(CAST(floor(sa / power(2, k)) AS BIGINT) % 2 != CAST(floor(sb / power(2, k)) AS BIGINT) % 2 AS INT))"
-    )
     return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .where(F.col("hamming") <= 3)
+        cand.select("doc_a", "doc_b", F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming"))
+        .where(F.col("hamming") <= _SIMHASH_HAM_T)
         .orderBy("doc_a", "doc_b")
     )
 
 
-_SIMHASH_SQL = """
+def _simhash_oracle_sql() -> str:
+    n_bands = _SIMHASH_BITS // _SIMHASH_BAND_BITS
+    modulus = 2 ** _SIMHASH_BAND_BITS
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {k} AS band,"
+        f" CAST(FLOOR(simhash / {modulus ** k}) AS BIGINT) % {modulus} AS bk FROM sim"
+        for k in range(n_bands)
+    )
+    return f"""
 WITH toks AS (
-  SELECT doc_id, w, COUNT(*) AS f, substr(md5(w), 1, 8) AS h8
+  SELECT doc_id, w, COUNT(*) AS f, substr(md5(w), 1, {_SIMHASH_BITS // 4}) AS h
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE w <> '' GROUP BY doc_id, w
 ),
-bits AS (SELECT CAST(range AS INT) AS b FROM range(32)),
-contrib AS (
-  SELECT doc_id, b,
-         SUM(f * (((CAST(FLOOR((instr('0123456789abcdef', substr(h8, CAST(FLOOR(b/4) AS INT)+1, 1)) - 1)
-                    / POWER(2, b % 4)) AS INT) % 2) * 2) - 1)) AS s
-  FROM toks CROSS JOIN bits
-  GROUP BY doc_id, b
-),
 sim AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-  FROM contrib GROUP BY doc_id
+  SELECT doc_id, {_simhash_agg_sql()} AS simhash
+  FROM toks GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, simhash, k.range AS band,
-         CAST(FLOOR(simhash / POWER(2, k.range * 8)) AS BIGINT) % 256 AS bk
-  FROM sim CROSS JOIN range(4) k
+{band_rows}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.simhash AS sa, b.simhash AS sb
   FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
   WHERE a.doc_id < b.doc_id
-),
-ham AS (
-  SELECT doc_a, doc_b,
-         CAST(SUM(CASE WHEN CAST(FLOOR(sa / POWER(2, k.range) ) AS BIGINT) % 2
-                        <> CAST(FLOOR(sb / POWER(2, k.range)) AS BIGINT) % 2
-                   THEN 1 ELSE 0 END) AS INT) AS hamming
-  FROM cand CROSS JOIN range(32) k
-  GROUP BY doc_a, doc_b, sa, sb
 )
-SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE CAST(bit_count(xor(sa, sb)) AS INT) <= {_SIMHASH_HAM_T}
+ORDER BY doc_a, doc_b
 """
+
+
+_SIMHASH_SQL = _simhash_oracle_sql()
 
 
 QUERIES = {

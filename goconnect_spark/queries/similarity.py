@@ -275,18 +275,25 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    qa = quant.select(F.col("vec_id").alias("vec_a"), "d", F.col("q").alias("qa"))
-    qb = quant.select(F.col("vec_id").alias("vec_b"), "d", F.col("q").alias("qb"))
-    dots = (
-        cand.join(qa, "vec_a").join(qb, ["vec_b", "d"])
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    # Verify with in-row array folds over broadcast quantized vectors:
+    # integer dot products are order-independent, so this matches the
+    # oracle's unnest+SUM formulation exactly while avoiding a 64x
+    # exploded shuffle join per candidate pair.
+    qarr = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").alias("qs"),
     )
+    qa = qarr.select(F.col("vec_id").alias("vec_a"), F.col("qs").alias("qsa"))
+    qb = qarr.select(F.col("vec_id").alias("vec_b"), F.col("qs").alias("qsb"))
+    dot = F.expr("aggregate(zip_with(qsa, qsb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
     na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
     return (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
+        cand.join(F.broadcast(qa), "vec_a")
+        .join(F.broadcast(qb), "vec_b")
+        .select("vec_a", "vec_b", dot.alias("dot"))
+        .join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
         .select("vec_a", "vec_b", (F.col("dot").cast("double") / (F.col("na") * F.col("nb"))).alias("cosine"))
         .where(F.col("cosine") >= _NEAR_T)
         .orderBy("vec_a", "vec_b")

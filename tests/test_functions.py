@@ -1,0 +1,134 @@
+"""Unit tests for the reusable functions layer (text/vector/serde)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from goconnect_spark.functions import serde, text, vector
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different content here entirely"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokens_and_shingles(docs):
+    t = text.tokens(docs).groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in t} == {0: 9, 1: 9, 2: 5}
+    sh = text.word_shingles(docs, n=2)
+    n0 = sh.where("doc_id = 0").count()
+    assert n0 == 8  # 9 words -> 8 bigrams, all distinct here
+
+
+def test_minhash_similar_docs_share_bands(docs):
+    sh = text.word_shingles(docs, n=2)
+    sig = text.minhash_signature(sh, n_hashes=12)
+    bands = text.lsh_band_keys(sig, band_size=3)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .collect()
+    )
+    pairs = {(r.x, r.y) for r in cand}
+    assert (0, 1) in pairs  # near-dups collide
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    sh = text.word_shingles(docs, n=2)
+    cand = spark.createDataFrame([(0, 1), (0, 2)], "doc_a long, doc_b long")
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in text.jaccard_pairs(sh, cand).collect()}
+    # docs 0/1 share 7 of 9 distinct bigrams -> 7/9
+    assert abs(out[(0, 1)] - 7 / 9) < 1e-12
+    assert (0, 2) not in out  # zero intersection drops out
+
+
+def test_simhash_distance_orders_similarity(spark, docs):
+    freqs = text.tokens(docs).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("f"))
+    sims = {r.doc_id: r.simhash for r in text.simhash(freqs, bits=32).collect()}
+    d01 = bin(sims[0] ^ sims[1]).count("1")
+    d02 = bin(sims[0] ^ sims[2]).count("1")
+    assert d01 < d02  # near-dups closer than unrelated docs
+    assert 0 <= sims[0] < 2**32
+
+
+def test_vector_cosine(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    out = {r.id: r.c for r in df.select("id", vector.cosine_sim(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert abs(out[1] - 1.0) < 1e-12 and abs(out[2]) < 1e-12
+
+
+def test_brute_force_topk(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    quant = vector.quantize(emb)
+    probes = spark.createDataFrame([(0,)], "vec_id long")
+    top = vector.brute_force_topk(quant, probes, k=3).collect()
+    assert len(top) == 3 and all(r.probe_id == 0 and r.vec_id != 0 for r in top)
+    # exact check vs python
+    def cos(a, b):
+        qa = [math.floor(x * 10000) for x in a]
+        qb = [math.floor(x * 10000) for x in b]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        na = math.sqrt(sum(x * x for x in qa))
+        nb = math.sqrt(sum(x * x for x in qb))
+        return dot / (na * nb)
+
+    import numpy as np
+
+    a0 = [float(np.float32(v)) for v in rows[0][1]]
+    best = max(
+        ((j, cos(a0, [float(np.float32(v)) for v in rows[j][1]])) for j in range(1, 50)),
+        key=lambda t: t[1],
+    )
+    assert top[0].vec_id == best[0]
+
+
+def test_sr_wire_format_roundtrip(spark):
+    payload = b"\x01\x02\x03\x04"
+    df = spark.createDataFrame([(bytearray(payload),)], "body binary")
+    wired = df.select(serde.sr_prepend_header(F.col("body"), 1234).alias("v"))
+    out = wired.select(
+        serde.sr_schema_id(F.col("v")).alias("sid"),
+        serde.sr_strip_header(F.col("v")).alias("body"),
+        F.length("v").alias("n"),
+    ).collect()[0]
+    assert out.sid == 1234
+    assert bytes(out.body) == payload
+    assert out.n == len(payload) + 5
+
+
+def test_xml_decode_attributes(spark):
+    df = spark.createDataFrame(
+        [('<r><item mode="fast"><file>x.txt</file></item></r>',)], "xml string"
+    )
+    parsed = df.select(
+        serde.xml_decode(F.col("xml"), "item STRUCT<_mode: STRING, file: STRING>").alias("d")
+    ).collect()[0]
+    assert parsed.d.item._mode == "fast" and parsed.d.item.file == "x.txt"
+
+
+def test_json_roundtrip(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    out = (
+        df.select(serde.json_encode(F.struct("id", "s")).alias("j"))
+        .select(serde.json_decode(F.col("j"), "id LONG, s STRING").alias("d"))
+        .collect()[0]
+    )
+    assert out.d.id == 1 and out.d.s == "a"
