@@ -113,3 +113,18 @@ def test_key_fold(spark):
     )
     rows = {r.value: r.n for r in p.dataframe().collect()}
     assert rows == {"a": 30, "b": 30, "c": 30}
+
+
+def test_approx_distinct_matches_exact_scale(spark, sf_dir):
+    # the 100 TB twin of distinct_users_by_type: HLL sketch (mergeable,
+    # map-side combinable) vs exact distinct — within rsd tolerance
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.tables import load
+
+    ev = load(spark, "events", sf_dir)
+    rows = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()
+    assert rows and all(abs(r.approx - r.exact) <= max(3, 0.1 * r.exact) for r in rows)
