@@ -109,29 +109,29 @@ class CoderRegistry:
 
 
 def _gzip_compress_udf():
-    import pandas as pd
+    import pandas as pd  # noqa: F401 - resolved by pandas_udf type hints
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("binary")
-    def gz(s: pd.Series) -> pd.Series:
+    def gz(s):
         import gzip as _gzip
 
         return s.map(lambda b: None if b is None else _gzip.compress(bytes(b), mtime=0))
 
-    return gz
+    gz.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("binary")(gz)
 
 
 def _gzip_decompress_udf():
-    import pandas as pd
+    import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("binary")
-    def gunz(s: pd.Series) -> pd.Series:
+    def gunz(s):
         import gzip as _gzip
 
         return s.map(lambda b: None if b is None else _gzip.decompress(bytes(b)))
 
-    return gunz
+    gunz.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("binary")(gunz)
 
 
 def default_registry() -> CoderRegistry:

@@ -5,7 +5,7 @@ Four families over `documents` (+ one over `embeddings`):
 - exact:        hash-groupBy on normalized text
 - minhash_lsh:  word-bigram shingles -> 12 minhashes -> 4 bands of 3
                 -> band-bucket join -> exact-Jaccard verify
-- ngram_jaccard: shared-shingle candidate join -> exact Jaccard
+- ngram_jaccard: prefix-filtered candidate join -> exact Jaccard
 - simhash:      48-bit simhash (one wide aggregation), 4x12-bit band
                 join, Hamming<=3 verify via bit_count(xor)
 
@@ -21,8 +21,9 @@ Scale (100 TB story): every family avoids the O(n^2) cross join — the
 candidate set comes from an equi-join on a bucket key (band hash /
 shared shingle), which Spark executes as a shuffle hash join on the
 bucket key. Verification touches only candidate pairs. Skewed buckets
-(stop-shingles) are the known hazard: ngram_jaccard drops shingles
-with document frequency > _MAX_DF, and AQE skew-join splitting covers
+(stop-shingles) are the known hazard: ngram_jaccard bounds the
+candidate join by prefix filtering on the globally-rarest shingles
+(exact recall at its threshold), and AQE skew-join splitting covers
 the rest.
 """
 
@@ -36,7 +37,6 @@ from goconnect_spark.tables import load
 _N_HASHES = 12
 _BAND_SIZE = 3  # -> 4 bands
 _JACCARD_T = 0.5
-_MAX_DF = 50  # drop shingles appearing in more docs than this (stop-shingles)
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
@@ -88,18 +88,27 @@ GROUP BY 1 ORDER BY keeper_doc_id
 # MinHash + LSH banding.
 # --------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # All 12 minhashes come out of ONE aggregation pass over the
-    # shingle table (12 MIN columns) — no seed cross join, one shuffle
-    # on doc_id. Band keys are md5 over each band's 3 signature
-    # columns; the LSH candidate join is an equi-join on (band, key).
+    # ONE full-table aggregation does everything heavy: MIN over a
+    # multiset equals MIN over the set, so the 12 minhashes AND the
+    # distinct-shingle count come out of a single groupBy over the
+    # *raw* (non-deduped) shingle stream — no distinct shuffle, no
+    # seed cross join. Band keys are md5 over each band's 3 signature
+    # columns; candidates come from the (band, key) equi-join; the
+    # Jaccard verify runs only on shingles of candidate docs
+    # (broadcast semi-join filter before the self-join).
     docs = load(spark, "documents", sf_dir)
-    sh = _shingles(docs)
+    words = docs.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 2)
+    raw = words.select(
+        "doc_id",
+        F.explode(F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).alias("shingle"),
+    )
 
-    sig = sh.groupBy("doc_id").agg(
+    sig = raw.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n"),
         *[
             F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
             for s in range(_N_HASHES)
-        ]
+        ],
     )
     n_bands = _N_HASHES // _BAND_SIZE
     band_structs = ", ".join(
@@ -119,13 +128,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = raw.join(F.broadcast(cand_docs), "doc_id").distinct()
     inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        cand.join(sh_cand.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh_cand.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sizes = sig.select("doc_id", "n")
     return (
         inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
         .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
@@ -195,17 +213,57 @@ ORDER BY doc_a, doc_b
 # n-gram Jaccard via shared-shingle candidates (no minhash): exact
 # result for pairs sharing at least one non-stop shingle.
 # --------------------------------------------------------------------
+_NGRAM_T = 0.8
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard >= t via prefix filtering (PPJoin
+    family): order each doc's shingles by global rarity (df asc,
+    shingle asc — one consistent total order), keep the first
+    floor((1-t)*n)+1 as the doc's prefix. Any pair with Jaccard >= t
+    MUST share a prefix shingle (prefix-filter theorem), so the
+    candidate join touches only prefixes; verification over the full
+    sets is exact. Unlike a df cutoff this never loses recall, and the
+    join volume is bounded by the rarest shingles' df."""
     docs = load(spark, "documents", sf_dir)
     sh = _shingles(docs)
-    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(df.where(F.col("df") <= _MAX_DF), "shingle")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = sh.join(dfreq, "shingle").withColumn("rn", F.row_number().over(w))
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .where(F.col("rn") <= F.floor(F.lit(1.0 - _NGRAM_T) * F.col("n")) + 1)
+        .select("doc_id", "shingle", "n")
+    )
+    # size filter: jaccard >= t forces t*max(n_a,n_b) <= min(n_a,n_b),
+    # so size-incompatible pairs are dropped before the distinct
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") * _NGRAM_T <= F.col("b.n"))
+            & (F.col("b.n") * _NGRAM_T <= F.col("a.n"))
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id")
     inter = (
-        rare.alias("a")
-        .join(rare.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sh_cand.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh_cand.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
@@ -218,27 +276,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "jaccard"
             ),
         )
-        .where(F.col("jaccard") >= 0.8)
+        .where(F.col("jaccard") >= _NGRAM_T)
         .orderBy("doc_a", "doc_b")
     )
 
 
 _NGRAM_SQL = f"""
 WITH {_SHINGLES_CTE},
-df AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
-rare AS (SELECT s.* FROM shingles s JOIN df ON df.shingle = s.shingle AND df.df <= {_MAX_DF}),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+ranked AS (
+  SELECT s.doc_id, s.shingle,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df ASC, s.shingle ASC) AS rn
+  FROM shingles s JOIN dfreq d ON d.shingle = s.shingle
+),
+prefix AS (
+  SELECT r.doc_id, r.shingle, z.n
+  FROM ranked r JOIN sizes z ON z.doc_id = r.doc_id
+  WHERE r.rn <= FLOOR({1.0 - _NGRAM_T} * z.n) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+    AND a.n * {_NGRAM_T} <= b.n AND b.n * {_NGRAM_T} <= a.n
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
        (i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE)) AS jaccard
 FROM inter i
 JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
-WHERE (i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE)) >= 0.8
+WHERE (i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE)) >= {_NGRAM_T}
 ORDER BY doc_a, doc_b
 """
 

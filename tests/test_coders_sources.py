@@ -1,0 +1,76 @@
+"""Coder registry chains (incl. codec-tagged gzip) and file sources."""
+
+import gzip
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from goconnect_spark.pipeline import Pipeline
+from goconnect_spark.plans.coders import TypeTag, default_registry
+from goconnect_spark.sources import FileSource, ListSource, TextFileSource
+
+
+@pytest.fixture(scope="module")
+def file_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("files")
+    for i in range(3):
+        (d / f"f{i}.txt").write_bytes(f"line{i}a\nline{i}b".encode())
+    return str(d)
+
+
+def test_gzip_coder_chain_found():
+    r = default_registry()
+    # string -> gzip bytes: str.Encoder then gzip.Encoder (2 hops)
+    chain = r.find_chain(TypeTag("string"), TypeTag("binary", "gzip"))
+    assert chain is not None and len(chain) == 2
+    # gzip bytes -> string: decompress then decode
+    back = r.find_chain(TypeTag("binary", "gzip"), TypeTag("string"))
+    assert back is not None and len(back) == 2
+
+
+def test_gzip_roundtrip_runtime(spark):
+    r = default_registry()
+    df = spark.createDataFrame([("hello world",), ("goconnect",)], ["value"])
+    df2, t = r.inject(df, TypeTag("string"), TypeTag("binary", "gzip"))
+    assert t == TypeTag("binary", "gzip")
+    rows = df2.collect()
+    # deterministic gzip (mtime=0) decompresses back to the input
+    assert gzip.decompress(bytes(rows[0].value)) == b"hello world"
+    df3, _ = r.inject(df2, TypeTag("binary", "gzip"), TypeTag("string"))
+    assert sorted(r.value for r in df3.collect()) == ["goconnect", "hello world"]
+
+
+def test_sr_wire_strip_via_registry(spark):
+    r = default_registry()
+    payload = bytes([0]) + (99).to_bytes(4, "big") + b"avro-body"
+    df = spark.createDataFrame([(bytearray(payload),)], ["value"])
+    df2, _ = r.inject(df, TypeTag("binary", "sr-avro"), TypeTag("binary"))
+    assert bytes(df2.collect()[0].value) == b"avro-body"
+
+
+def test_file_source_url_struct(spark, file_dir):
+    df = FileSource(file_dir, glob="*.txt").read(spark)
+    rows = df.orderBy("seq").collect()
+    assert [r.url.name for r in rows] == ["f0.txt", "f1.txt", "f2.txt"]
+    assert all(r.url.proto == "file" for r in rows)
+    assert bytes(rows[1].value) == b"line1a\nline1b"
+    assert rows[0].seq == 0 and rows[2].seq == 2
+
+
+def test_text_file_source_lines(spark, file_dir):
+    df = TextFileSource(os.path.join(file_dir, "f0.txt")).read(spark)
+    vals = [r.value for r in df.orderBy("seq").collect()]
+    assert vals == ["line0a", "line0b"]
+
+
+def test_file_pipeline_end_to_end(spark, file_dir):
+    # file.Source -> Reader -> Text parity: files -> upper-cased lines
+    out = (
+        Pipeline(spark)
+        .root(TextFileSource(os.path.join(file_dir, "*.txt")))
+        .map(F.upper)
+        .ordered_dataframe()
+        .collect()
+    )
+    assert len(out) == 6 and all(r.value.startswith("LINE") for r in out)
