@@ -221,8 +221,8 @@ ORDER BY hour, event_type
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    with_break = ev.withColumn("is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    with_break = ev.withColumn("is_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
     sess = with_break.withColumn("session_id", F.sum("is_new").over(w))
     return (
         sess.groupBy("user_id", "session_id")
@@ -239,8 +239,8 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSIONS_SQL = """
 WITH g AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
-               OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (

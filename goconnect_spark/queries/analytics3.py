@@ -1,0 +1,199 @@
+"""Third analytics batch: moment statistics, range join, as-of join.
+
+Determinism approach for statistics: never use built-in stddev/corr
+(their float accumulation is partial-order-dependent); compute exact
+decimal moment sums (Σx, Σx², Σxy — order-independent) and evaluate
+the closed-form formulas in double on identical operands.
+
+Scale notes:
+- range join: binned to the window size so it's an equi-join on
+  (user, bin) — never a nested-loop time-range join;
+- as-of join: union the two sides and take a running last_value over
+  the event-time order — O(n log n) via one shuffle+sort per user,
+  never a per-row subquery.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from goconnect_spark.tables import load
+
+_D = "decimal(18,4)"
+
+
+# --------------------------------------------------------------------
+# Moment statistics per event_type: mean, variance, stddev, and the
+# correlation between value and the JSON k field — all from exact
+# decimal sums.
+# --------------------------------------------------------------------
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    x = F.col("value").cast(_D)
+    k = F.get_json_object("props", "$.k").cast("long")
+    base = ev.select("event_type", x.alias("x"), k.alias("k")).where(F.col("k").isNotNull())
+    sums = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+        F.sum(F.col("x") * F.col("k")).cast("double").alias("sxk"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    sk = F.col("sk").cast("double")
+    skk = F.col("skk").cast("double")
+    cov = (F.col("sxk") - F.col("sx") * sk / n) / (n - 1)
+    vark = (skk - sk * sk / n) / (n - 1)
+    return sums.select(
+        "event_type",
+        "n",
+        mean.alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+        (cov / F.sqrt(var * vark)).alias("corr_value_k"),
+    ).orderBy("event_type")
+
+
+_STATS_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS x,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+), sums AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(k * k) AS BIGINT) AS skk,
+         CAST(CAST(SUM(x * k) AS VARCHAR) AS DOUBLE) AS sxk
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+       sx / CAST(n AS DOUBLE) AS mean_value,
+       (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_value,
+       SQRT((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_value,
+       ((sxk - sx * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+         / SQRT(((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                * ((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) AS corr_value_k
+FROM sums ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------
+# Range join, binned: for each error event, how many events did the
+# same user produce in the preceding 5 minutes? The bin trick turns a
+# time-range join into an equi-join on (user_id, bin ∈ {b-1, b}) +
+# residual filter — the only formulation that scales (a raw
+# ts-BETWEEN join is a nested loop).
+# --------------------------------------------------------------------
+_WINDOW_US = 300 * 1_000_000
+
+
+def events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("u"), F.col("t").alias("et")
+    )
+    probes = errors.select(
+        "err_id", "u", "et", F.explode(F.array(F.lit(0), F.lit(1))).alias("off")
+    ).select("err_id", "u", "et", (F.floor(F.col("et") / _WINDOW_US) - F.col("off")).alias("bin"))
+    binned = ev.select("event_id", "user_id", "t", F.floor(F.col("t") / _WINDOW_US).alias("bin"))
+    joined = probes.join(
+        binned,
+        (F.col("u") == F.col("user_id")) & (probes.bin == binned.bin),
+    ).where((F.col("t") < F.col("et")) & (F.col("t") >= F.col("et") - _WINDOW_US))
+    return (
+        joined.groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_prior"))
+        .orderBy("err_id")
+    )
+
+
+_RANGE_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events
+), errors AS (
+  SELECT event_id AS err_id, user_id AS u, t AS et FROM ev WHERE event_type = 'error'
+)
+SELECT e.err_id, COUNT(*) AS n_prior
+FROM errors e JOIN ev x
+  ON x.user_id = e.u AND x.t < e.et AND x.t >= e.et - {_WINDOW_US}
+GROUP BY e.err_id
+ORDER BY err_id
+"""
+
+
+# --------------------------------------------------------------------
+# As-of join: for each purchase, the user's most recent signup at or
+# before it. Union-tag + running last_value over event time — one
+# sort per user partition, no per-row lookup.
+# --------------------------------------------------------------------
+def purchases_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("event_id")).alias("signup_id"),
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last("signup_id", ignorenulls=True).over(w).alias("asof_signup_id"),
+        F.last("signup_ts", ignorenulls=True).over(w).alias("asof_signup_ts"),
+    )
+    return (
+        enriched.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "asof_signup_id",
+            (F.unix_micros("ts") - F.unix_micros("asof_signup_ts")).alias("us_since_signup"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ASOF_SQL = """
+WITH enriched AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id,
+         LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_ts
+  FROM events
+)
+SELECT event_id, user_id, asof_signup_id,
+       epoch_us(ts) - epoch_us(asof_signup_ts) AS us_since_signup
+FROM enriched WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "events_value_stats": events_value_stats,
+    "events_error_context": events_error_context,
+    "purchases_asof_signup": purchases_asof_signup,
+}
+
+ORACLE = {
+    "events_value_stats": _STATS_SQL,
+    "events_error_context": _RANGE_SQL,
+    "purchases_asof_signup": _ASOF_SQL,
+}

@@ -1,0 +1,58 @@
+"""Custom stateful streaming: the reference's arbitrary-accumulator
+Fold (UserFoldFn, reference fn.go:154-193) generalized to keyed state
+via applyInPandasWithState.
+
+The reference constrains Fold to one goroutine with a single in-memory
+ACC and emits a snapshot per trigger (context.go:332-455). Here the
+accumulator is per-key, checkpointed, and distributed — each trigger
+emits the updated accumulator rows for keys seen in the batch (the
+same observable cadence as the reference's TriggerEvery).
+
+`keyed_fold` takes plain Python (init, update) closures over floats —
+the UserFoldFn surface — and runs them over Arrow record batches, so
+user code executes once per batch, not once per row.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def keyed_fold(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    init: float,
+    update: Callable[[float, float], float],
+    output_schema: str = "key string, acc double, n bigint",
+    state_schema: str = "acc double, n bigint",
+) -> DataFrame:
+    """Running fold per key with user-defined update(acc, value).
+
+    Returns the (unstarted) update-mode streaming DataFrame; each
+    micro-batch emits (key, acc, n) for keys present in the batch.
+    """
+
+    def fn(key: Tuple, pdfs, state: GroupState):
+        acc, n = (state.get if state.exists else (init, 0))
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                acc = update(acc, float(v))
+                n += 1
+        state.update((acc, n))
+        yield pd.DataFrame({"key": [str(key[0])], "acc": [acc], "n": [n]})
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -88,3 +88,43 @@ def test_session_counts_schema(spark, events_stream):
         output_mode="append",
     )
     assert spark.sql("select count(*) n from t_sess").collect()[0].n >= 0
+
+
+def test_keyed_fold_custom_accumulator(spark, events_stream):
+    # UserFoldFn parity: arbitrary Python accumulator, per-key state,
+    # snapshot per trigger — final snapshot equals the batch fold
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.streaming.stateful import keyed_fold
+
+    df = events_stream.read(spark).select(
+        F.col("value.l_returnflag").alias("flag"),
+        F.col("value.l_quantity").alias("qty"),
+    )
+    folded = keyed_fold(df, "flag", "qty", init=0.0, update=lambda acc, v: acc + v)
+    q = (
+        folded.writeStream.format("memory")
+        .queryName("t_keyed_fold")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # latest snapshot per key
+    rows = spark.sql(
+        """
+        select key, acc, n from (
+          select *, row_number() over (partition by key order by n desc) rk
+          from t_keyed_fold
+        ) where rk = 1
+        """
+    ).collect()
+    got = {r.key: (round(r.acc, 6), r.n) for r in rows}
+    batch = (
+        spark.read.parquet(events_stream.path)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {r.l_returnflag: (round(r.s, 6), r.n) for r in batch}
+    assert got == want
