@@ -164,6 +164,7 @@ class Pipeline:
         """Compile the declared chain into a single DataFrame."""
         if self._source is None:
             raise PipelineError("pipeline has no root")
+        self._wire_throttle()
         df = self._source.read(self.spark)
         ordering = ["seq"]
         cur_type: Optional[T.DataType] = df.schema["value"].dataType if "value" in df.columns else None
@@ -210,6 +211,20 @@ class Pipeline:
                 cur_type = df.schema["value"].dataType if "value" in df.columns else None
         self._ordering = ordering
         return df
+
+    def _wire_throttle(self) -> None:
+        """Push a declared throttle into the source's rate option
+        (reference Throttle sleeps between emits, util/throttler.go;
+        the Spark analog is source-side rate limiting: rowsPerSecond
+        on a rate source, maxOffsetsPerTrigger on Kafka)."""
+        rates = [st.fn for st in self._stages if st.kind == "throttle"]
+        if not rates:
+            return
+        rate = min(rates)
+        if hasattr(self._source, "rows_per_second"):
+            self._source.rows_per_second = rate
+        elif hasattr(self._source, "max_offsets_per_trigger"):
+            self._source.max_offsets_per_trigger = rate
 
     def ordered_dataframe(self) -> DataFrame:
         """Materialize with the reference's total-order guarantee

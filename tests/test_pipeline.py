@@ -128,3 +128,43 @@ def test_approx_distinct_matches_exact_scale(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).collect()
     assert rows and all(abs(r.approx - r.exact) <= max(3, 0.1 * r.exact) for r in rows)
+
+
+def test_throttle_wires_source_rate(spark):
+    # reference Throttle parity: the declared rate reaches the source
+    from goconnect_spark.sources.core import KafkaSource, RateSource
+
+    rs = RateSource(rows_per_second=1000)
+    p = Pipeline(spark).root(rs).throttle(50)
+    p._wire_throttle()
+    assert rs.rows_per_second == 50
+
+    ks = KafkaSource("host:9092", "t")
+    p2 = Pipeline(spark).root(ks).throttle(200)
+    p2._wire_throttle()
+    assert ks.max_offsets_per_trigger == 200
+
+
+def test_stacked_folds(spark):
+    # reference contract README.md:104: fold after fold — the second
+    # fold aggregates the first fold's snapshot row(s)
+    p = (
+        Pipeline(spark)
+        .root(RoundRobinSource(100, list(range(10))))
+        .key_fold(["value"], F.count(F.lit(1)).alias("n"))
+        .fold(F.sum("n").alias("total"), F.count(F.lit(1)).alias("groups"))
+    )
+    r = p.dataframe().collect()[0]
+    assert r.total == 100 and r.groups == 10
+
+
+def test_limit_after_fold(spark):
+    # reference contract README.md:103: Limit applies after Fold too
+    p = (
+        Pipeline(spark)
+        .root(RoundRobinSource(90, ["a", "b", "c"]))
+        .key_fold(["value"], F.count(F.lit(1)).alias("n"))
+        .limit(2)
+    )
+    rows = p.dataframe().collect()
+    assert len(rows) == 2 and [r.value for r in rows] == ["a", "b"]
