@@ -1,0 +1,71 @@
+"""Custom Python DataSource (amqp09.Source parity): batch + streaming
+reads, offset progression, bounded drain."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from goconnect_spark.sources.queue_source import QueueDataSource, QueueStreamReader
+
+
+@pytest.fixture(scope="module", autouse=True)
+def register(spark):
+    spark.dataSource.register(QueueDataSource)
+
+
+def test_batch_read(spark):
+    df = (
+        spark.read.format("goconnect_queue")
+        .option("queue", "q1")
+        .option("total", "250")
+        .load()
+    )
+    rows = df.orderBy("offset").collect()
+    assert len(rows) == 250
+    assert rows[0].offset == 0 and rows[-1].offset == 249
+    assert bytes(rows[7].body) == hashlib.md5(b"q1:7").hexdigest().encode()
+    assert rows[0].queue == "q1" and rows[0].redelivered is False
+
+
+def test_stream_drains_bounded(spark):
+    import time
+
+    q = (
+        spark.readStream.format("goconnect_queue")
+        .option("queue", "q2")
+        .option("total", "500")
+        .option("batch_size", "64")
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_queue_stream")
+        .start()
+    )
+    # drain micro-batches until the backlog is consumed (the queue is
+    # unbounded in principle — the reference drains until Limit/stop)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        n = spark.sql("select count(*) n from t_queue_stream").collect()[0].n
+        if n >= 500:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    got = spark.sql(
+        "select count(*) n, min(offset) lo, max(offset) hi, count(distinct offset) d "
+        "from t_queue_stream"
+    ).collect()[0]
+    assert (got.n, got.lo, got.hi, got.d) == (500, 0, 499, 500)
+
+
+def test_stream_reader_offsets_and_commit():
+    r = QueueStreamReader({"queue": "q", "total": "10", "batch_size": "4"})
+    it1, o1 = r.read(r.initialOffset())
+    assert o1 == {"offset": 4} and len(list(it1)) == 4
+    it2, o2 = r.read(o1)
+    assert o2 == {"offset": 8}
+    r.commit(o2)
+    assert r.committed == [8]  # multi-ack up to the watermark
+    replay = list(r.readBetweenOffsets({"offset": 4}, {"offset": 8}))
+    assert [t[0] for t in replay] == [4, 5, 6, 7]
+    assert all(t[3] for t in replay)  # redelivered flag on recovery
