@@ -69,3 +69,35 @@ def test_stream_reader_offsets_and_commit():
     replay = list(r.readBetweenOffsets({"offset": 4}, {"offset": 8}))
     assert [t[0] for t in replay] == [4, 5, 6, 7]
     assert all(t[3] for t in replay)  # redelivered flag on recovery
+
+
+def test_queue_sink_publishes_batches(spark):
+    # amqp09.Sink parity: foreachBatch publisher, flush per batch
+    from goconnect_spark.sources.queue_sink import CollectingPublisher, QueueSink
+
+    pub = CollectingPublisher()
+    sink = QueueSink("ex", "rk", publisher_factory=lambda: pub)
+    df = spark.createDataFrame([("m1",), ("m2",), ("m3",)], ["value"])
+    sink.write(df)
+    assert sorted(b for _, _, b in pub.messages) == [b"m1", b"m2", b"m3"]
+    assert pub.messages[0][0] == "ex" and pub.messages[0][1] == "rk"
+    assert pub.flushes == 1
+
+
+def test_queue_sink_streaming(spark):
+    from goconnect_spark.sources.queue_sink import CollectingPublisher, QueueSink
+
+    pub = CollectingPublisher()
+    sink = QueueSink("ex", "", publisher_factory=lambda: pub)
+    stream = (
+        spark.readStream.format("goconnect_queue")
+        .option("queue", "qs")
+        .option("total", "100")
+        .option("batch_size", "100")
+        .load()
+        .select("body")
+        .withColumnRenamed("body", "value")
+    )
+    q = sink.write_stream(stream, trigger={"availableNow": True})
+    q.awaitTermination()
+    assert len(pub.messages) == 100 and pub.flushes >= 1
