@@ -197,3 +197,121 @@ ORACLE = {
     "events_error_context": _RANGE_SQL,
     "purchases_asof_signup": _ASOF_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# Exact percentiles (interpolated). Spark's percentile() and DuckDB's
+# quantile_cont produce bit-identical doubles on identical inputs
+# (verified) — the scalable twin is approx_percentile/t-digest.
+# --------------------------------------------------------------------
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       quantile_cont(l_extendedprice, 0.25) AS p25_price,
+       quantile_cont(l_extendedprice, 0.99) AS p99_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------
+# CUBE over two dims (all four grouping sets).
+# --------------------------------------------------------------------
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------
+# Unpivot (wide -> long): per-order melt of status/priority counts.
+# Spark stack() == SQL UNION ALL of the measures.
+# --------------------------------------------------------------------
+def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+    return (
+        wide.select(
+            "o_orderstatus",
+            F.expr(
+                "stack(3, 'n_orders', n_orders, 'n_customers', n_customers, 'first_key', first_key)"
+            ).alias("measure", "value"),
+        )
+        .orderBy("o_orderstatus", "measure")
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderstatus, COUNT(*) AS n_orders,
+         COUNT(DISTINCT o_custkey) AS n_customers,
+         MIN(o_orderkey) AS first_key
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, measure, value FROM (
+  SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM wide
+  UNION ALL
+  SELECT o_orderstatus, 'n_customers', n_customers FROM wide
+  UNION ALL
+  SELECT o_orderstatus, 'first_key', first_key FROM wide
+)
+ORDER BY o_orderstatus, measure
+"""
+
+
+QUERIES.update(
+    {
+        "quantity_percentiles": quantity_percentiles,
+        "lineitem_cube": lineitem_cube,
+        "orders_unpivot": orders_unpivot,
+    }
+)
+
+ORACLE.update(
+    {
+        "quantity_percentiles": _PERCENTILES_SQL,
+        "lineitem_cube": _CUBE_SQL,
+        "orders_unpivot": _UNPIVOT_SQL,
+    }
+)
