@@ -1,0 +1,154 @@
+"""Avro codec + schema evolution (reference serde fixtures parity:
+coder/serde/avro.coder.fixtures/user.go, examples/list-avro-sr-kafka
+record schema) and the full Confluent wire chain on a DataFrame."""
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from goconnect_spark.functions import avro_py
+from goconnect_spark.functions.serde import sr_prepend_header, sr_schema_id, sr_strip_header
+
+# examples/list-avro-sr-kafka/main.go:42-61 record
+EXAMPLE_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Example",
+        "fields": [
+            {"name": "seqNo", "type": "long", "default": 0},
+            {"name": "timestamp", "type": "long", "default": -1},
+            {"name": "text", "type": "string", "default": ""},
+        ],
+    }
+)
+
+# avro_user_evolution fixture (V1 writer / V2 reader with aliases,
+# bytes->string promotion, defaults)
+USER_V1 = {
+    "type": "record",
+    "name": "User",
+    "fields": [
+        {"name": "Errors", "type": {"type": "array", "items": "string"}},
+        {"name": "Phone", "type": ["null", "int"]},
+        {"name": "first_name", "type": "bytes"},
+        {"name": "last_name", "type": "bytes"},
+    ],
+}
+USER_V2 = {
+    "type": "record",
+    "name": "User",
+    "fields": [
+        {"name": "FirstName", "type": "string", "aliases": ["first_name"]},
+        {"name": "LastName", "type": "string", "aliases": ["last_name"]},
+        {"name": "Phone", "type": ["null", "int"], "default": None},
+        {"name": "Errors", "type": {"type": "array", "items": "string"}, "default": []},
+        {"name": "Region", "type": "string", "default": "EU"},
+    ],
+}
+
+
+def test_roundtrip_primitives_and_collections():
+    schema = {
+        "type": "record",
+        "name": "T",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "u", "type": ["null", "string"]},
+        ],
+    }
+    val = {
+        "b": True, "i": -42, "l": 1 << 40, "d": 2.5, "s": "héllo",
+        "by": b"\x00\x01", "arr": [1, -2, 3], "m": {"k1": "v1", "k2": "v2"},
+        "u": None,
+    }
+    assert avro_py.decode(avro_py.encode(val, schema), schema) == val
+    val2 = dict(val, u="present")
+    assert avro_py.decode(avro_py.encode(val2, schema), schema) == val2
+
+
+def test_zigzag_negative_longs():
+    schema = {"type": "record", "name": "N", "fields": [{"name": "v", "type": "long"}]}
+    for v in (0, -1, 1, -(1 << 62), (1 << 62) - 1):
+        assert avro_py.decode(avro_py.encode({"v": v}, schema), schema) == {"v": v}
+
+
+def test_schema_evolution_aliases_promotions_defaults():
+    writer_val = {
+        "Errors": ["e1"],
+        "Phone": 123,
+        "first_name": b"Ada",
+        "last_name": b"Lovelace",
+    }
+    body = avro_py.encode(writer_val, USER_V1)
+    decoded = avro_py.decode(body, USER_V1)
+    projected = avro_py.project(decoded, USER_V1, USER_V2)
+    assert projected == {
+        "FirstName": "Ada",       # alias + bytes->string promotion
+        "LastName": "Lovelace",
+        "Phone": 123,
+        "Errors": ["e1"],
+        "Region": "EU",           # reader default
+    }
+
+
+def test_projection_drop_field():
+    # kafka-sr1-avro-sr2-kafka drop-field case: {seqNo, timestamp}
+    reader = {
+        "type": "record",
+        "name": "Example",
+        "fields": [
+            {"name": "seqNo", "type": "long", "default": 0},
+            {"name": "timestamp", "type": "long", "default": -1},
+        ],
+    }
+    body = avro_py.encode({"seqNo": 7, "timestamp": 99, "text": "x" * 100}, json.loads(EXAMPLE_SCHEMA))
+    out = avro_py.project(avro_py.decode(body, EXAMPLE_SCHEMA), EXAMPLE_SCHEMA, reader)
+    assert out == {"seqNo": 7, "timestamp": 99}
+
+
+def test_confluent_wire_chain_on_dataframe(spark):
+    # full SR chain: encode records -> prepend wire header -> DataFrame
+    # -> schema id + strip header + avro_decode_udf -> struct column
+    rows = [
+        (i, bytearray(avro_py.encode({"seqNo": i, "timestamp": 1000 + i, "text": f"msg{i}"},
+                                     json.loads(EXAMPLE_SCHEMA))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, body binary")
+    wired = df.select("id", sr_prepend_header(F.col("body"), 4242).alias("payload"))
+    dec = avro_py.avro_decode_udf(EXAMPLE_SCHEMA, "seqNo long, timestamp long, text string")
+    out = wired.select(
+        sr_schema_id(F.col("payload")).alias("sid"),
+        dec(sr_strip_header(F.col("payload"))).alias("rec"),
+    ).select("sid", "rec.seqNo", "rec.text")
+    got = out.orderBy("seqNo").collect()
+    assert len(got) == 50
+    assert all(r.sid == 4242 for r in got)
+    assert got[7].seqNo == 7 and got[7].text == "msg7"
+
+
+def test_decode_udf_with_reader_projection(spark):
+    reader = json.dumps(
+        {
+            "type": "record",
+            "name": "Example",
+            "fields": [
+                {"name": "seqNo", "type": "long", "default": 0},
+                {"name": "note", "type": "string", "default": "n/a"},
+            ],
+        }
+    )
+    body = bytearray(avro_py.encode({"seqNo": 5, "timestamp": 1, "text": "t"},
+                                    json.loads(EXAMPLE_SCHEMA)))
+    df = spark.createDataFrame([(body,)], "body binary")
+    dec = avro_py.avro_decode_udf(EXAMPLE_SCHEMA, "seqNo long, note string", reader_schema=reader)
+    r = df.select(dec("body").alias("rec")).collect()[0].rec
+    assert r.seqNo == 5 and r.note == "n/a"
