@@ -315,3 +315,54 @@ ORACLE.update(
         "orders_unpivot": _UNPIVOT_SQL,
     }
 )
+
+
+# --------------------------------------------------------------------
+# Time-series gap fill (hypertable-rollup shape): a dense hour spine
+# per event_type with zero-filled gaps. The spine is generated with
+# sequence()/generate_series — never materialized on the driver — and
+# the fill is a broadcast-right left join.
+# --------------------------------------------------------------------
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    ).crossJoin(ev.select("event_type").distinct())
+    return (
+        spine.join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+), full_spine AS (
+  SELECT s.h, t.event_type FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT strftime(f.h, '%Y-%m-%d %H:%M:%S') AS hour, f.event_type,
+       COALESCE(hh.n, 0) AS n
+FROM full_spine f LEFT JOIN hourly hh ON hh.h = f.h AND hh.event_type = f.event_type
+ORDER BY hour, f.event_type
+"""
+
+
+QUERIES["events_hourly_gapfill"] = events_hourly_gapfill
+ORACLE["events_hourly_gapfill"] = _GAPFILL_SQL

@@ -132,3 +132,12 @@ def test_json_roundtrip(spark):
         .collect()[0]
     )
     assert out.d.id == 1 and out.d.s == "a"
+
+
+def test_xml_encode_roundtrip(spark):
+    df = spark.createDataFrame([(1, "fast")], "id long, mode string")
+    xml = df.select(serde.xml_encode(F.struct("id", "mode"), row_tag="item").alias("x"))
+    s = xml.collect()[0].x
+    assert "<item>" in s and "<mode>fast</mode>" in s
+    back = xml.select(serde.xml_decode(F.col("x"), "id BIGINT, mode STRING").alias("d")).collect()[0]
+    assert back.d.id == 1 and back.d.mode == "fast"
