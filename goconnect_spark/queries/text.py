@@ -237,3 +237,50 @@ ORACLE = {
     "text_lang_id": _LANG_ID_SQL,
     "doc_fingerprint": _FINGERPRINT_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# BPE-ish token counting: regex word extraction, then fixed 4-char
+# subword chunking — the cheap token-count estimator a training-data
+# pipeline runs before real BPE. Pure regexp/substr expressions.
+# --------------------------------------------------------------------
+def text_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias("w"),
+    )
+    sub = words.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, CAST(ceil(length(w) / 4.0) AS INT)), i -> substr(w, (i-1)*4 + 1, 4))")
+        ).alias("piece"),
+    )
+    return (
+        sub.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.countDistinct("piece").alias("n_distinct_pieces"),
+            F.max(F.length("piece")).alias("max_piece_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BPEISH_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS w
+  FROM documents
+), sub AS (
+  SELECT doc_id, substr(w, (i-1)*4 + 1, 4) AS piece
+  FROM words, unnest(generate_series(1, CAST(ceil(length(w) / 4.0) AS INT))) AS t(i)
+)
+SELECT doc_id, COUNT(*) AS n_pieces,
+       COUNT(DISTINCT piece) AS n_distinct_pieces,
+       MAX(LENGTH(piece)) AS max_piece_len
+FROM sub GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES["text_token_bpeish"] = text_token_bpeish
+ORACLE["text_token_bpeish"] = _BPEISH_SQL
