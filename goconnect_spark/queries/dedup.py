@@ -103,10 +103,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).alias("shingle"),
     )
 
-    sig = raw.groupBy("doc_id").agg(
+    # ONE md5 per shingle; the 12 hash families come from
+    # Kirsch-Mitzenmacher double hashing g_s = (h1 + s*h2) mod 2^48
+    # (h1/h2 = independent 48-bit md5 halves, h2 forced odd) — all
+    # values < 2^53 so the arithmetic is exact in both engines.
+    hashed = raw.selectExpr(
+        "doc_id",
+        "shingle",
+        "cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint) as h1",
+        "cast(conv(substr(md5(shingle), 13, 12), 16, 10) as bigint) * 2 + 1 as h2",
+    )
+    sig = hashed.groupBy("doc_id").agg(
         F.countDistinct("shingle").alias("n"),
         *[
-            F.min(F.md5(F.concat_ws("|", F.lit(s), F.col("shingle")))).alias(f"mh{s}")
+            F.expr(f"min((h1 + {s} * h2) % 281474976710656)").alias(f"mh{s}")
             for s in range(_N_HASHES)
         ],
     )
@@ -160,7 +170,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sig_sql() -> str:
     return ",\n         ".join(
-        f"MIN(md5('{s}' || '|' || shingle)) AS mh{s}" for s in range(_N_HASHES)
+        f"MIN((h1 + {s} * h2) % 281474976710656) AS mh{s}" for s in range(_N_HASHES)
     )
 
 
@@ -177,10 +187,17 @@ def _minhash_bands_sql() -> str:
 
 _MINHASH_SQL = f"""
 WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 13, 12))::BIGINT * 2 + 1 AS h2
+  FROM shingles
+),
 sig AS (
   SELECT doc_id,
+         COUNT(*) AS n_unused,
          {_minhash_sig_sql()}
-  FROM shingles
+  FROM hashed
   GROUP BY doc_id
 ),
 bands AS (
