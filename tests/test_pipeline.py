@@ -168,3 +168,33 @@ def test_limit_after_fold(spark):
     )
     rows = p.dataframe().collect()
     assert len(rows) == 2 and [r.value for r in rows] == ["a", "b"]
+
+
+def test_pipeline_streaming_fold_through_sink(spark, sf_dir):
+    # the fluent API's streaming path end-to-end: streaming root ->
+    # map -> key_fold -> memory sink in update mode, bounded drain
+    from goconnect_spark.sources import MemorySink
+    from goconnect_spark.sources.core import ParquetSource
+
+    src = ParquetSource(f"{sf_dir}/lineitem.parquet", seq_col="l_orderkey",
+                        event_time_col="l_shipdate", streaming=True)
+    sink = MemorySink("t_pipe_stream")
+    p = (
+        Pipeline(spark)
+        .root(src)
+        .map(lambda v: v.getField("l_returnflag"))
+        .key_fold(["value"], F.count(F.lit(1)).alias("n"))
+        .trigger_available_now()
+    )
+    q = p.run(sink)
+    assert q is not None
+    rows = spark.sql(
+        "select value, max(n) n from t_pipe_stream group by value"
+    ).collect()
+    got = {r.value: r.n for r in rows}
+    want = {
+        r.l_returnflag: r.n
+        for r in spark.read.parquet(src.path)
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
