@@ -352,3 +352,52 @@ ORACLE = {
     "ann_ivf_topk": _ANN_IVF_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# IVF with a real k-means coarse quantizer (MLlib, fixed seed). The
+# production ANN build path: train centroids, assign every vector to
+# its cell once (the expensive O(n*k) pass, done at index-build time),
+# then probes search only their nearest cell. Rows-only driver check
+# (k-means float arithmetic is not oracle-reproducible in SQL); the
+# deterministic-representative variant ann_ivf_topk carries the
+# oracle-matched correctness of the same search path.
+# --------------------------------------------------------------------
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load(spark, "embeddings", sf_dir)
+    feats = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=10).fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", F.col("prediction").alias("cell"), vector_to_array("features").alias("v")
+    )
+
+    probes = assigned.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("cell").alias("pcell"), F.col("v").alias("pv")
+    )
+    dot = F.expr("aggregate(zip_with(v, pv, (x, y) -> x * y), 0D, (acc, w) -> acc + w)")
+    nrm = "sqrt(aggregate(transform({0}, x -> x * x), 0D, (acc, w) -> acc + w))"
+    cand = assigned.join(
+        F.broadcast(probes), (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("probe_id"))
+    )
+    cos = cand.select(
+        "probe_id",
+        "vec_id",
+        (dot / (F.expr(nrm.format("v")) * F.expr(nrm.format("pv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("probe_id", "rk", "vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy("probe_id", "rk")
+    )
+
+
+QUERIES["ann_ivf_kmeans_topk"] = ann_ivf_kmeans_topk
+# intentionally no ORACLE entry: k-means is not SQL-reproducible;
+# driver records the weaker rows-only check
