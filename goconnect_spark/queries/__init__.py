@@ -10,9 +10,18 @@ Determinism contract for the oracle hash-compare:
   identical strings in Spark and DuckDB.
 """
 
-from goconnect_spark.queries import analytics, analytics2, analytics3, parity, dedup, similarity, text
+from goconnect_spark.queries import (
+    analytics,
+    analytics2,
+    analytics3,
+    dedup,
+    packing,
+    parity,
+    similarity,
+    text,
+)
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, dedup, similarity, text)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, dedup, similarity, text, packing)
 
 
 def all_queries():

@@ -454,3 +454,92 @@ ORACLE = {
     "dedup_ngram_jaccard": _NGRAM_SQL,
     "dedup_simhash": _SIMHASH_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over the
+# minhash near-dup pair graph -> one keeper (min doc_id) per
+# transitive duplicate cluster. Pair detection alone under-deletes
+# (A~B, B~C but A!~C); the component is the dedup unit.
+#
+# Spark side: iterative min-label propagation (the standard
+# large-graph CC loop — each iteration is one join+agg, converges in
+# O(component diameter) rounds; driver checks convergence). Oracle:
+# recursive CTE reachability. Both compute the same deterministic
+# fixpoint: min doc_id reachable.
+# --------------------------------------------------------------------
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the edge list once — every CC iteration joins it,
+    # and without this each round would re-run the whole minhash
+    # candidate pipeline
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+        .localCheckpoint()
+    )
+
+    # restrict propagation to docs that appear in any edge (singletons
+    # can't change label), and truncate lineage each round with
+    # localCheckpoint — without it the iterative plan re-executes the
+    # whole history every iteration (classic Spark CC pitfall)
+    edge_docs = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = edge_docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(20):  # diameter bound; converges far earlier
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id", F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("keeper_doc_id"), "component_size")
+        .where(F.col("component_size") > 1)  # only true duplicate clusters
+        .orderBy("doc_id")
+    )
+
+
+def _cc_oracle_sql() -> str:
+    inner = _MINHASH_SQL.strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({inner}) q
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS keeper_doc_id FROM reach GROUP BY v),
+sizes AS (SELECT keeper_doc_id, COUNT(*) AS component_size FROM comp GROUP BY keeper_doc_id)
+SELECT c.doc_id, c.keeper_doc_id, s.component_size
+FROM comp c JOIN sizes s ON s.keeper_doc_id = c.keeper_doc_id
+WHERE s.component_size > 1
+ORDER BY c.doc_id
+"""
+
+
+QUERIES["dedup_connected_components"] = dedup_connected_components
+ORACLE["dedup_connected_components"] = _cc_oracle_sql()
