@@ -128,3 +128,63 @@ def test_keyed_fold_custom_accumulator(spark, events_stream):
     )
     want = {r.l_returnflag: (round(r.s, 6), r.n) for r in batch}
     assert got == want
+
+
+def test_stream_static_join(spark, events_stream, sf_dir):
+    # stream-static broadcast join: streaming lineitem enriched with
+    # the static nation dim via supplier
+    import pyspark.sql.functions as F
+
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dim = supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    df = events_stream.read(spark).select(F.col("value.l_suppkey").alias("sk"))
+    joined = df.join(F.broadcast(dim), df.sk == dim.s_suppkey)
+    run_bounded(joined.select("sk", "n_name"), "t_ss_join")
+    n_stream = spark.sql("select count(*) n from t_ss_join").collect()[0].n
+    n_batch = (
+        spark.read.parquet(events_stream.path)
+        .join(dim, F.col("l_suppkey") == dim.s_suppkey)
+        .count()
+    )
+    assert n_stream == n_batch
+
+
+def test_stream_stream_join_with_watermarks(spark, events_stream):
+    # stream-stream inner join (same source, two filtered branches)
+    # within a time-range condition — the fully streaming join path
+    import pyspark.sql.functions as F
+
+    base = events_stream.read(spark).select(
+        "event_time", F.col("value.l_orderkey").alias("k"), F.col("value.l_linenumber").alias("ln")
+    )
+    left = base.where(F.col("ln") == 1).withWatermark("event_time", "365 days").alias("l")
+    right = base.where(F.col("ln") == 2).withWatermark("event_time", "365 days").alias("r")
+    joined = left.join(
+        right,
+        F.expr(
+            "l.k = r.k AND r.event_time BETWEEN l.event_time - INTERVAL 365 DAYS "
+            "AND l.event_time + INTERVAL 365 DAYS"
+        ),
+    ).select(F.col("l.k").alias("k"))
+    run_bounded(joined, "t_ss2_join")
+    n_stream = spark.sql("select count(*) n from t_ss2_join").collect()[0].n
+    b = spark.read.parquet(events_stream.path)
+    import datetime
+
+    l = b.where("l_linenumber = 1").select("l_orderkey", F.col("l_shipdate").alias("t1"))
+    r = b.where("l_linenumber = 2").select(F.col("l_orderkey").alias("k2"), F.col("l_shipdate").alias("t2"))
+    n_batch = (
+        l.join(r, l.l_orderkey == r.k2)
+        .where(
+            F.abs(
+                F.col("t2").cast("timestamp").cast("long")
+                - F.col("t1").cast("timestamp").cast("long")
+            )
+            <= 365 * 86400
+        )
+        .count()
+    )
+    assert n_stream == n_batch and n_stream > 0
