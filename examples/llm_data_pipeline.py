@@ -1,0 +1,106 @@
+"""End-to-end LLM training-data pipeline: the engine's operator
+families composed the way a real corpus build uses them.
+
+    documents (raw corpus)
+      │ 1. exact dedup           (md5 keeper groups)
+      │ 2. near-dup removal      (minhash-LSH pairs -> connected
+      │                           components -> drop non-keepers)
+      │ 3. quality filter        (token stats: length + stopword +
+      │                           type/token thresholds)
+      │ 4. language filter       (keep target langs by label)
+      │ 5. deterministic split   (md5-mod: 90% train / 10% val)
+      │ 6. sequence packing      (512-token chunked packs)
+      ▼ packed training batches + a stats report
+
+Every stage is the same DataFrame operator exercised by the oracle
+gate; this script wires them and prints corpus-funnel stats.
+
+Run: python examples/llm_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from goconnect_spark.queries.dedup import dedup_connected_components, dedup_exact  # noqa: E402
+from goconnect_spark.session import get_spark  # noqa: E402
+from goconnect_spark.tables import load  # noqa: E402
+
+CAP = 512
+TARGET_LANGS = ("en", "de", "fr")
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    spark = get_spark("llm-data-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    docs = load(spark, "documents", sf_dir)
+    n0 = docs.count()
+
+    # 1. exact dedup: keep each hash-group's keeper
+    keepers = dedup_exact(spark, sf_dir).select(F.col("keeper_doc_id").alias("doc_id"))
+    docs1 = docs.join(keepers, "doc_id", "left_semi")
+    n1 = docs1.count()
+
+    # 2. near-dup clusters: drop everything but the cluster keeper
+    clusters = dedup_connected_components(spark, sf_dir)
+    non_keepers = clusters.where(F.col("doc_id") != F.col("keeper_doc_id")).select("doc_id")
+    docs2 = docs1.join(non_keepers, "doc_id", "left_anti")
+    n2 = docs2.count()
+
+    # 3. quality filter (inline token stats)
+    toks = docs2.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+    )
+    good = stats.where((F.col("n_tokens") >= 20) & (F.col("n_types") / F.col("n_tokens") >= 0.05))
+    docs3 = docs2.join(good.select("doc_id"), "doc_id", "left_semi")
+    n3 = docs3.count()
+
+    # 4. language filter
+    docs4 = docs3.where(F.col("lang").isin(*TARGET_LANGS))
+    n4 = docs4.count()
+
+    # 5. deterministic split (no RNG: md5-mod)
+    h = F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) % 10")
+    split = docs4.withColumn("split", F.when(h == 0, "val").otherwise("train"))
+
+    # 6. pack the train split into 512-token chunks
+    train = split.where(F.col("split") == "train").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packs = (
+        train.select(
+            "doc_id",
+            "n_tokens",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / CAP).alias("pack_id"),
+        )
+        .groupBy("pack_id")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens"))
+    )
+    n_packs, tok_total = packs.count(), packs.agg(F.sum("tokens")).collect()[0][0]
+    n_val = split.where(F.col("split") == "val").count()
+
+    print(f"corpus funnel ({sf_dir}):")
+    print(f"  raw documents      : {n0}")
+    print(f"  after exact dedup  : {n1}  (-{n0 - n1})")
+    print(f"  after near-dedup   : {n2}  (-{n1 - n2})")
+    print(f"  after quality      : {n3}  (-{n2 - n3})")
+    print(f"  after lang filter  : {n4}  (-{n3 - n4})")
+    print(f"  train/val split    : {n4 - n_val}/{n_val}")
+    print(f"  packed             : {n_packs} packs, {tok_total} tokens (cap {CAP})")
+    print(f"pipeline completed in {time.time() - t0:.2f} s")
+    assert n0 >= n1 >= n2 >= n3 >= n4, "funnel must be monotone"
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
