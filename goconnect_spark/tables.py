@@ -29,6 +29,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    # pin the session to UTC: the events timestamps become LTZ after
+    # the nanos conversion, and a non-UTC caller session would shift
+    # their rendered/hour-truncated values away from the (naive)
+    # DuckDB oracle. NTZ tables are unaffected.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
