@@ -1,0 +1,48 @@
+"""Salted-join skew mitigation: correctness vs the plain join, and
+key-spreading across partitions."""
+
+import pyspark.sql.functions as F
+
+from goconnect_spark.operators.joins import salted_join
+
+
+def _skewed(spark):
+    # one pathological key (90% of rows) + a uniform tail
+    hot = spark.range(9000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    tail = spark.range(1000).select((F.col("id") % 50 + 2).alias("k"), F.col("id").alias("v"))
+    return hot.union(tail)
+
+
+def test_salted_join_matches_plain_join(spark):
+    large = _skewed(spark)
+    small = spark.range(60).select((F.col("id") + 1).alias("k"), (F.col("id") * 10).alias("w"))
+    got = salted_join(large, small, ["k"], n_salts=8, salt_source="v")
+    want = large.join(small, "k")
+    assert got.count() == want.count()
+    gs = got.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    ws = want.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    assert {(r.k, r.n, r.sv) for r in gs.collect()} == {(r.k, r.n, r.sv) for r in ws.collect()}
+
+
+def test_salt_spreads_hot_key(spark):
+    large = _skewed(spark)
+    salted = large.withColumn("__salt", F.pmod(F.hash("v"), F.lit(8)))
+    spread = (
+        salted.where(F.col("k") == 1)
+        .groupBy("__salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(spread) == 8  # the hot key occupies all salt buckets
+    counts = [r.n for r in spread]
+    assert max(counts) < 9000 * 0.25  # no bucket holds the whole key
+
+
+def test_salted_outer_join(spark):
+    large = _skewed(spark)
+    # small side missing some keys -> left join keeps unmatched rows
+    small = spark.range(5).select((F.col("id") + 1).alias("k"), F.lit("x").alias("w"))
+    got = salted_join(large, small, ["k"], n_salts=4, how="left", salt_source="v")
+    want = large.join(small, "k", "left")
+    assert got.count() == want.count()
+    assert got.where(F.col("w").isNull()).count() == want.where(F.col("w").isNull()).count()
