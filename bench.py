@@ -19,6 +19,9 @@ HEADLINE = [
     "q5_region_revenue",
     "events_hourly",
     "user_sessions",
+    "events_error_context",
+    "purchases_asof_signup",
+    "events_value_stats",
     "flatmap_word_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -27,7 +30,9 @@ HEADLINE = [
     "embedding_near_dup",
     "text_lang_id",
     "text_quality_score",
+    "text_token_bpeish",
     "doc_fingerprint",
+    "sequence_packing",
 ]
 
 

@@ -127,22 +127,22 @@ FROM per_doc ORDER BY doc_id
 # --------------------------------------------------------------------
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
-    # aggregate the trigram explode ONCE into per-(doc, tri) counts;
-    # train profiles and the test set both derive from that table, so
-    # the 3.5M-row explode+shuffle happens once instead of twice
-    base = docs.select(
+    # two cheap map-side explodes beat one (doc, tri) pre-aggregation
+    # here: trigram occurrences are mostly unique per doc, so the
+    # pre-agg shuffles ~the full explode anyway (measured slower)
+    tris = docs.select(
         "doc_id",
         "lang",
         F.explode(
             F.expr("transform(sequence(1, greatest(length(text)-2, 0)), i -> substr(text, i, 3))")
         ).alias("tri"),
-    ).groupBy("doc_id", "lang", "tri").agg(F.count(F.lit(1)).alias("c"))
-    train = base.where(F.col("doc_id") % 5 != 0)
-    test = base.where(F.col("doc_id") % 5 == 0).select(
-        "doc_id", F.col("lang").alias("true_lang"), "tri"
     )
+    train = tris.where(F.col("doc_id") % 5 != 0)
+    test = tris.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("true_lang"), "tri"
+    ).distinct()
 
-    counts = train.groupBy("lang", "tri").agg(F.sum("c").cast("long").alias("n"))
+    counts = train.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
