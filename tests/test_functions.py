@@ -141,3 +141,33 @@ def test_xml_encode_roundtrip(spark):
     assert "<item>" in s and "<mode>fast</mode>" in s
     back = xml.select(serde.xml_decode(F.col("x"), "id BIGINT, mode STRING").alias("d")).collect()[0]
     assert back.d.id == 1 and back.d.mode == "fast"
+
+
+def test_minhash_estimates_jaccard(spark):
+    # statistical validation: the banded-minhash signature agreement
+    # rate approximates the true Jaccard within sampling error
+    import random
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    base = rnd.sample(vocab, 80)
+    rows = []
+    for d in range(20):
+        # each doc shares ~75% of the base set plus its own tail
+        words = [w for w in base if rnd.random() < 0.75] + rnd.sample(vocab, 20)
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = text.word_shingles(docs, n=1)
+    sig = text.minhash_signature(sh, n_hashes=24)
+    import pyspark.sql.functions as FF
+
+    wide = sig.groupBy("doc_id").pivot("seed", list(range(24))).agg(FF.first("mh"))
+    a = wide.where("doc_id = 0").collect()[0]
+    b = wide.where("doc_id = 1").collect()[0]
+    agree = sum(1 for s in range(24) if a[str(s)] == b[str(s)]) / 24
+    true_j = (
+        text.jaccard_pairs(sh, spark.createDataFrame([(0, 1)], "doc_a long, doc_b long"))
+        .collect()[0]
+        .jaccard
+    )
+    assert abs(agree - true_j) < 0.25  # 24 samples -> wide but real bound
