@@ -168,11 +168,7 @@ class Pipeline:
         df = self._source.read(self.spark)
         ordering = ["seq"]
         cur_type: Optional[T.DataType] = df.schema["value"].dataType if "value" in df.columns else None
-        folded = False
         for st in self._stages:
-            if folded and st.kind in {"map", "filter", "flat_map"}:
-                # post-fold element stages operate on the folded row
-                pass
             if st.kind in {"map", "filter", "flat_map"} and st.in_type is not None and cur_type is not None:
                 if not _same_type(cur_type, st.in_type):
                     df, cur_type = self.coders.inject(df, cur_type, st.in_type)
@@ -196,7 +192,6 @@ class Pipeline:
                 else:
                     df = df.agg(*st.fn)
                 ordering = list(keys)
-                folded = True
                 cur_type = None
             elif st.kind == "limit":
                 if ordering:
