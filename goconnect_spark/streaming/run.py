@@ -99,3 +99,48 @@ def run_bounded(stream_df: DataFrame, sink_name: str, output_mode: str = "append
         .start()
     )
     q.awaitTermination()
+
+
+class TriggerEachFold:
+    """Exact TriggerEach(n) count-based fold — the reference's
+    `.Fold(...).TriggerEach(n)` (def.go:79-82, context.go:332-455),
+    which Spark's trigger API cannot express (processing-time only).
+
+    The reference constrains such folds to Par=1 (pipeline.go:147-153)
+    — the accumulator is inherently serial — so this implementation is
+    equally serial and faithful: each micro-batch is ordered by `seq`
+    and folded element-wise on the driver; a snapshot of the
+    accumulator is emitted after every n-th element exactly, batch
+    boundaries notwithstanding. Suitable wherever the reference's
+    construct was: modest-rate control streams, not bulk data.
+
+    >>> f = TriggerEachFold(init=0, update=lambda acc, v: acc + v, n=50_000)
+    >>> q = f.start(stream_df, value_col="value")  # df needs seq + value
+    >>> q.awaitTermination(); f.snapshots  # [(trigger_no, acc), ...]
+    """
+
+    def __init__(self, init, update, n: int):
+        self.init = init
+        self.update = update
+        self.n = n
+        self.count = 0
+        self.acc = init
+        self.snapshots: list = []
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.orderBy("seq").collect()
+        for r in rows:
+            self.acc = self.update(self.acc, r["value"])
+            self.count += 1
+            if self.count % self.n == 0:
+                self.snapshots.append((self.count // self.n, self.acc))
+
+    def start(self, stream: DataFrame, value_col: str = "value", seq_col: str = "seq",
+              trigger: Optional[dict] = None):
+        import pyspark.sql.functions as _F
+
+        src = stream.select(_F.col(seq_col).alias("seq"), _F.col(value_col).alias("value"))
+        w = src.writeStream.foreachBatch(self._process_batch)
+        if trigger:
+            w = w.trigger(**trigger)
+        return w.start()

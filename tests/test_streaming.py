@@ -188,3 +188,36 @@ def test_stream_stream_join_with_watermarks(spark, events_stream):
         .count()
     )
     assert n_stream == n_batch and n_stream > 0
+
+
+def test_trigger_each_fold_exact_cadence(spark, events_stream):
+    # reference TriggerEach(n): snapshot after EVERY n-th fold input,
+    # regardless of micro-batch boundaries — validated against a
+    # sequential python oracle over the same ordered element stream
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.streaming.run import TriggerEachFold
+
+    df = events_stream.read(spark).select(
+        "seq", F.col("value.l_quantity").alias("value")
+    ).where(F.col("seq") < 400)  # bounded slice, seq = l_orderkey
+    fold = TriggerEachFold(init=0.0, update=lambda acc, v: acc + v, n=150)
+    q = fold.start(df, trigger={"availableNow": True})
+    q.awaitTermination()
+
+    batch = (
+        spark.read.parquet(events_stream.path)
+        .where("l_orderkey < 400")
+        .orderBy("l_orderkey")
+        .select("l_quantity")
+        .collect()
+    )
+    acc, expected = 0.0, []
+    for i, r in enumerate(batch, 1):
+        acc += r.l_quantity
+        if i % 150 == 0:
+            expected.append((i // 150, acc))
+    assert [(t, round(a, 6)) for t, a in fold.snapshots] == [
+        (t, round(a, 6)) for t, a in expected
+    ]
+    assert len(fold.snapshots) >= 2
