@@ -44,12 +44,13 @@ def main():
     spark = get_spark("goconnect-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    headline = list(qs) if os.environ.get("BENCH_ALL") else HEADLINE
 
     # warm up the JVM + parquet footer caches with one tiny action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         t0 = time.time()
         n = fn(spark, sf_dir).count()  # full materialization of the result
