@@ -186,13 +186,39 @@ class _Writer:
 
 
 def _union_index(value: Any, union: list) -> int:
-    for i, branch in enumerate(union):
+    """Union branch resolution by Python value type (the reference
+    resolves by Go value type, coder/avro parity) — NOT first-non-null,
+    which mis-encodes e.g. True against ["int","boolean"]."""
+    def matches(branch) -> bool:
         t = _type_name(branch)
-        if value is None and t == "null":
+        if value is None:
+            return t == "null"
+        if isinstance(value, bool):  # before int: bool is an int subclass
+            return t == "boolean"
+        if isinstance(value, int):
+            return t in ("int", "long")
+        if isinstance(value, float):
+            return t in ("float", "double")
+        if isinstance(value, str):
+            if t == "enum":
+                return value in branch.get("symbols", ())
+            return t == "string"
+        if isinstance(value, (bytes, bytearray)):
+            if t == "fixed":
+                return len(value) == branch.get("size", -1)
+            return t == "bytes"
+        if isinstance(value, dict):
+            if t == "record":
+                return all(f["name"] in value or "default" in f for f in branch["fields"])
+            return t == "map"
+        if isinstance(value, (list, tuple)):
+            return t == "array"
+        return False
+
+    for i, branch in enumerate(union):
+        if matches(branch):
             return i
-        if value is not None and t != "null":
-            return i
-    raise ValueError("no matching union branch")
+    raise ValueError(f"no union branch matches value of type {type(value).__name__}")
 
 
 def encode(value: Any, schema: Any) -> bytes:

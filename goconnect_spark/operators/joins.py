@@ -36,6 +36,15 @@ def salted_join(
     large-side columns.
     """
     on = list(on)
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        # right/full would emit unmatched small-side rows once per salt
+        # replica (the small side is exploded n_salts times) — duplicates.
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, not {how!r}: "
+            "the small side is replicated n_salts times, so right/full "
+            "outer would duplicate unmatched small-side rows"
+        )
     if salt_source is not None:
         salt = F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
     else:

@@ -44,7 +44,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from goconnect_spark.plans.coders import CoderRegistry, default_registry
+from goconnect_spark.plans.coders import CoderRegistry, TypeTag, default_registry
 
 ColumnFn = Callable[[Column], Column]
 
@@ -194,6 +194,19 @@ class Pipeline:
                 ordering = list(keys)
                 cur_type = None
             elif st.kind == "limit":
+                if df.isStreaming:
+                    # Structured Streaming rejects sort+limit in append
+                    # mode; the reference's unbounded Limit is a stop-
+                    # cascade (def.go:88-91) with no Spark equivalent
+                    # short of foreachBatch bookkeeping. Fail loudly at
+                    # compile time instead of opaquely at query start —
+                    # bounded runs get the same semantics via
+                    # trigger_available_now() on a batch read.
+                    raise PipelineError(
+                        "limit(n) is not supported on streaming roots: "
+                        "use a bounded (batch) source, or stream through "
+                        "streaming.run helpers with foreachBatch"
+                    )
                 if ordering:
                     df = df.orderBy(*ordering)
                 df = df.limit(st.fn)
@@ -250,5 +263,10 @@ class Pipeline:
         return out
 
 
-def _same_type(a: T.DataType, b: T.DataType) -> bool:
-    return a.simpleString() == b.simpleString()
+def _same_type(a, b) -> bool:
+    """Type equality across the two representations that flow through
+    the compiler: plain Spark DataTypes and codec-carrying TypeTags
+    (coders.inject returns a TypeTag, so after an injection triggered
+    by e.g. a filter stage, `cur_type` is a TypeTag and the next typed
+    stage must still compare correctly)."""
+    return TypeTag.of(a) == TypeTag.of(b)

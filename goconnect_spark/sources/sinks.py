@@ -28,13 +28,15 @@ class ConsoleSink:
 
     num_rows: int = 20
     truncate: bool = False
+    output_mode: Optional[str] = None
 
     def write(self, df: DataFrame):
         df.show(self.num_rows, truncate=self.truncate)
         return df
 
     def write_stream(self, df: DataFrame, trigger=None):
-        w = _apply_trigger(df.writeStream.format("console").outputMode(_mode_for(df)), trigger)
+        mode = self.output_mode or _mode_for(df)
+        w = _apply_trigger(df.writeStream.format("console").outputMode(mode), trigger)
         return w.start()
 
 
@@ -44,14 +46,16 @@ class MemorySink:
     via spark.sql('select * from <name>'))."""
 
     name: str = field(default_factory=lambda: f"mem_{uuid.uuid4().hex[:8]}")
+    output_mode: Optional[str] = None
 
     def write(self, df: DataFrame):
         df.createOrReplaceTempView(self.name)
         return df
 
     def write_stream(self, df: DataFrame, trigger=None):
+        mode = self.output_mode or _mode_for(df)
         w = _apply_trigger(
-            df.writeStream.format("memory").queryName(self.name).outputMode(_mode_for(df)), trigger
+            df.writeStream.format("memory").queryName(self.name).outputMode(mode), trigger
         )
         return w.start()
 
@@ -119,7 +123,14 @@ class KafkaSink:
 
 
 def _mode_for(df: DataFrame) -> str:
-    # global/keyed aggregations stream in update mode (the reference
-    # Fold emits accumulator snapshots per trigger — same contract)
-    plan = df._jdf.queryExecution().analyzed().toString()
+    """Best-effort output-mode inference: global/keyed aggregations
+    stream in update mode (the reference Fold emits accumulator
+    snapshots per trigger — same contract). The plan sniff uses the
+    private `_jdf` bridge, which is absent under Spark Connect —
+    callers that care should pass `output_mode` explicitly; this
+    fallback degrades to 'append' rather than failing."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return "append"
     return "update" if "Aggregate" in plan else "append"

@@ -152,3 +152,25 @@ def test_decode_udf_with_reader_projection(spark):
     dec = avro_py.avro_decode_udf(EXAMPLE_SCHEMA, "seqNo long, note string", reader_schema=reader)
     r = df.select(dec("body").alias("rec")).collect()[0].rec
     assert r.seqNo == 5 and r.note == "n/a"
+
+
+def test_union_branch_resolved_by_value_type():
+    """ADVICE r1: multi-branch unions must encode via the branch whose
+    type matches the value — not the first non-null branch."""
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [{"name": "v", "type": ["int", "boolean", "string"]}],
+    }
+    for val in (True, False, 7, "hey"):
+        data = avro_py.encode({"v": val}, schema)
+        assert avro_py.decode(data, schema) == {"v": val}
+    # null still resolves in nullable unions, and bool != int branch
+    nullable = {
+        "type": "record",
+        "name": "N",
+        "fields": [{"name": "v", "type": ["null", "boolean", "long"]}],
+    }
+    for val in (None, True, 123456789):
+        data = avro_py.encode({"v": val}, nullable)
+        assert avro_py.decode(data, nullable) == {"v": val}

@@ -46,3 +46,19 @@ def test_salted_outer_join(spark):
     want = large.join(small, "k", "left")
     assert got.count() == want.count()
     assert got.where(F.col("w").isNull()).count() == want.where(F.col("w").isNull()).count()
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """ADVICE r1: right/full outer would duplicate unmatched small-side
+    rows n_salts times (small side is exploded per salt) — refuse."""
+    import pytest
+    from goconnect_spark.operators.joins import salted_join
+
+    large = spark.createDataFrame([(1, "a")], ["k", "v"])
+    small = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(large, small, ["k"], n_salts=4, how=how)
+    # allowed modes still work and don't duplicate
+    out = salted_join(large, small, ["k"], n_salts=4, how="left").collect()
+    assert len(out) == 1

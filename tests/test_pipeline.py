@@ -198,3 +198,31 @@ def test_pipeline_streaming_fold_through_sink(spark, sf_dir):
         .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_filter_injection_then_typed_stage(spark):
+    """ADVICE r1 (medium): after a coder injection triggered by a
+    filter stage, cur_type is a TypeTag; a later typed stage must not
+    crash in _same_type, and must inject back if needed."""
+    from pyspark.sql import types as T
+
+    p = (
+        Pipeline(spark)
+        .root(ListSource(["hello", "world", "x"]))
+        # filter declares binary input -> str.Encoder injected
+        .filter(lambda c: F.length(c) > 1, in_type=T.BinaryType())
+        # map declares string input -> binary->string decoder injected
+        .map(F.upper, in_type=T.StringType())
+    )
+    out = [r.value for r in p.ordered_dataframe().collect()]
+    assert out == ["HELLO", "WORLD"]
+
+
+def test_streaming_limit_raises_clear_error(spark):
+    """ADVICE r1: limit on a streaming root fails at compile time with
+    a PipelineError, not opaquely at query start."""
+    from goconnect_spark.sources import RateSource
+
+    p = Pipeline(spark).root(RateSource(rows_per_second=5)).limit(3)
+    with pytest.raises(PipelineError, match="streaming"):
+        p.dataframe()

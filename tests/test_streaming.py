@@ -221,3 +221,34 @@ def test_trigger_each_fold_exact_cadence(spark, events_stream):
         (t, round(a, 6)) for t, a in expected
     ]
     assert len(fold.snapshots) >= 2
+
+
+def test_sink_explicit_output_mode(spark, sf_dir):
+    """ADVICE r1: sinks accept an explicit output_mode instead of
+    relying solely on the private-_jdf plan sniff (absent under Spark
+    Connect)."""
+    import pyspark.sql.functions as F
+    from goconnect_spark.pipeline import Pipeline
+    from goconnect_spark.sources import MemorySink
+    from goconnect_spark.sources.core import ParquetSource
+
+    src = ParquetSource(f"{sf_dir}/orders.parquet", seq_col="o_orderkey",
+                        event_time_col="o_orderdate", streaming=True)
+    sink = MemorySink("t_explicit_mode", output_mode="complete")
+    p = (
+        Pipeline(spark)
+        .root(src)
+        .map(lambda v: v.getField("o_orderstatus"))
+        .key_fold(["value"], F.count(F.lit(1)).alias("n"))
+        .trigger_available_now()
+    )
+    p.run(sink)
+    # complete mode re-emits the whole result table per trigger: the
+    # final state equals the batch groupBy with no dedup needed
+    got = {r.value: r.n for r in spark.sql("select * from t_explicit_mode").collect()}
+    want = {
+        r.o_orderstatus: r.n
+        for r in spark.read.parquet(src.path)
+        .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
