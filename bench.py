@@ -25,6 +25,7 @@ HEADLINE = [
     "flatmap_word_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "cosine_topk",
     "embedding_near_dup",
