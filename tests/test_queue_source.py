@@ -71,24 +71,55 @@ def test_stream_reader_offsets_and_commit():
     assert all(t[3] for t in replay)  # redelivered flag on recovery
 
 
-def test_queue_sink_publishes_batches(spark):
-    # amqp09.Sink parity: foreachBatch publisher, flush per batch
-    from goconnect_spark.sources.queue_sink import CollectingPublisher, QueueSink
+def test_queue_sink_publishes_batches(spark, tmp_path):
+    # amqp09.Sink parity: per-partition executor publishing, flush
+    # before the task (and hence the batch commit) completes
+    import functools
 
-    pub = CollectingPublisher()
-    sink = QueueSink("ex", "rk", publisher_factory=lambda: pub)
+    from goconnect_spark.sources.queue_sink import FilePublisher, QueueSink
+
+    d = str(tmp_path / "pub")
+    sink = QueueSink("ex", "rk", publisher_factory=functools.partial(FilePublisher, d))
     df = spark.createDataFrame([("m1",), ("m2",), ("m3",)], ["value"])
     sink.write(df)
-    assert sorted(b for _, _, b in pub.messages) == [b"m1", b"m2", b"m3"]
-    assert pub.messages[0][0] == "ex" and pub.messages[0][1] == "rk"
-    assert pub.flushes == 1
+    recs = FilePublisher.read_all(d)
+    assert sorted(b for _, _, b, _ in recs) == [b"m1", b"m2", b"m3"]
+    assert recs[0][0] == "ex" and recs[0][1] == "rk"
 
 
-def test_queue_sink_streaming(spark):
-    from goconnect_spark.sources.queue_sink import CollectingPublisher, QueueSink
+def test_queue_sink_publishes_on_executors_not_driver(spark, tmp_path):
+    """VERDICT r1 item 2: no driver collect in the sink path — each
+    record must be published by an executor worker process."""
+    import functools
+    import inspect
+    import os
 
-    pub = CollectingPublisher()
-    sink = QueueSink("ex", "", publisher_factory=lambda: pub)
+    from goconnect_spark.sources.queue_sink import FilePublisher, QueueSink
+
+    # static check: the batch publish path never collects to the driver
+    src = inspect.getsource(QueueSink._publish_batch)
+    assert ".collect(" not in src and "toPandas" not in src
+    assert "foreachPartition" in src
+
+    d = str(tmp_path / "pub")
+    sink = QueueSink("ex", "", publisher_factory=functools.partial(FilePublisher, d))
+    df = spark.range(0, 64, 1, 8).selectExpr("CAST(id AS STRING) AS value")
+    sink.write(df)
+    recs = FilePublisher.read_all(d)
+    assert len(recs) == 64
+    # publishes ran in Python worker processes, not this (driver) one
+    assert all(pid != os.getpid() for _, _, _, pid in recs)
+    # one flush file per non-empty partition (8 partitions)
+    assert len(os.listdir(d)) == 8
+
+
+def test_queue_sink_streaming(spark, tmp_path):
+    import functools
+
+    from goconnect_spark.sources.queue_sink import FilePublisher, QueueSink
+
+    d = str(tmp_path / "pub")
+    sink = QueueSink("ex", "", publisher_factory=functools.partial(FilePublisher, d))
     stream = (
         spark.readStream.format("goconnect_queue")
         .option("queue", "qs")
@@ -100,4 +131,4 @@ def test_queue_sink_streaming(spark):
     )
     q = sink.write_stream(stream, trigger={"availableNow": True})
     q.awaitTermination()
-    assert len(pub.messages) == 100 and pub.flushes >= 1
+    assert len(FilePublisher.read_all(d)) == 100
