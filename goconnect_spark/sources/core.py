@@ -163,6 +163,28 @@ class RateSource(Source):
         )
 
 
+def kafka_records_to_elements(df: DataFrame, include_headers: bool = True) -> DataFrame:
+    """Map Spark's Kafka source schema (key, value, topic, partition,
+    offset, timestamp, timestampType[, headers]) to the Element
+    contract: seq from the broker offset, event_time from the broker
+    timestamp, value = KVMBinary struct {key, value[, headers]}
+    (reference types.go:43-48; io/kafka1/source.go:107-111 stamps
+    elements with the record timestamp the same way).
+
+    Pure column mapping — factored out of KafkaSource so the transform
+    is testable against a static DataFrame shaped like the real source
+    output (no broker in the sandbox)."""
+    value_cols = [F.col("key"), F.col("value")]
+    if include_headers:
+        value_cols.append(F.col("headers"))
+    return df.select(
+        F.col("offset").alias("seq"),
+        F.col("timestamp").alias("event_time"),
+        F.struct(*value_cols).alias("value"),
+        F.col("partition"),
+    )
+
+
 @dataclass
 class KafkaSource(Source):
     """KVMBinary parity (reference types.go:43-48): key/value binary +
@@ -189,13 +211,4 @@ class KafkaSource(Source):
             reader = reader.option("maxOffsetsPerTrigger", self.max_offsets_per_trigger)
         for k, v in self.extra_options.items():
             reader = reader.option(k, v)
-        df = reader.load()
-        value_cols = [F.col("key"), F.col("value")]
-        if self.include_headers:
-            value_cols.append(F.col("headers"))
-        return df.select(
-            F.col("offset").alias("seq"),
-            F.col("timestamp").alias("event_time"),
-            F.struct(*value_cols).alias("value"),
-            F.col("partition"),
-        )
+        return kafka_records_to_elements(reader.load(), self.include_headers)
