@@ -93,6 +93,85 @@ def json_decode(s: Column, schema: str) -> Column:
     return F.from_json(s, schema)
 
 
+def sr_reencode_udf(writer_schemas: dict, target_schema: str, target_id: int):
+    """Confluent payload under registry A -> Confluent payload under
+    registry B (reference examples/kafka-sr1-avro-sr2-kafka/main.go:
+    75-83): per record, strip the wire header, decode the Avro body
+    with the writer schema the embedded id names, project into
+    `target_schema` (aliases/defaults/promotions — GenericProjector
+    semantics), re-encode, and prepend the target registry's id.
+
+    `writer_schemas` is the driver-fetched {schema_id: schema-json}
+    map — registries hold a handful of versions per subject, so the
+    map is tiny and ships inside the Arrow-batched UDF closure (the
+    reference caches schema-by-id identically)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from goconnect_spark.functions import avro_py
+
+    writers = {int(i): avro_py.parse_schema(s) for i, s in writer_schemas.items()}
+    target = avro_py.parse_schema(target_schema)
+    header = bytes([0]) + int(target_id).to_bytes(4, "big")
+
+    def reenc(s):
+        def one(b):
+            if b is None:
+                return None
+            raw = bytes(b)
+            if not raw or raw[0] != 0:
+                raise ValueError("not a Confluent wire-format payload (bad magic)")
+            wid = int.from_bytes(raw[1:5], "big")
+            if wid not in writers:
+                raise KeyError(f"schema id {wid} not in writer_schemas map")
+            w = writers[wid]
+            value = avro_py.project(avro_py.decode(raw[5:], w), w, target)
+            return header + avro_py.encode(value, target)
+
+        return s.map(one)
+
+    reenc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("binary")(reenc)
+
+
+def sr_reencode(df, value_col: str, source_registry, target_registry,
+                subject: str, target_schema: str):
+    """Batch SR1->SR2 re-encode flow over a DataFrame: discover the
+    schema ids present (distinct over a 4-byte column — tiny), fetch
+    each writer schema from the source registry, register the target
+    schema under the target registry, and rewrite the payload column.
+    Returns (df, target_id). Streaming pipelines should pre-fetch the
+    subject's versions and call sr_reencode_udf directly per batch."""
+    ids = [r.sid for r in df.select(sr_schema_id(F.col(value_col)).alias("sid")).distinct().collect()]
+    writer_schemas = {i: source_registry.schema_by_id(i) for i in ids}
+    target_id = target_registry.register(subject, target_schema)
+    out = df.withColumn(value_col, sr_reencode_udf(writer_schemas, target_schema, target_id)(F.col(value_col)))
+    return out, target_id
+
+
+class InMemorySchemaRegistry:
+    """SchemaRegistryClient-compatible stub: id->schema store with
+    subject registration and Confluent's idempotent same-schema
+    semantics. Used by tests/examples — the REST client below is
+    network-gated in sandboxes."""
+
+    def __init__(self, start_id: int = 1):
+        self._by_id: dict = {}
+        self._ids: dict = {}
+        self._next = start_id
+
+    def schema_by_id(self, schema_id: int) -> str:
+        return self._by_id[schema_id]
+
+    def register(self, subject: str, schema: str) -> int:
+        key = (subject, json.dumps(json.loads(schema), sort_keys=True))
+        if key not in self._ids:
+            self._ids[key] = self._next
+            self._by_id[self._next] = schema
+            self._next += 1
+        return self._ids[key]
+
+
 class SchemaRegistryClient:
     """Tiny Confluent SR REST client with the reference's semantics:
     schema-by-id fetch with cache, and subject registration returning
