@@ -249,10 +249,18 @@ _NEAR_T = 0.9
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, "embeddings", sf_dir)
+    return near_dup_pairs(load(spark, "embeddings", sf_dir))
+
+
+def near_dup_pairs(emb: DataFrame) -> DataFrame:
+    """The LSH near-dup pipeline over any (vec_id, embedding, label)
+    DataFrame — factored from embedding_near_dup so tests can plant
+    perturbed near-duplicates and measure recall (the shipped corpus
+    has no pairs above the 0.9 threshold, so the sf-table run is
+    correct but vacuous — VERDICT r1 item 6)."""
     quant = _quantized(emb)
     norms = _norms(quant)
-    planes = spark.range(_N_PLANES).select(F.col("id").cast("int").alias("p"))
+    planes = emb.sparkSession.range(_N_PLANES).select(F.col("id").cast("int").alias("p"))
     hsign = F.expr("CASE WHEN instr('0123456789abcdef', substr(md5(concat(p, '_', d)), 1, 1)) - 1 >= 8 THEN 1 ELSE -1 END")
     sig_bits = (
         quant.crossJoin(F.broadcast(planes))
