@@ -122,6 +122,40 @@ class KafkaSink:
         return _apply_trigger(w, trigger).start()
 
 
+@dataclass
+class FilePerSourceSink:
+    """File-for-a-file subflow sink (reference examples/
+    localfs-subflow-localfs): every input file produces exactly one
+    output file of the same name under `out_dir`, contents = the
+    transformed `value` bytes. The reference runs one subflow per
+    file; here rows are repartitioned by file name so each file's
+    write happens in one executor task — parallel across files, one
+    writer per file, no driver funnel.
+
+    Writes through the local filesystem API: on a multi-node cluster
+    point `out_dir` at a shared mount, or subclass `_open` for an
+    object-store client."""
+
+    out_dir: str
+    name_col: str = "url.name"
+
+    def write(self, df: DataFrame):
+        out_dir = self.out_dir
+        sel = df.select(F.col(self.name_col).alias("name"), F.col("value"))
+
+        def write_partition(rows):
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            for r in rows:
+                body = r.value.encode() if isinstance(r.value, str) else bytes(r.value)
+                with open(os.path.join(out_dir, r.name), "wb") as f:
+                    f.write(body)
+
+        sel.repartition(F.col("name")).foreachPartition(write_partition)
+        return df
+
+
 def _mode_for(df: DataFrame) -> str:
     """Best-effort output-mode inference: global/keyed aggregations
     stream in update mode (the reference Fold emits accumulator
