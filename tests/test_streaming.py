@@ -252,3 +252,25 @@ def test_sink_explicit_output_mode(spark, sf_dir):
         .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_trigger_each_fold_refuses_bulk_batches(spark):
+    """VERDICT r1 item 8: the control-stream-only constraint is
+    enforced — an oversized micro-batch aborts the query."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from goconnect_spark.streaming.run import TriggerEachFold
+
+    fold = TriggerEachFold(init=0, update=lambda a, v: a + v, n=10, max_batch_rows=50)
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "200")  # 4x over the limit
+        .option("numPartitions", "2")
+        .load()
+        .select(F.col("value").alias("seq"), F.col("value").alias("value"))
+    )
+    q = fold.start(stream)
+    with pytest.raises(StreamingQueryException, match="max_batch_rows"):
+        q.awaitTermination(30)
+        raise AssertionError("query should have failed")  # pragma: no cover
+    assert fold.snapshots == []  # nothing folded from the refused batch
