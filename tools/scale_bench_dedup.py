@@ -1,0 +1,93 @@
+"""Dedup-family scaling measurement (VERDICT r1 item 10).
+
+The shipped testdata stops at sf0.1 (5,000 documents), so the 100 TB
+claims were plan-shape-verified but never measured past that. This
+script synthesizes m-x corpora by replicating the sf0.1 documents
+table with a per-replica word prefix — every word of replica k becomes
+"r<k><word>", so cross-replica shingles never collide and the true
+near-dup pair count scales LINEARLY with m (as natural corpus growth
+does), instead of quadratically (as byte-identical replication would).
+
+Runs the dedup family at each multiplier and prints one JSON line per
+(query, m) with wall seconds and result rows. Record the table in
+SCALING.md.
+
+Run: python tools/scale_bench_dedup.py [multipliers...]  (default 1 5 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_connected_components",
+]
+
+
+def synthesize(spark, m: int, out_dir: str) -> None:
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    reps = spark.range(m).select(F.col("id").cast("int").alias("k"))
+    out = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("k") * 10_000_000).alias("doc_id"),
+            F.array_join(
+                F.expr("transform(split(text, ' '), w -> concat('r', k, w))"), " "
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def main():
+    mults = [int(a) for a in sys.argv[1:]] or [1, 5, 10]
+    from goconnect_spark.queries import all_queries
+    from goconnect_spark.session import get_spark
+
+    spark = get_spark("dedup-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    for m in mults:
+        work = tempfile.mkdtemp(prefix=f"dedup_scale_m{m}_")
+        try:
+            synthesize(spark, m, work)
+            n_docs = spark.read.parquet(f"{work}/documents.parquet").count()
+            for name in QUERIES:
+                t0 = time.time()
+                rows = qs[name](spark, work).count()
+                print(
+                    json.dumps(
+                        {
+                            "query": name,
+                            "multiplier": m,
+                            "docs": n_docs,
+                            "rows": rows,
+                            "sec": round(time.time() - t0, 2),
+                        }
+                    ),
+                    flush=True,
+                )
+            spark.catalog.clearCache()  # drop persisted intermediates between scales
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
