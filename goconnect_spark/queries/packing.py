@@ -64,11 +64,32 @@ FROM t GROUP BY 1 ORDER BY bucket
 
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_tokens(load(spark, "documents", sf_dir))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = docs.select(
+    # Global cumulative sum WITHOUT the single-partition window cliff:
+    # classic two-phase scan. (1) range-partition by doc_id so
+    # partition ids follow key order; (2) one tiny aggregate gives
+    # per-partition token totals, whose running sum (a window over
+    # ~#partitions rows — constant-size, not data-size) is each
+    # partition's global offset; (3) the real cumsum is the PARALLEL
+    # within-partition window plus the broadcast offset. Identical
+    # result to ORDER BY doc_id ROWS UNBOUNDED PRECEDING — the oracle
+    # is unchanged — but every data-sized step scales out.
+    ranged = docs.repartitionByRange(F.col("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias("poff")
+    )
+    w_in = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = ranged.join(F.broadcast(offsets), "pid").select(
         "doc_id",
         "n_tokens",
-        (F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _CAP)).alias("pack_id"),
+        F.floor(
+            (F.col("poff") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")) / _CAP
+        ).alias("pack_id"),
     )
     return (
         packed.groupBy("pack_id")
