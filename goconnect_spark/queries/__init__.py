@@ -14,6 +14,7 @@ from goconnect_spark.queries import (
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     dedup,
     packing,
     parity,
@@ -21,7 +22,7 @@ from goconnect_spark.queries import (
     text,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, dedup, similarity, text, packing)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, dedup, similarity, text, packing)
 
 
 def all_queries():
