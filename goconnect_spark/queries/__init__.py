@@ -20,9 +20,10 @@ from goconnect_spark.queries import (
     parity,
     similarity,
     text,
+    text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, dedup, similarity, text, packing)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, dedup, similarity, text, text2, packing)
 
 
 def all_queries():

@@ -1,0 +1,173 @@
+"""Training-data hygiene operators, batch 2 (round 2):
+
+- benchmark_contamination: which training docs contain word-trigrams
+  from a held-out eval set (the decontamination pass every LLM
+  pipeline runs before training). The eval set here is the
+  deterministic doc_id % 97 == 0 slice; the benchmark trigram set is
+  broadcast and candidates come from one equi-join on the trigram —
+  at 100 TB this is the same shape as the minhash band join, no
+  all-pairs anything.
+- doc_repetition_ratio: per-doc token-repetition signals (distinct
+  share and top-token share — the Gopher-style repetition quality
+  rules). One groupBy(doc, token) + one groupBy(doc).
+- vocab_oov_rate: out-of-vocabulary share per doc against the top-K
+  corpus vocabulary (tokenizer-coverage planning): one global token
+  count -> broadcast top-K -> per-doc aggregate.
+
+Determinism: every ratio is a division of identical integers in both
+engines (exact, order-independent); top-K vocabulary ties break on
+(count DESC, token ASC).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from goconnect_spark.tables import load
+
+_EVAL_MOD = 97  # doc_id % _EVAL_MOD == 0 -> held-out eval doc
+_VOCAB_K = 25
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+
+
+def _trigrams(docs: DataFrame) -> DataFrame:
+    words = docs.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 3)
+    return words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("g"),
+    )
+
+
+_TRIGRAMS_CTE = """
+grams AS (
+  SELECT doc_id,
+         list_aggregate(list_slice(string_split(text, ' '), i, i + 2), 'string_agg', ' ') AS g
+  FROM documents, unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS t(i)
+)
+"""
+
+
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    grams = _trigrams(docs)
+    bench = (
+        grams.where(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
+    )
+    train = grams.where(F.col("doc_id") % _EVAL_MOD != 0).distinct()
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .orderBy("doc_id")
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH {_TRIGRAMS_CTE},
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_EVAL_MOD} = 0),
+train AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % {_EVAL_MOD} <> 0)
+SELECT t.doc_id, COUNT(*) AS n_matched
+FROM train t JOIN bench b USING (g)
+GROUP BY t.doc_id ORDER BY doc_id
+"""
+
+
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    per_tok = (
+        _tokens(docs)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").cast("long").alias("top_tok_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")).alias("rep_ratio"),
+            (F.col("top_tok_count") / F.col("n_tokens")).alias("top_tok_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_SQL = """
+WITH per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       (1.0 - COUNT(*) / CAST(SUM(c) AS BIGINT)) AS rep_ratio,
+       (CAST(MAX(c) AS BIGINT) / CAST(SUM(c) AS BIGINT)) AS top_tok_share
+FROM per_tok GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    toks = _tokens(docs)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # top-K via orderBy+limit = TakeOrderedAndProject (distributed
+    # per-partition top-K then merge), not a single-partition window
+    vocab = counts.orderBy(F.desc("c"), F.asc("tok")).limit(_VOCAB_K).select("tok")
+    tagged = toks.join(F.broadcast(vocab).withColumn("in_vocab", F.lit(1)), "tok", "left")
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov", (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rk FROM counts
+  ) WHERE rk <= {_VOCAB_K}
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       (CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+QUERIES = {
+    "benchmark_contamination": benchmark_contamination,
+    "doc_repetition_ratio": doc_repetition_ratio,
+    "vocab_oov_rate": vocab_oov_rate,
+}
+
+ORACLE = {
+    "benchmark_contamination": _CONTAMINATION_SQL,
+    "doc_repetition_ratio": _REPETITION_SQL,
+    "vocab_oov_rate": _OOV_SQL,
+}
