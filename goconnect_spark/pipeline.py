@@ -204,8 +204,9 @@ class Pipeline:
                     # trigger_available_now() on a batch read.
                     raise PipelineError(
                         "limit(n) is not supported on streaming roots: "
-                        "use a bounded (batch) source, or stream through "
-                        "streaming.run helpers with foreachBatch"
+                        "use a bounded (batch) source, or "
+                        "streaming.run.StreamingLimit for the unbounded "
+                        "take-n (stop-cascade) semantics"
                     )
                 if ordering:
                     df = df.orderBy(*ordering)

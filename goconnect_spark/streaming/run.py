@@ -101,6 +101,54 @@ def run_bounded(stream_df: DataFrame, sink_name: str, output_mode: str = "append
     q.awaitTermination()
 
 
+class StreamingLimit:
+    """Exact Limit(n) on an unbounded stream — the reference's
+    stop-cascade (def.go:88-91): take the first n elements in seq
+    order as batches arrive, then stop the query.
+
+    Spark's sort+limit is unsupported on append streams, so this is a
+    foreachBatch accumulator: each micro-batch contributes its
+    seq-smallest remaining rows (a bounded `limit(remaining)` collect
+    — at most n rows ever cross the driver, which is the inherent
+    contract of a take-n). `stop_when_full` then halts the source like
+    the reference cancelling upstream stages.
+
+    >>> lim = StreamingLimit(n=100)
+    >>> q = lim.start(stream_df)
+    >>> lim.await_filled(q); lim.rows  # first 100 elements by seq
+    """
+
+    def __init__(self, n: int):
+        self.n = n
+        self.rows: list = []
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        remaining = self.n - len(self.rows)
+        if remaining <= 0:
+            return
+        self.rows.extend(batch_df.orderBy("seq").limit(remaining).collect())
+
+    def start(self, stream: DataFrame, trigger: Optional[dict] = None):
+        w = stream.writeStream.foreachBatch(self._process_batch)
+        if trigger:
+            w = w.trigger(**trigger)
+        return w.start()
+
+    def await_filled(self, query, timeout_s: float = 60.0, poll_s: float = 0.2) -> None:
+        """Block until n rows are taken (or the stream ends), then stop
+        the query — the reference's Limit-cancels-upstream semantics."""
+        import time as _time
+
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline and query.isActive:
+            if len(self.rows) >= self.n:
+                break
+            _time.sleep(poll_s)
+        if query.isActive:
+            query.stop()
+        query.awaitTermination()
+
+
 class TriggerEachFold:
     """Exact TriggerEach(n) count-based fold — the reference's
     `.Fold(...).TriggerEach(n)` (def.go:79-82, context.go:332-455),

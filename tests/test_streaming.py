@@ -274,3 +274,25 @@ def test_trigger_each_fold_refuses_bulk_batches(spark):
         q.awaitTermination(30)
         raise AssertionError("query should have failed")  # pragma: no cover
     assert fold.snapshots == []  # nothing folded from the refused batch
+
+
+def test_streaming_limit_takes_first_n_and_stops(spark, sf_dir):
+    """Unbounded Limit parity (reference def.go:88-91): first n
+    elements in seq order, then the query is cancelled."""
+    from goconnect_spark.sources.core import ParquetSource
+    from goconnect_spark.streaming.run import StreamingLimit
+
+    src = ParquetSource(f"{sf_dir}/orders.parquet", seq_col="o_orderkey",
+                        event_time_col="o_orderdate", streaming=True)
+    lim = StreamingLimit(n=25)
+    q = lim.start(src.read(spark), trigger={"availableNow": True})
+    lim.await_filled(q)
+    assert len(lim.rows) == 25
+    seqs = [r.seq for r in lim.rows]
+    # the 25 smallest o_orderkey values overall (single input batch:
+    # AvailableNow delivers the file in one micro-batch here)
+    expected = [
+        r.o_orderkey
+        for r in spark.read.parquet(src.path).orderBy("o_orderkey").limit(25).collect()
+    ]
+    assert seqs == expected
