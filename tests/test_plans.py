@@ -59,3 +59,46 @@ def test_whole_stage_codegen_present(spark, sf_dir, qs):
     df.collect()
     plan = _plan(df)
     assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_q6_pushdown_showcase(spark, sf_dir, qs):
+    # all three predicates and only the needed columns reach the scan
+    plan = _plan(qs["q6_forecast_revenue"](spark, sf_dir))
+    scan = [ln for ln in plan.split("\n") if "FileScan" in ln][0]
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan
+    assert "l_orderkey" not in scan and "l_returnflag" not in scan
+    assert "partial_sum" in plan
+
+
+def test_new_joins_broadcast_dims_no_cartesian(spark, sf_dir, qs):
+    for name, min_bcast in [
+        ("q7_trade_volume", 4),        # supp/cust/nation x2
+        ("q10_returned_items", 2),     # customer/nation
+        ("q14_promo_revenue", 1),      # part
+        ("benchmark_contamination", 1),  # bench trigram set
+        ("vocab_oov_rate", 1),         # top-K vocab
+        ("ann_ivf_kmeans_topk", 1),    # frozen centroids + probes
+    ]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= min_bcast, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sequence_packing_no_global_window(spark, sf_dir, qs):
+    # the two-phase cumsum: every data-sized window is partitioned by
+    # pid; the only unpartitioned window runs over the constant-size
+    # per-partition totals
+    df = qs["sequence_packing"](spark, sf_dir)
+    plan = _plan(df)
+    import re
+
+    windows = [ln for ln in plan.split("\n") if re.search(r"\bWindow\b", ln)]
+    partitioned = [ln for ln in windows if "pid" in ln]
+    # at least one parallel (pid-partitioned) window exists, and the
+    # within-partition cumsum (over n_tokens, doc_id) is partitioned
+    assert partitioned, plan
+    for ln in windows:
+        if "n_tokens" in ln and "doc_id" in ln:
+            assert "pid" in ln, ln
