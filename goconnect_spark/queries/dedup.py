@@ -587,3 +587,45 @@ ORDER BY c.doc_id
 
 QUERIES["dedup_connected_components"] = dedup_connected_components
 ORACLE["dedup_connected_components"] = _cc_oracle_sql()
+
+
+# --------------------------------------------------------------------
+# The end product of the dedup family: the corpus-filter decision.
+# Pair detection (minhash) -> transitive clusters (CC) -> keep the
+# cluster keeper + all singletons; report the keep/drop budget per
+# language (what a pipeline operator reviews before committing the
+# filtered corpus).
+# --------------------------------------------------------------------
+def dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).select("doc_id", "lang")
+    cc = dedup_connected_components(spark, sf_dir)
+    dropped = cc.where(F.col("doc_id") != F.col("keeper_doc_id")).select(
+        "doc_id", F.lit(1).alias("dropped")
+    )
+    return (
+        docs.join(dropped, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("dropped").isNull(), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.coalesce("dropped", F.lit(0))).cast("long").alias("n_dropped"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _filtered_corpus_sql() -> str:
+    return f"""
+WITH cc AS ({_cc_oracle_sql()}),
+dropped AS (SELECT doc_id FROM cc WHERE doc_id <> keeper_doc_id)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+QUERIES["dedup_filtered_corpus"] = dedup_filtered_corpus
+ORACLE["dedup_filtered_corpus"] = _filtered_corpus_sql()
