@@ -98,16 +98,45 @@ class FileSource(Source):
 
 @dataclass
 class TextFileSource(Source):
+    """file.Text parity: one element per line, seq = (file, line)
+    composite so ordering follows files then lines.
+
+    Scale shape: line numbering is per-file (a window PARTITIONED BY
+    the file — parallel across files), and the file index is a window
+    over the distinct file list (one row per file — constant-sized).
+    No data-sized global window. Line order within a file follows the
+    scan's partition order (Spark's text source gives no stronger
+    contract in the DataFrame API; files small enough for one split —
+    the reference's use case, io/file — are exactly ordered)."""
+
     path: str
+
+    _FILE_STRIDE = 1 << 40  # lines per file headroom in the seq space
 
     def read(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql.window import Window
 
-        df = spark.read.text(self.path).select(F.col("value"), F.lit(None).cast("timestamp").alias("event_time"))
-        return df.select(
-            (F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1).cast("long").alias("seq"),
-            F.coalesce("event_time", F.current_timestamp()).alias("event_time"),
-            "value",
+        df = spark.read.text(self.path).select(
+            F.input_file_name().alias("_f"),
+            F.monotonically_increasing_id().alias("_mid"),
+            F.col("value"),
+        )
+        files = df.select("_f").distinct().select(
+            "_f",
+            (F.row_number().over(Window.orderBy("_f")) - 1).cast("long").alias("_fidx"),
+        )
+        line_w = Window.partitionBy("_f").orderBy("_mid")
+        return (
+            df.join(F.broadcast(files), "_f")
+            .select(
+                (
+                    F.col("_fidx") * F.lit(self._FILE_STRIDE)
+                    + F.row_number().over(line_w)
+                    - 1
+                ).cast("long").alias("seq"),
+                F.current_timestamp().alias("event_time"),
+                "value",
+            )
         )
 
 
