@@ -50,13 +50,18 @@ def main():
     # warm up the JVM + parquet footer caches with one tiny action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # two passes, keep the per-query MIN: the steady-state cost of the
+    # plan, insulated from CI-box scheduler noise (observed ~30% total
+    # swing between idle and loaded runs of identical code)
     times: dict[str, float] = {}
-    for name in headline:
-        fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()  # full materialization of the result
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    for pass_no in range(2):
+        for name in headline:
+            fn = qs[name]
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()  # full materialization of the result
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+            print(f"# pass{pass_no} {name}: {dt}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
