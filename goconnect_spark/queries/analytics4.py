@@ -283,3 +283,43 @@ ORACLE = {
     "q14_promo_revenue": _Q14_SQL,
     "q18_large_volume_customers": _Q18_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# CDC-style compaction: the latest event per user (the "upsert
+# materialization" every changelog pipeline runs). Window partitioned
+# by the key — parallel across keys, no global sort; ties on ts break
+# on event_id desc (a changelog's sequence number).
+# --------------------------------------------------------------------
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_LATEST_SQL = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_type,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+ORDER BY user_id
+"""
+
+QUERIES["events_latest_per_user"] = events_latest_per_user
+ORACLE["events_latest_per_user"] = _LATEST_SQL
