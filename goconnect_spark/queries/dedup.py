@@ -265,7 +265,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification arrays) derives from it — a production PPJoin at
     100 TB materializes the tokenized+ranked records the same way
     instead of recomputing the tokenize across its 3 consumers."""
-    docs = load(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(load(spark, "documents", sf_dir))
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """The PPJoin pipeline over any (doc_id, text) DataFrame — factored
+    out so tests can compare against brute force on randomized
+    corpora (losslessness of the three filters is a theorem; the test
+    checks the implementation honors it)."""
     words = docs.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 2)
     raw = words.select(
         "doc_id",
