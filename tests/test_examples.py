@@ -23,6 +23,7 @@ EXAMPLES = [
     "kafka_sr1_avro_sr2_kafka",
     "kafka_sr_avro_json_queue",
     "localfs_subflow_localfs",
+    "streaming_llm_ingest",
 ]
 
 _RUNNER = r"""

@@ -226,3 +226,20 @@ def test_streaming_limit_raises_clear_error(spark):
     p = Pipeline(spark).root(RateSource(rows_per_second=5)).limit(3)
     with pytest.raises(PipelineError, match="streaming"):
         p.dataframe()
+
+
+def test_codec_tagged_stage_injects_gzip(spark):
+    """A stage can demand a codec-tagged input type (TypeTag with
+    codec='gzip'): the registry injects the gzip encoder on the way in
+    — and the chain keeps compiling past it (post-injection TypeTag
+    flows through _same_type)."""
+    import gzip
+
+    p = (
+        Pipeline(spark)
+        .root(ListSource(["payload-a", "payload-b"]))
+        # string -> binary -> gzip binary: a 2-hop injected chain
+        .map(lambda c: c, in_type=TypeTag("binary", "gzip"))
+    )
+    out = [bytes(r.value) for r in p.ordered_dataframe().collect()]
+    assert [gzip.decompress(b).decode() for b in out] == ["payload-a", "payload-b"]
