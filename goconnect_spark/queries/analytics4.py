@@ -323,3 +323,179 @@ ORDER BY user_id
 
 QUERIES["events_latest_per_user"] = events_latest_per_user
 ORACLE["events_latest_per_user"] = _LATEST_SQL
+
+
+# --------------------------------------------------------------------
+# q8: market share — each supplier nation's revenue share of the
+# EUROPE customer market per year. Share = partitioned window sum
+# over the (year, nation) aggregate — constant-size, parallel by year.
+# --------------------------------------------------------------------
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    region = load(spark, "region", sf_dir).where(F.col("r_name") == "EUROPE")
+    n_cust = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    n_supp = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("l_shipdate").alias("l_year"), "supp_nation")
+        .agg(F.sum(_disc_price()).alias("rev_dec"))
+    )
+    w = Window.partitionBy("l_year")
+    return (
+        per_nation.select(
+            "l_year",
+            "supp_nation",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (F.col("rev_dec").cast("double") / F.sum("rev_dec").over(w).cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("l_year", "supp_nation")
+    )
+
+
+_Q8_SQL = """
+WITH per_nation AS (
+  SELECT year(l_shipdate) AS l_year, n2.n_name AS supp_nation,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT l_year, supp_nation,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       (CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY l_year) AS VARCHAR) AS DOUBLE)) AS mkt_share
+FROM per_nation
+ORDER BY l_year, supp_nation
+"""
+
+
+# --------------------------------------------------------------------
+# q15: top supplier(s) — revenue view + exact-decimal max selection
+# (ties kept, like the TPC-H spec's = max subquery).
+# --------------------------------------------------------------------
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load(spark, "supplier", sf_dir)
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(_disc_price()).alias("rev_dec"))
+    max_rev = per_supp.agg(F.max("rev_dec").alias("mx"))
+    return (
+        per_supp.join(F.broadcast(max_rev), per_supp.rev_dec == max_rev.mx)
+        .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------
+# SCD2 history build: collapse each user's event stream into validity
+# intervals per event_type run (the slowly-changing-dimension type-2
+# materialization every warehouse ETL runs). All windows are
+# partitioned by user — parallel across keys.
+# --------------------------------------------------------------------
+def user_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    intervals = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("vf"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        intervals.withColumn("vt", F.lead("vf").over(w2))
+        .select(
+            "user_id",
+            F.col("run_id").cast("long").alias("run_id"),
+            "event_type",
+            F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format("vt", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+_SCD2_SQL = """
+WITH runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+),
+intervals AS (
+  SELECT user_id, run_id, event_type, MIN(ts) AS vf, COUNT(*) AS n_events
+  FROM runs GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
+       n_events
+FROM intervals
+ORDER BY user_id, run_id
+"""
+
+
+QUERIES["q8_market_share"] = q8_market_share
+QUERIES["q15_top_supplier"] = q15_top_supplier
+QUERIES["user_history_scd2"] = user_history_scd2
+ORACLE["q8_market_share"] = _Q8_SQL
+ORACLE["q15_top_supplier"] = _Q15_SQL
+ORACLE["user_history_scd2"] = _SCD2_SQL
