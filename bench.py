@@ -17,6 +17,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q7_trade_volume",
+    "q18_large_volume_customers",
+    "events_latest_per_user",
+    "user_history_scd2",
+    "benchmark_contamination",
     "events_hourly",
     "user_sessions",
     "events_error_context",
