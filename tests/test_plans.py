@@ -102,3 +102,24 @@ def test_sequence_packing_no_global_window(spark, sf_dir, qs):
     for ln in windows:
         if "n_tokens" in ln and "doc_id" in ln:
             assert "pid" in ln, ln
+
+
+def test_scd2_windows_are_keyed(spark, sf_dir, qs):
+    # every window in the SCD2 build is partitioned by user_id — no
+    # single-partition window anywhere
+    plan = _plan(qs["user_history_scd2"](spark, sf_dir))
+    import re
+
+    for ln in plan.split("\n"):
+        if re.search(r"\bWindow\b", ln) or "RunningWindowFunction" in ln:
+            assert "user_id" in ln, ln
+
+
+def test_q8_share_window_partitioned_by_year(spark, sf_dir, qs):
+    plan = _plan(qs["q8_market_share"](spark, sf_dir))
+    import re
+
+    for ln in plan.split("\n"):
+        if re.search(r"\bWindow\b", ln):
+            assert "l_year" in ln, ln
+    assert "CartesianProduct" not in plan
