@@ -296,3 +296,54 @@ def test_streaming_limit_takes_first_n_and_stops(spark, sf_dir):
         for r in spark.read.parquet(src.path).orderBy("o_orderkey").limit(25).collect()
     ]
     assert seqs == expected
+
+
+def test_keyed_fold_tws_matches_batch(spark, events_stream):
+    """Spark 4 transformWithState backend: same UserFoldFn contract,
+    final snapshot equals the batch fold (mirrors the
+    applyInPandasWithState test above). Skipped when the protobuf
+    runtime TWS depends on is absent (this container); the gate itself
+    is asserted either way."""
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.streaming.stateful import keyed_fold_tws, tws_available
+
+    if not tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            keyed_fold_tws(
+                events_stream.read(spark).select(F.col("value.l_returnflag").alias("flag"),
+                                                 F.col("value.l_quantity").alias("qty")),
+                "flag", "qty", init=0.0, update=lambda a, v: a + v,
+            )
+        pytest.skip("google.protobuf not installed: TWS backend gated")
+
+    df = events_stream.read(spark).select(
+        F.col("value.l_returnflag").alias("flag"),
+        F.col("value.l_quantity").alias("qty"),
+    )
+    folded = keyed_fold_tws(df, "flag", "qty", init=0.0, update=lambda acc, v: acc + v)
+    q = (
+        folded.writeStream.format("memory")
+        .queryName("t_keyed_fold_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        """
+        select key, acc, n from (
+          select *, row_number() over (partition by key order by n desc) rk
+          from t_keyed_fold_tws
+        ) where rk = 1
+        """
+    ).collect()
+    got = {r.key: (round(r.acc, 6), r.n) for r in rows}
+    batch = (
+        spark.read.parquet(events_stream.path)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {r.l_returnflag: (round(r.s, 6), r.n) for r in batch}
+    assert got == want
