@@ -62,3 +62,40 @@ def test_salted_join_rejects_right_and_full(spark):
     # allowed modes still work and don't duplicate
     out = salted_join(large, small, ["k"], n_salts=4, how="left").collect()
     assert len(out) == 1
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The SCALING.md skew story's other half: moderate skew needs no
+    salting — AQE detects the oversized partition and splits it
+    (OptimizeSkewedJoin), visible as skew=true on the join node."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import pyspark.sql.functions as F
+
+        # 90% of the fact rows share key 0 -> one hot partition
+        big = spark.range(0, 300_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN CAST(0 AS BIGINT) ELSE id END AS k", "id AS v"
+        )
+        dim = spark.range(0, 300_000, 500).selectExpr("id AS k", "id * 2 AS w")
+        j = big.join(dim.hint("merge"), "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
