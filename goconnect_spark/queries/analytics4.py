@@ -499,3 +499,57 @@ QUERIES["user_history_scd2"] = user_history_scd2
 ORACLE["q8_market_share"] = _Q8_SQL
 ORACLE["q15_top_supplier"] = _Q15_SQL
 ORACLE["user_history_scd2"] = _SCD2_SQL
+
+
+# --------------------------------------------------------------------
+# q22: global sales opportunity — scalar-subquery threshold + anti
+# join. Adapted to this schema (no c_phone): prospect customers are
+# grouped by nation instead of phone country code, and "no orders" is
+# windowed to the last year of data (every customer has SOME order in
+# this corpus — the unwindowed anti join is vacuous). The plan shape
+# is the canonical one: a scalar aggregate broadcast into the filter,
+# and a left-anti join against recent orders.
+# --------------------------------------------------------------------
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, "customer", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec("c_acctbal", _PRICE)).cast("double") / F.count(F.lit(1))).alias("ab"))
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp"))
+    prospects = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal").cast("double") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        prospects.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal", _PRICE)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+_Q22_SQL = """
+WITH avg_bal AS (
+  SELECT (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)) AS ab
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name AS nation, COUNT(*) AS numcust,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal, nation
+WHERE CAST(c_acctbal AS DOUBLE) > ab
+  AND c_nationkey = n_nationkey
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+GROUP BY n_name ORDER BY nation
+"""
+
+QUERIES["q22_sales_opportunity"] = q22_sales_opportunity
+ORACLE["q22_sales_opportunity"] = _Q22_SQL
