@@ -3,8 +3,12 @@
 
 Determinism contract for the oracle hash-compare:
 - money/rate doubles are cast to DECIMAL before arithmetic so sums are
-  exact and order-independent, then cast to DOUBLE at the end;
-- any float division is wrapped in round(..., 6);
+  exact and order-independent, then cast to DOUBLE at the end (DuckDB
+  via CAST(CAST(x AS VARCHAR) AS DOUBLE) — its direct decimal->double
+  cast is off by 1 ulp);
+- float divisions are never rounded: both engines divide IDENTICAL
+  operands (exact integer/decimal-derived doubles), so the quotients
+  are bit-identical by IEEE-754;
 - every computed column is aliased identically in Spark and SQL;
 - hashes (md5 hex, lowercase) are used as the portable hash function —
   identical strings in Spark and DuckDB.
