@@ -553,3 +553,39 @@ GROUP BY n_name ORDER BY nation
 
 QUERIES["q22_sales_opportunity"] = q22_sales_opportunity
 ORACLE["q22_sales_opportunity"] = _Q22_SQL
+
+
+# --------------------------------------------------------------------
+# Explicit GROUPING SETS (cube/rollup's general form — lineitem_cube
+# and orders_rollup cover those): per (status, priority), per status,
+# and grand total in ONE pass over orders (Spark expands the sets in
+# a single Expand+HashAggregate — one scan, one shuffle, not three).
+# --------------------------------------------------------------------
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY status, priority
+"""
+
+QUERIES["orders_grouping_sets"] = orders_grouping_sets
+ORACLE["orders_grouping_sets"] = _GROUPING_SETS_SQL
