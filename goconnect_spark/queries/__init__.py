@@ -19,6 +19,7 @@ from goconnect_spark.queries import (
     analytics2,
     analytics3,
     analytics4,
+    analytics5,
     dedup,
     packing,
     parity,
@@ -27,7 +28,7 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, dedup, similarity, text, text2, packing)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, dedup, similarity, text, text2, packing)
 
 
 def all_queries():

@@ -1,0 +1,157 @@
+"""Round-2 tail relational shapes.
+
+- q2_min_cost_supplier: the TPC-H q2 shape (correlated scalar
+  subquery choosing the min-cost supplier per part) adapted to the
+  slim schema: the part-supplier cost table is derived from lineitem
+  (min extended price per (l_partkey, l_suppkey)) since partsupp
+  isn't shipped. Reference parity: goconnect exposes this class of
+  query through its keyed-fold + join surface (SURVEY.md §2.3);
+  the shape here is the canonical "argmin within group across a
+  dimension filter".
+- events_distinct_kmv: K-minimum-values cardinality sketch done
+  portably (md5 -> 60-bit integer, k smallest, (k-1)/kth_min
+  estimator) so the DuckDB oracle hash-matches bit-for-bit — the
+  approximate-distinct family demonstrated WITHOUT engine-specific
+  HLL internals.
+
+Scale notes (100 TB): q2's offers aggregation shuffles lineitem once
+on (l_partkey, l_suppkey); the argmin is a window over p_partkey —
+same key, so AQE coalesces into one exchange chain; all dims
+broadcast. KMV's distinct() is the only full shuffle; orderBy+limit
+compiles to TakeOrderedAndProject (per-partition top-k, merge on the
+driver of k values only). At cluster scale you'd fold the per-
+partition k-min sets directly (sketch merge) and skip the global
+distinct; the estimator semantics verified here are identical.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from goconnect_spark.tables import load
+
+_PRICE = "decimal(12,2)"
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per mid-size part, the EUROPE supplier(s) with the minimum
+    offer price (min lineitem extended price for that part-supplier
+    pair); top 100 by supplier balance.
+
+    Plan: one shuffle building offers, broadcast dims, window-min on
+    p_partkey == the correlated scalar subquery in the oracle.
+    """
+    part = load(spark, "part", sf_dir).where("p_size BETWEEN 10 AND 20")
+    nation = load(spark, "nation", sf_dir)
+    region = load(spark, "region", sf_dir).where("r_name = 'EUROPE'")
+    supplier = load(spark, "supplier", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast(_PRICE)).alias("offer")
+    )
+    euro = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    joined = (
+        offers.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(euro, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_offer", F.min("offer").over(w))
+        .where(F.col("offer") == F.col("min_offer"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_type",
+            F.col("offer").cast("double").alias("offer_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS offer
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+euro AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_type,
+       CAST(CAST(o.offer AS VARCHAR) AS DOUBLE) AS offer_price
+FROM part p, offers o, euro e
+WHERE p.p_partkey = o.l_partkey AND o.l_suppkey = e.s_suppkey
+  AND p_size BETWEEN 10 AND 20
+  AND o.offer = (SELECT MIN(o2.offer)
+                 FROM offers o2, euro e2
+                 WHERE o2.l_partkey = p.p_partkey
+                   AND o2.l_suppkey = e2.s_suppkey)
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+"""
+
+
+_KMV_K = 128
+_TWO_60 = 1152921504606846976  # 2^60, exact as a double
+
+
+def events_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over event_id, with the exact count
+    alongside for error inspection.
+
+    The hash is the first 15 hex chars of md5 parsed as a 60-bit
+    integer — identical in both engines; (k-1)*2^60 is exact as a
+    double (7-bit mantissa), so the estimate divides two bit-identical
+    doubles.
+    """
+    ev = load(spark, "events", sf_dir)
+    h = ev.selectExpr(
+        "cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) as hv"
+    ).distinct()
+    kmin = h.orderBy("hv").limit(_KMV_K)
+    agg = kmin.agg(F.count("*").alias("k"), F.max("hv").alias("kth_min"))
+    exact = ev.agg(F.countDistinct("event_id").alias("exact_distinct"))
+    return agg.crossJoin(F.broadcast(exact)).selectExpr(
+        "k",
+        "kth_min",
+        f"cast(k - 1 as double) * {_TWO_60}.0 / cast(kth_min as double) as estimate",
+        "exact_distinct",
+    )
+
+
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+kmin AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(hv) AS kth_min FROM kmin),
+ex AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct FROM events)
+SELECT k, kth_min,
+       CAST(k - 1 AS DOUBLE) * {_TWO_60}.0 / CAST(kth_min AS DOUBLE) AS estimate,
+       exact_distinct
+FROM agg, ex
+"""
+
+
+QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "events_distinct_kmv": events_distinct_kmv,
+}
+ORACLE = {
+    "q2_min_cost_supplier": _Q2_SQL,
+    "events_distinct_kmv": _KMV_SQL,
+}
