@@ -33,6 +33,15 @@ from pyspark.sql.window import Window
 from goconnect_spark.tables import load
 
 _PRICE = "decimal(12,2)"
+_RATE = "decimal(6,4)"
+
+
+def _dec(col: str, t: str) -> F.Column:
+    return F.col(col).cast(t)
+
+
+def _disc_price() -> F.Column:
+    return _dec("l_extendedprice", _PRICE) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,11 +156,119 @@ FROM agg, ex
 """
 
 
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape: distribution of customers by how many
+    non-urgent orders they placed (including zero).
+
+    Plan choice for scale: aggregate orders down to (custkey, cnt)
+    FIRST (map-side partial combine, one shuffle on o_custkey), then
+    left-join customers to the pre-aggregated counts — the join output
+    is one row per customer, so the second aggregation (on c_count,
+    cardinality = max orders per customer) is near-free. Joining the
+    raw fact table to customers before aggregating would shuffle the
+    full join output instead.
+    """
+    cust = load(spark, "customer", sf_dir).select("c_custkey")
+    orders = load(spark, "orders", sf_dir).where("o_orderpriority <> '1-URGENT'")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    counts = cust.join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("c_count"))
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS cnt
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY o_custkey
+),
+counts AS (
+  SELECT CAST(COALESCE(cnt, 0) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM counts
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: profit by supplier nation and order year for
+    'gear' parts. partsupp isn't shipped, so the unit cost is derived
+    as 10% of the part's retail price — the join/aggregate shape (fact
+    x 3 dims, two-level group) is what matters, not the cost basis.
+
+    All money math in exact decimals (sum order-independent); cast to
+    double only at the end. Plan: part and supplier broadcast into the
+    lineitem scan, ONE shuffle joining orders on l_orderkey, partial
+    agg before the final (nation, year) exchange.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir).where("p_name LIKE '%gear%'")
+    supp = load(spark, "supplier", sf_dir)
+    nation = load(spark, "nation", sf_dir)
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+
+    amount = _disc_price() - (
+        _dec("p_retailprice", _PRICE)
+        * F.lit("0.10").cast(_RATE)
+        * _dec("l_quantity", _PRICE)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("profit_dec"))
+        .select(
+            "nation",
+            "o_year",
+            F.col("profit_dec").cast("double").alias("sum_profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(CAST(SUM(
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+         - CAST(p_retailprice AS DECIMAL(12,2))
+           * CAST('0.10' AS DECIMAL(6,4))
+           * CAST(l_quantity AS DECIMAL(12,2))
+       ) AS VARCHAR) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, CAST(YEAR(o_orderdate) AS INT)
+ORDER BY nation, o_year DESC
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "events_distinct_kmv": events_distinct_kmv,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q9_product_type_profit": q9_product_type_profit,
 }
 ORACLE = {
     "q2_min_cost_supplier": _Q2_SQL,
     "events_distinct_kmv": _KMV_SQL,
+    "q13_order_count_distribution": _Q13_SQL,
+    "q9_product_type_profit": _Q9_SQL,
 }
