@@ -54,3 +54,69 @@ def salted_join(
     salted_small = small.withColumn("__salt", salts)
     out = salted_large.join(salted_small, on + ["__salt"], how)
     return out.drop("__salt")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    extra_on: Sequence[str] = (),
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """Point-in-interval (range) join without a nested-loop plan.
+
+    Spark has no native range-join operator: `p.ts BETWEEN i.start AND
+    i.end` with no equi key compiles to BroadcastNestedLoopJoin or
+    CartesianProduct — an all-pairs scan that dies at scale. This is
+    the standard binning rewrite (the same trick behind range-join
+    optimizers in other engines): quantize the number line into
+    `bin_width`-sized bins, give each point its single bin, explode
+    each interval to every bin it covers, equi-join on the bin (plus
+    any `extra_on` keys), and keep the exact BETWEEN as a residual
+    predicate. Each (point, interval) pair meets in exactly one bin —
+    the point's — so the rewrite is duplicate-free by construction.
+
+    Candidate volume per interval is ceil(len/bin_width)+1 bins times
+    the points per bin, so pick bin_width near the typical interval
+    length. A safety expression refuses intervals covering more than
+    `max_bins_per_interval` bins (a degenerate interval would
+    otherwise explode the build side silently).
+
+    Columns must be integral (e.g. unix_micros for timestamps).
+    Interval ends are inclusive: [start, end]. Inner join only —
+    outer variants would need the residual predicate inside the join
+    condition, which re-introduces the nested loop.
+
+    Reference parity: goconnect joins streams only on keys
+    (SURVEY.md §2.6); the range join is part of the beyond-reference
+    training-data surface (windowed context lookups, span overlap).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be a positive integer")
+    bw = F.lit(int(bin_width))
+    p = points.withColumn("__bin", F.floor(F.col(point_col) / bw))
+    n_bins = F.floor(F.col(end_col) / bw) - F.floor(F.col(start_col) / bw) + 1
+    guard = F.assert_true(
+        n_bins <= F.lit(int(max_bins_per_interval)),
+        F.concat(
+            F.lit("interval_join: interval covers too many bins ("),
+            n_bins.cast("string"),
+            F.lit(f" > {max_bins_per_interval}); raise bin_width"),
+        ),
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bw),
+                F.floor((F.col(end_col) + F.when(guard.isNull(), 0)) / bw),
+            )
+        ),
+    )
+    joined = p.join(iv, ["__bin", *extra_on], "inner").where(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__bin")

@@ -260,13 +260,68 @@ ORDER BY nation, o_year DESC
 """
 
 
+_WINDOW_US = 300_000_000  # 5 minutes in microseconds
+
+
+def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context lookup with NO equi key: for every error event, count
+    the events (any user) inside the 5-minute window starting at the
+    error — a pure range predicate.
+
+    Written naively (`e.ts BETWEEN w.ts AND w.ts + 5min`) Spark plans
+    a BroadcastNestedLoopJoin: all-pairs, dead at 100 TB. The
+    interval_join operator rewrites it as a bin equi-join (bin width =
+    window length, so each window covers at most 2 bins) — shuffle-
+    partitioned by bin, candidates bounded by events-per-5-minutes,
+    exact BETWEEN kept as residual. test_plans asserts the NLJ is gone.
+    """
+    from goconnect_spark.operators.joins import interval_join
+
+    ev = load(spark, "events", sf_dir)
+    points = ev.select(
+        F.unix_micros("ts").alias("pt"), F.col("user_id"), F.col("event_id")
+    )
+    windows = (
+        ev.where("event_type = 'error'")
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.unix_micros("ts").alias("ws"),
+            (F.unix_micros("ts") + F.lit(_WINDOW_US)).alias("we"),
+        )
+    )
+    joined = interval_join(points, windows, "pt", "ws", "we", bin_width=_WINDOW_US)
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_ERRWIN_SQL = f"""
+WITH pts AS (
+  SELECT epoch_us(ts) AS pt, user_id, event_id FROM events
+),
+win AS (
+  SELECT event_id AS window_id, epoch_us(ts) AS ws,
+         epoch_us(ts) + {_WINDOW_US} AS we
+  FROM events WHERE event_type = 'error'
+)
+SELECT window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM win JOIN pts ON pt BETWEEN ws AND we
+GROUP BY window_id
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "events_distinct_kmv": events_distinct_kmv,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q9_product_type_profit": q9_product_type_profit,
+    "events_in_error_windows": events_in_error_windows,
 }
 ORACLE = {
+    "events_in_error_windows": _ERRWIN_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
     "events_distinct_kmv": _KMV_SQL,
     "q13_order_count_distribution": _Q13_SQL,

@@ -99,3 +99,77 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ----------------------------------------------------------------
+# interval_join: binned range join
+# ----------------------------------------------------------------
+from goconnect_spark.operators.joins import interval_join  # noqa: E402
+
+
+def _points_and_intervals(spark):
+    # points at 0..999; intervals of mixed lengths, some overlapping,
+    # some empty, ends inclusive, plus boundary-exact cases
+    pts = spark.range(1000).select(F.col("id").alias("pt"), (F.col("id") % 7).alias("grp"))
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 9),        # bin-aligned
+            (2, 5, 5),        # single point
+            (3, 95, 214),     # spans 3+ bins
+            (4, 990, 2000),   # runs past the data
+            (5, -50, -10),    # entirely before (no matches)
+            (6, 100, 99),     # degenerate (start > end -> empty)
+        ],
+        "iv_id long, s long, e long",
+    )
+    return pts, iv
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    pts, iv = _points_and_intervals(spark)
+    got = interval_join(pts, iv, "pt", "s", "e", bin_width=100)
+    want = pts.join(iv, (F.col("pt") >= F.col("s")) & (F.col("pt") <= F.col("e")))
+    g = {(r.pt, r.iv_id) for r in got.collect()}
+    w = {(r.pt, r.iv_id) for r in want.collect()}
+    assert g == w and len(g) > 0
+    # duplicate-free by construction: each pair meets in exactly one bin
+    assert got.count() == len(g)
+
+
+def test_interval_join_no_nested_loop_plan(spark):
+    pts, iv = _points_and_intervals(spark)
+    got = interval_join(pts, iv, "pt", "s", "e", bin_width=100)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_extra_on_keys(spark):
+    pts, _ = _points_and_intervals(spark)
+    iv = spark.createDataFrame(
+        [(10, 0, 500, 3), (11, 0, 500, 4)], "iv_id long, s long, e long, grp long"
+    )
+    got = interval_join(pts, iv, "pt", "s", "e", bin_width=128, extra_on=["grp"])
+    want = pts.join(
+        iv, (F.col("pt") >= F.col("s")) & (F.col("pt") <= F.col("e")), "inner"
+    ).where(pts.grp == iv.grp)
+    assert {(r.pt, r.iv_id) for r in got.collect()} == {
+        (r.pt, r.iv_id) for r in want.collect()
+    }
+
+
+def test_interval_join_guards_degenerate_intervals(spark):
+    import pytest as _pytest
+
+    pts, _ = _points_and_intervals(spark)
+    iv = spark.createDataFrame([(1, 0, 10_000_000)], "iv_id long, s long, e long")
+    with _pytest.raises(Exception, match="too many bins|ASSERT"):
+        interval_join(pts, iv, "pt", "s", "e", bin_width=10, max_bins_per_interval=100).collect()
+
+
+def test_interval_join_rejects_bad_bin_width(spark):
+    import pytest as _pytest
+
+    pts, iv = _points_and_intervals(spark)
+    with _pytest.raises(ValueError):
+        interval_join(pts, iv, "pt", "s", "e", bin_width=0)

@@ -123,3 +123,21 @@ def test_q8_share_window_partitioned_by_year(spark, sf_dir, qs):
         if re.search(r"\bWindow\b", ln):
             assert "l_year" in ln, ln
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_query_is_not_nested_loop(spark, sf_dir, qs):
+    # the range join MUST compile to the binned equi-join, never BNLJ
+    plan = _plan(qs["events_in_error_windows"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(__bin" in plan or "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q13_preaggregates_before_join(spark, sf_dir, qs):
+    # orders must be aggregated to per-custkey counts BEFORE joining
+    # customers: the join input is the aggregate, not the raw fact
+    plan = _plan(qs["q13_order_count_distribution"](spark, sf_dir))
+    assert "partial_count" in plan
+    join_idx = plan.index("Join")
+    agg_idx = plan.index("HashAggregate")
+    assert agg_idx > join_idx or "Aggregate" in plan[join_idx:]
