@@ -260,6 +260,79 @@ ORDER BY nation, o_year DESC
 """
 
 
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+
+
+def word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over the corpus word
+    stream, probed for the top-20 exact heavy hitters (estimate >=
+    exact always; collisions show as overshoot).
+
+    Portable construction (same md5-derived hash family in Spark and
+    DuckDB): for each token and each row j in 0..3, bucket =
+    md5(j ':' token)[:15 hex] as int mod 256; the sketch is the
+    (j, bucket) -> count table (<= 1024 cells). The point estimate for
+    a key is min over its 4 cells.
+
+    Scale shape: the exploded token stream collapses via map-side
+    partial aggregation into <= 1024 cells per partition before the
+    exchange — the sketch build is one near-free shuffle regardless of
+    corpus size, which is the entire point of a CMS at 100 TB. Probes
+    join the tiny cell table via broadcast.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    js = F.array([F.lit(j) for j in range(_CMS_D)])
+    bucket = F.expr(
+        f"cast(conv(substr(md5(concat(cast(j as string), ':', tok)), 1, 15), 16, 10) as bigint) % {_CMS_W}"
+    )
+    cells = (
+        tok.select("tok", F.explode(js).alias("j"))
+        .select("j", bucket.alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = tok.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), "tok").limit(20)
+    probes = top.select("tok", "exact_count", F.explode(js).alias("j")).withColumn(
+        "b", bucket
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "b"])
+        .groupBy(F.col("tok").alias("word"), "exact_count")
+        .agg(F.min("cnt").alias("cms_count"))
+    )
+
+
+_CMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cells AS (
+  SELECT j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % {_CMS_W} AS b,
+         COUNT(*) AS cnt
+  FROM tok, unnest([0, 1, 2, 3]) AS t(j)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count FROM tok GROUP BY tok
+),
+top AS (
+  SELECT * FROM exact ORDER BY exact_count DESC, tok LIMIT 20
+),
+probes AS (
+  SELECT tok, exact_count, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % {_CMS_W} AS b
+  FROM top, unnest([0, 1, 2, 3]) AS t(j)
+)
+SELECT p.tok AS word, p.exact_count, CAST(MIN(c.cnt) AS BIGINT) AS cms_count
+FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b
+GROUP BY p.tok, p.exact_count
+"""
+
+
 _WINDOW_US = 300_000_000  # 5 minutes in microseconds
 
 
@@ -319,9 +392,11 @@ QUERIES = {
     "q13_order_count_distribution": q13_order_count_distribution,
     "q9_product_type_profit": q9_product_type_profit,
     "events_in_error_windows": events_in_error_windows,
+    "word_freq_cms": word_freq_cms,
 }
 ORACLE = {
     "events_in_error_windows": _ERRWIN_SQL,
+    "word_freq_cms": _CMS_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
     "events_distinct_kmv": _KMV_SQL,
     "q13_order_count_distribution": _Q13_SQL,

@@ -160,13 +160,97 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+_COOC_MIN_DF = 25  # vocabulary prune: words in >= 25 docs
+_COOC_MIN_PAIR = 10  # pair support threshold
+_COOC_TOP = 50
+
+
+def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level word association: top pairs by lift =
+    P(w1,w2) / (P(w1) P(w2)) = pair_docs * n_docs / (df1 * df2).
+
+    All inputs to the score are exact integer counts, so the single
+    double division is bit-identical across engines (no logs — this is
+    the PMI ratio before the log, which is monotone in PMI).
+
+    Scale shape: the quadratic danger in co-occurrence is the per-doc
+    self-join. It is bounded FIRST by pruning the vocabulary to words
+    with df >= _COOC_MIN_DF (broadcast semi-join on the token
+    stream — at real vocab sizes this is the step that makes the
+    pair-join tractable), then pairing only distinct (doc, word) with
+    w1 < w2. The pair aggregation is one shuffle on (w1, w2); df
+    lookups re-use the tiny pruned-vocab table, broadcast twice.
+    """
+    docs = load(spark, "documents", sf_dir)
+    n_docs = docs.count()  # scalar dim seed, one cheap job
+    dw = _tokens(docs).distinct()
+    dfc = dw.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfc.where(F.col("df") >= _COOC_MIN_DF)
+    dwv = dw.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
+    a = dwv.select("doc_id", F.col("tok").alias("w1"))
+    b = dwv.select("doc_id", F.col("tok").alias("w2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+        .where(F.col("pair_docs") >= _COOC_MIN_PAIR)
+    )
+    v1 = vocab.select(F.col("tok").alias("w1"), F.col("df").alias("df1"))
+    v2 = vocab.select(F.col("tok").alias("w2"), F.col("df").alias("df2"))
+    return (
+        pairs.join(F.broadcast(v1), "w1")
+        .join(F.broadcast(v2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "pair_docs",
+            "df1",
+            "df2",
+            (
+                (F.col("pair_docs") * F.lit(int(n_docs))).cast("double")
+                / (F.col("df1") * F.col("df2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(_COOC_TOP)
+    )
+
+
+_COOC_SQL = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY tok),
+vocab AS (SELECT * FROM dfc WHERE df >= {_COOC_MIN_DF}),
+dwv AS (SELECT dw.doc_id, dw.tok FROM dw JOIN vocab USING (tok)),
+pairs AS (
+  SELECT a.tok AS w1, b.tok AS w2, CAST(COUNT(*) AS BIGINT) AS pair_docs
+  FROM dwv a JOIN dwv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING COUNT(*) >= {_COOC_MIN_PAIR}
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT w1, w2, pair_docs, v1.df AS df1, v2.df AS df2,
+       CAST(pair_docs * n_docs AS DOUBLE) / CAST(v1.df * v2.df AS DOUBLE) AS lift
+FROM pairs
+JOIN vocab v1 ON v1.tok = w1
+JOIN vocab v2 ON v2.tok = w2
+CROSS JOIN n
+ORDER BY lift DESC, w1, w2
+LIMIT {_COOC_TOP}
+"""
+
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "doc_repetition_ratio": doc_repetition_ratio,
     "vocab_oov_rate": vocab_oov_rate,
+    "word_cooccurrence": word_cooccurrence,
 }
 
 ORACLE = {
+    "word_cooccurrence": _COOC_SQL,
     "benchmark_contamination": _CONTAMINATION_SQL,
     "doc_repetition_ratio": _REPETITION_SQL,
     "vocab_oov_rate": _OOV_SQL,
