@@ -333,6 +333,67 @@ GROUP BY p.tok, p.exact_count
 """
 
 
+def value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles from a fixed-width histogram sketch
+    (bin width 1.0 over events.value), with the exact percentiles
+    alongside for error inspection.
+
+    The histogram is the mergeable single-pass structure you'd use at
+    100 TB: the raw stream collapses to <= ~500 (bin, count) cells via
+    map-side partial aggregation — one near-free shuffle, constant
+    state per partition — and the estimate is read off the cumulative
+    counts. The cumulative window runs over the CONSTANT-SIZE cell
+    table (bins of a bounded value domain), not the data, so the
+    single-partition window is scale-independent. The p-quantile
+    estimate is the lower edge of the first bin whose cumulative count
+    reaches ceil(p * total) — pure integer logic after one IEEE
+    multiply, identical in both engines.
+    """
+    ev = load(spark, "events", sf_dir)
+    bins = ev.groupBy(
+        F.floor(F.col("value")).cast("bigint").alias("bin")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum_cnt", F.sum("cnt").over(w))
+    total = ev.agg(F.count("*").alias("total"))
+    cumt = cum.crossJoin(F.broadcast(total))
+
+    def est(p: float) -> F.Column:
+        thr = F.ceil(F.lit(p) * F.col("total"))
+        return F.min(F.when(F.col("cum_cnt") >= thr, F.col("bin"))).cast("double")
+
+    ests = cumt.agg(
+        F.max("total").alias("total"),
+        est(0.5).alias("p50_est"),
+        est(0.9).alias("p90_est"),
+        est(0.99).alias("p99_est"),
+    )
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5D)").alias("p50_exact"),
+        F.expr("percentile(value, 0.9D)").alias("p90_exact"),
+        F.expr("percentile(value, 0.99D)").alias("p99_exact"),
+    )
+    return ests.crossJoin(F.broadcast(exact))
+
+
+_HISTQ_SQL = """
+WITH bins AS (
+  SELECT CAST(FLOOR(value) AS BIGINT) AS bin, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+),
+cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum_cnt FROM bins),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+SELECT total,
+  CAST((SELECT MIN(bin) FROM cum WHERE cum_cnt >= CEIL(0.5 * total)) AS DOUBLE) AS p50_est,
+  CAST((SELECT MIN(bin) FROM cum WHERE cum_cnt >= CEIL(0.9 * total)) AS DOUBLE) AS p90_est,
+  CAST((SELECT MIN(bin) FROM cum WHERE cum_cnt >= CEIL(0.99 * total)) AS DOUBLE) AS p99_est,
+  (SELECT quantile_cont(value, 0.5) FROM events) AS p50_exact,
+  (SELECT quantile_cont(value, 0.9) FROM events) AS p90_exact,
+  (SELECT quantile_cont(value, 0.99) FROM events) AS p99_exact
+FROM tot
+"""
+
+
 _WINDOW_US = 300_000_000  # 5 minutes in microseconds
 
 
@@ -393,8 +454,10 @@ QUERIES = {
     "q9_product_type_profit": q9_product_type_profit,
     "events_in_error_windows": events_in_error_windows,
     "word_freq_cms": word_freq_cms,
+    "value_histogram_quantiles": value_histogram_quantiles,
 }
 ORACLE = {
+    "value_histogram_quantiles": _HISTQ_SQL,
     "events_in_error_windows": _ERRWIN_SQL,
     "word_freq_cms": _CMS_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
