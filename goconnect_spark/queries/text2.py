@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from goconnect_spark.tables import load
 
@@ -242,15 +243,122 @@ LIMIT {_COOC_TOP}
 """
 
 
+_BIGRAM_MIN = 15  # bigram support threshold (sf-relative; ~2% of heads at sf0.01)
+_BIGRAM_TOP = 40
+
+
+def bigram_cond_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram language-model counts: P(w2 | w1) =
+    c(w1 w2) / c(w1 *) for the top bigrams — the count layer of an
+    n-gram LM (used for perplexity-style corpus filtering).
+
+    Exact integer counts; the conditional probability is one double
+    division of exact ints. Bigrams come from zipping each token array
+    with its tail (transform over the array — no self-join at all);
+    the denominator counts w1 occurrences AS A BIGRAM HEAD (tokens
+    followed by something), so numerators sum to the denominator
+    exactly. One shuffle per aggregation, both with partial combine.
+    """
+    docs = load(spark, "documents", sf_dir)
+    grams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                " (w, i) -> struct(w as w1, element_at(split(text, ' '), i + 2) as w2))"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    pair = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    head = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    return (
+        pair.where(F.col("c12") >= _BIGRAM_MIN)
+        .join(F.broadcast(head), "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            (F.col("c12").cast("double") / F.col("c1").cast("double")).alias("cond_p"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(_BIGRAM_TOP)
+    )
+
+
+_BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+),
+pair AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM grams GROUP BY w1, w2),
+head AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM grams GROUP BY w1)
+SELECT p.w1, p.w2, c12, c1,
+       CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS cond_p
+FROM pair p JOIN head h ON p.w1 = h.w1
+WHERE c12 >= {_BIGRAM_MIN}
+ORDER BY c12 DESC, p.w1, p.w2
+LIMIT {_BIGRAM_TOP}
+"""
+
+
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture report per document source: token counts and
+    sqrt-temperature (alpha = 0.5) sampling weights relative to the
+    largest source — the standard move that up-weights small
+    high-quality sources without normalizing by an order-dependent
+    float sum (weights relative to the max stay deterministic:
+    sqrt(n_i) / sqrt(n_max), both exact IEEE sqrt of integers).
+    """
+    docs = load(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return (
+        per_src.withColumn("max_tokens", F.max("n_tokens").over(w))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.sqrt(F.col("n_tokens").cast("double"))
+                / F.sqrt(F.col("max_tokens").cast("double"))
+            ).alias("temp_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_MIX_SQL = """
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       SQRT(CAST(n_tokens AS DOUBLE)) / SQRT(CAST(MAX(n_tokens) OVER () AS DOUBLE)) AS temp_weight
+FROM per_src ORDER BY source
+"""
+
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "doc_repetition_ratio": doc_repetition_ratio,
     "vocab_oov_rate": vocab_oov_rate,
     "word_cooccurrence": word_cooccurrence,
+    "bigram_cond_prob": bigram_cond_prob,
+    "source_mix_weights": source_mix_weights,
 }
 
 ORACLE = {
     "word_cooccurrence": _COOC_SQL,
+    "bigram_cond_prob": _BIGRAM_SQL,
+    "source_mix_weights": _SOURCE_MIX_SQL,
     "benchmark_contamination": _CONTAMINATION_SQL,
     "doc_repetition_ratio": _REPETITION_SQL,
     "vocab_oov_rate": _OOV_SQL,
