@@ -447,6 +447,56 @@ GROUP BY window_id
 """
 
 
+_7D_US = 7 * 86_400 * 1_000_000
+
+
+def user_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: the user's rolling 7-day purchase count and
+    spend — a RANGE-frame window (time-based, not row-based), the
+    moving-aggregate shape behind velocity features and rate limits.
+
+    The frame is [t - 7d, t] inclusive over integer microseconds
+    (identical range semantics in both engines); spend sums exact
+    DECIMAL(12,2), cast to double last. Scale: one shuffle on user_id;
+    each user's frame state is bounded by their own 7-day event
+    volume, so the window never concentrates global data.
+    """
+    ev = load(spark, "events", sf_dir).where("event_type = 'purchase'")
+    pur = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        F.col("value").cast(_PRICE).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-_7D_US, Window.currentRow)
+    )
+    return pur.select(
+        "event_id",
+        "user_id",
+        "tus",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum("v").over(w).cast("double").alias("spend_7d"),
+    )
+
+
+_ROLLING_SQL = f"""
+WITH pur AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, tus,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       CAST(CAST(SUM(v) OVER w AS VARCHAR) AS DOUBLE) AS spend_7d
+FROM pur
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN {_7D_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "events_distinct_kmv": events_distinct_kmv,
@@ -455,8 +505,10 @@ QUERIES = {
     "events_in_error_windows": events_in_error_windows,
     "word_freq_cms": word_freq_cms,
     "value_histogram_quantiles": value_histogram_quantiles,
+    "user_rolling_7d": user_rolling_7d,
 }
 ORACLE = {
+    "user_rolling_7d": _ROLLING_SQL,
     "value_histogram_quantiles": _HISTQ_SQL,
     "events_in_error_windows": _ERRWIN_SQL,
     "word_freq_cms": _CMS_SQL,
