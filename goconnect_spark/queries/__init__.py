@@ -20,6 +20,7 @@ from goconnect_spark.queries import (
     analytics3,
     analytics4,
     analytics5,
+    analytics6,
     dedup,
     packing,
     parity,
@@ -28,7 +29,7 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, dedup, similarity, text, text2, packing)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, dedup, similarity, text, text2, packing)
 
 
 def all_queries():

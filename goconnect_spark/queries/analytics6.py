@@ -1,0 +1,216 @@
+"""Product-analytics family (round-2 tail): ordered funnels,
+retention cohorts, and graph triangle counting.
+
+Reference parity: goconnect's keyed fold + join surface (SURVEY.md
+§2.3/§2.6) expresses these as user-defined pipelines; here they are
+declarative DataFrame plans that Catalyst can optimize end to end.
+
+Determinism: every output is integer counts or integer-derived keys —
+no float arithmetic at all — so the DuckDB oracles hash-match without
+any of the decimal machinery the money queries need. Event ordering
+uses strict comparisons on integer microseconds (never row order), so
+equal-timestamp ties resolve identically in both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from goconnect_spark.tables import load
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+
+
+_STEP_US = 86_400_000_000  # each funnel step must follow within 24h
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel with a 24-hour step window:
+    users with a view, then a click in (t_view, t_view + 24h], then a
+    purchase in (t_click, t_click + 24h].
+
+    Shape: three keyed min-aggregations chained by equi-joins on
+    user_id — every stage shuffles on the SAME key, so AQE/Catalyst
+    reuse one partitioning end to end; each stage's input shrinks to
+    the surviving users. No windows over raw events, no row-order
+    dependence (strict tus comparisons only).
+    """
+    ev = _ev(spark, sf_dir)
+    t1 = (
+        ev.where("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+    )
+    t2 = (
+        ev.where("event_type = 'click'")
+        .join(t1, "user_id")
+        .where((F.col("tus") > F.col("t1")) & (F.col("tus") <= F.col("t1") + _STEP_US))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    t3 = (
+        ev.where("event_type = 'purchase'")
+        .join(t2, "user_id")
+        .where((F.col("tus") > F.col("t2")) & (F.col("tus") <= F.col("t2") + _STEP_US))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        stage(t1, 1, "view")
+        .unionAll(stage(t2, 2, "view>click"))
+        .unionAll(stage(t3, 3, "view>click>purchase"))
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+),
+t1 AS (
+  SELECT user_id, MIN(tus) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(tus) AS t2 FROM ev e JOIN t1 USING (user_id)
+  WHERE event_type = 'click' AND tus > t1 AND tus <= t1 + {_STEP_US}
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(tus) AS t3 FROM ev e JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND tus > t2 AND tus <= t2 + {_STEP_US}
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage_no, 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+UNION ALL
+SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM t2
+UNION ALL
+SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (the cohort), counted as retained in each later week they were
+    active.
+
+    Weeks are integer indexes floor(tus / 7d) — pure integer
+    bucketing, no calendar/timezone semantics to disagree on. Shape:
+    one min-agg on user_id, one join back (same key), one distinct +
+    count on (cohort_week, week_offset).
+    """
+    ev = _ev(spark, sf_dir)
+    week = (F.col("tus") / F.lit(_WEEK_US)).cast("bigint")
+    first = ev.groupBy("user_id").agg(F.min("tus").alias("first_tus"))
+    cohorted = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            (F.col("first_tus") / F.lit(_WEEK_US)).cast("bigint").alias("cohort_week"),
+            week.alias("w"),
+        )
+        .select("user_id", "cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+    )
+    return (
+        cohorted.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+_RETENTION_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events
+),
+first AS (SELECT user_id, MIN(tus) AS first_tus FROM ev GROUP BY user_id),
+cohorted AS (
+  SELECT DISTINCT e.user_id,
+         CAST(FLOOR(first_tus / {_WEEK_US}) AS BIGINT) AS cohort_week,
+         CAST(FLOOR(tus / {_WEEK_US}) AS BIGINT)
+           - CAST(FLOOR(first_tus / {_WEEK_US}) AS BIGINT) AS week_offset
+  FROM ev e JOIN first USING (user_id)
+)
+SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+FROM cohorted GROUP BY cohort_week, week_offset
+"""
+
+
+_TRI_MIN_PAIR = 10  # edge threshold: co-occurrence support
+
+
+def word_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the word co-occurrence graph (edges = word
+    pairs sharing >= _TRI_MIN_PAIR documents).
+
+    The count uses the oriented-edge algorithm: every edge is stored
+    once as (lo, hi) with lo < hi, and triangles are found as
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — each triangle counted
+    exactly once, join sizes bounded by out-degrees under the
+    orientation. At real graph scale the orientation key would be
+    (degree, id) instead of raw id — that bounds every out-degree by
+    sqrt(|E|) (the classic heavy-vertex fix); id-orientation keeps the
+    oracle simple here and the plan shape is identical.
+    """
+    docs = load(spark, "documents", sf_dir)
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    a = dw.select("doc_id", F.col("tok").alias("w1"))
+    b = dw.select("doc_id", F.col("tok").alias("w2"))
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _TRI_MIN_PAIR)
+        .select("w1", "w2")
+    )
+    e1 = edges.select(F.col("w1").alias("a"), F.col("w2").alias("b"))
+    e2 = edges.select(F.col("w1").alias("b"), F.col("w2").alias("c"))
+    e3 = edges.select(F.col("w1").alias("a"), F.col("w2").alias("c"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(e3, ["a", "c"])
+    return tris.agg(F.count("*").alias("n_triangles"))
+
+
+_TRIANGLES_SQL = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+edges AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING COUNT(*) >= {_TRI_MIN_PAIR}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.w2 = e2.w1
+JOIN edges e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2
+"""
+
+
+QUERIES = {
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "retention_cohorts": retention_cohorts,
+    "word_graph_triangles": word_graph_triangles,
+}
+ORACLE = {
+    "funnel_view_click_purchase": _FUNNEL_SQL,
+    "retention_cohorts": _RETENTION_SQL,
+    "word_graph_triangles": _TRIANGLES_SQL,
+}
