@@ -39,6 +39,13 @@ HEADLINE = [
     "text_token_bpeish",
     "doc_fingerprint",
     "sequence_packing",
+    # round-2 tail: range join, sketches, co-occurrence, funnel
+    "events_in_error_windows",
+    "word_freq_cms",
+    "word_cooccurrence",
+    "user_rolling_7d",
+    "funnel_view_click_purchase",
+    "q13_order_count_distribution",
 ]
 
 

@@ -16,10 +16,12 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from goconnect_spark.tables import load
 
 _WEEK_US = 7 * 86_400 * 1_000_000
+_PRICE = "decimal(12,2)"
 
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,12 +206,118 @@ JOIN edges e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2
 """
 
 
+def customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window-ranking family over customer order spend:
+    rank, dense_rank, percent_rank and ntile(10) — one window, one
+    pass, deterministic total order (spend is an exact decimal sum;
+    ties broken by c_custkey).
+
+    percent_rank's double is (rank-1)/(n-1): identical integers
+    divided in both engines. Top 100 by the same total order.
+    """
+    orders = load(spark, "orders", sf_dir)
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_PRICE)).alias("spend_dec")
+    )
+    w = Window.orderBy(F.desc("spend_dec"), F.asc("o_custkey"))
+    return (
+        spend.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("spend_dec").cast("double").alias("spend"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.ntile(10).over(w).cast("bigint").alias("decile"),
+        )
+        .orderBy("rnk", "custkey")
+        .limit(100)
+    )
+
+
+_RANKS_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey,
+       CAST(CAST(spend_dec AS VARCHAR) AS DOUBLE) AS spend,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CAST(NTILE(10) OVER w AS BIGINT) AS decile
+FROM spend
+WINDOW w AS (ORDER BY spend_dec DESC, custkey ASC)
+ORDER BY rnk, custkey
+LIMIT 100
+"""
+
+
+def daily_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: order activity by calendar day vs
+    purchase-event activity by day — days present on either side
+    survive, with zero-filled counts (the shape of a cross-system
+    consistency report).
+
+    Day keys are integer epoch days (floor(us / 86400e6)) — no
+    calendar semantics. Both sides pre-aggregate to one row per day
+    BEFORE the full-outer join, so the join is tiny regardless of
+    fact volume.
+    """
+    orders = load(spark, "orders", sf_dir)
+    ev = load(spark, "events", sf_dir)
+    od = (
+        # o_orderdate reads as TIMESTAMP_NTZ; the cast to TIMESTAMP is
+        # session-tz-dependent, but tables.load pins the session to UTC
+        orders.select(
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    ed = (
+        ev.where("event_type = 'purchase'")
+        .select((F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_purchase_events"))
+    )
+    return od.join(ed, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_purchase_events", F.lit(0)).alias("n_purchase_events"),
+    )
+
+
+_RECON_SQL = """
+WITH od AS (
+  SELECT CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+),
+ed AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_purchase_events
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(od.day, ed.day) AS day,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_purchase_events, 0) AS n_purchase_events
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+"""
+
+
 QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "retention_cohorts": retention_cohorts,
     "word_graph_triangles": word_graph_triangles,
+    "customer_spend_ranks": customer_spend_ranks,
+    "daily_reconciliation": daily_reconciliation,
 }
 ORACLE = {
+    "customer_spend_ranks": _RANKS_SQL,
+    "daily_reconciliation": _RECON_SQL,
     "funnel_view_click_purchase": _FUNNEL_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "word_graph_triangles": _TRIANGLES_SQL,
