@@ -24,12 +24,13 @@ from goconnect_spark.queries import (
     dedup,
     packing,
     parity,
+    quality,
     similarity,
     text,
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, dedup, similarity, text, text2, packing)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, dedup, similarity, text, text2, packing, quality)
 
 
 def all_queries():

@@ -1,0 +1,228 @@
+"""Data-quality / profiling family (round-2 tail): robust outlier
+detection, table profiling, and constraint validation — the checks a
+production ingest pipeline runs before trusting a batch.
+
+Reference parity: goconnect pipelines express these as Filter/Fold
+user code (SURVEY.md §2.2-2.3); here they are single declarative
+plans.
+
+Determinism: medians via percentile()/quantile_cont (bit-identical
+across engines); every other output is integer counts, min/max of
+stored values, or comparisons of identically-derived doubles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from goconnect_spark.tables import load
+
+_MAD_K = 3.0  # outlier threshold: |x - median| > K * MAD
+
+
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier counts on events.value using the
+    median absolute deviation: an event is an outlier when
+    |value - median| > 3 * MAD. Mean/stddev would need
+    order-dependent float sums; median/MAD are percentile-based and
+    bit-portable, and are also the estimator you actually want under
+    heavy tails.
+
+    Two keyed aggregations over the same key (median, then MAD over
+    the deviations) plus one broadcast join back — three scans, all
+    partition-parallel on event_type. At 100 TB you'd fold both
+    passes over a numeric sketch (the histogram family) instead; the
+    exact version here is the oracle-checkable semantics.
+    """
+    ev = load(spark, "events", sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.expr("percentile(adev, 0.5D)").alias("mad"),
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > F.lit(_MAD_K) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, value, med, ABS(value - med) AS adev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, MAX(med) AS med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(m.med) AS med,
+       MAX(m.mad) AS mad,
+       CAST(SUM(CASE WHEN ABS(value - m.med) > {_MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report for the orders table: per column, the
+    null count, distinct count, and min/max rendered as strings — the
+    standard pre-ingest profiling sweep, one row per column.
+
+    Single pass: all per-column aggregates compute in ONE aggregation
+    (no per-column scans), then unpivot via a literal stack — the
+    profile of a 100 TB table costs one full scan, nothing more.
+    """
+    orders = load(spark, "orders", sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) as (column_name, n_nulls, n_distinct, min_str, max_str)"
+        )
+    ).orderBy("column_name")
+
+
+_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column_name,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+         CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice',
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+         CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+         CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+  FROM orders
+) ORDER BY column_name
+"""
+
+
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report: FK orphans (lineitem -> orders,
+    orders -> customer), primary-key duplicate rows, and null-key
+    violations — each check one row, all computed as anti-join /
+    keyed counts.
+
+    Anti joins shuffle on the checked key only; the PK-duplicate
+    check is a keyed count filtered to >1. Every check is
+    independently parallel; a clean batch returns all zeros (the
+    synthetic tables are referentially clean — the checks prove the
+    machinery, a dirty batch would light them up).
+    """
+    li = load(spark, "lineitem", sf_dir)
+    orders = load(spark, "orders", sf_dir)
+    cust = load(spark, "customer", sf_dir)
+
+    li_orphans = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    ).agg(F.count("*").alias("n"))
+    ord_orphans = orders.join(
+        cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"), "left_anti"
+    ).agg(F.count("*").alias("n"))
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .where("c > 1")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n"))
+    )
+    null_keys = li.where(F.col("l_orderkey").isNull()).agg(F.count("*").alias("n"))
+
+    def tag(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.select(
+            F.lit(no).alias("check_no"), F.lit(name).alias("check_name"), F.col("n").alias("n_violations")
+        )
+
+    return (
+        tag(li_orphans, 1, "lineitem_fk_orders")
+        .unionAll(tag(ord_orphans, 2, "orders_fk_customer"))
+        .unionAll(tag(dup_pk, 3, "orders_pk_duplicates"))
+        .unionAll(tag(null_keys, 4, "lineitem_null_orderkey"))
+    )
+
+
+_RI_SQL = """
+SELECT 1 AS check_no, 'lineitem_fk_orders' AS check_name,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 2, 'orders_fk_customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 3, 'orders_pk_duplicates',
+       CAST((SELECT COALESCE(SUM(c), 0) FROM
+             (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+UNION ALL
+SELECT 4, 'lineitem_null_orderkey',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT)
+"""
+
+
+QUERIES = {
+    "value_outliers_mad": value_outliers_mad,
+    "orders_profile": orders_profile,
+    "referential_integrity": referential_integrity,
+}
+ORACLE = {
+    "value_outliers_mad": _MAD_SQL,
+    "orders_profile": _PROFILE_SQL,
+    "referential_integrity": _RI_SQL,
+}
