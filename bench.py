@@ -83,6 +83,7 @@ def main():
                 "metric": "headline_total_wall",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(times),
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
