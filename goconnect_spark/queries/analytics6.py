@@ -308,16 +308,135 @@ FROM od FULL OUTER JOIN ed ON od.day = ed.day
 """
 
 
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: events roll up
+    to per-minute cells, minutes to hours, hours to days — each level
+    derived from the PREVIOUS level (sum of sums), exactly how a
+    streaming rollup maintains multi-resolution aggregates
+    incrementally. Returns the day level.
+
+    The oracle aggregates the raw events straight to days, so the
+    hash-match proves the cascade is algebraically exact — which it
+    is only because spend sums in DECIMAL (float re-aggregation would
+    drift). Scale: the first rollup collapses the stream to bounded
+    per-minute cells (map-side combine); every later level aggregates
+    an already-tiny relation.
+    """
+    ev = load(spark, "events", sf_dir)
+    minute = (
+        ev.select(
+            (F.unix_micros("ts") / F.lit(60_000_000)).cast("bigint").alias("m"),
+            F.col("value").cast(_PRICE).alias("v"),
+        )
+        .groupBy("m")
+        .agg(F.count("*").alias("cnt"), F.sum("v").alias("sv"))
+    )
+    hour = (
+        minute.select((F.col("m") / F.lit(60)).cast("bigint").alias("h"), "cnt", "sv")
+        .groupBy("h")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv"))
+    )
+    day = (
+        hour.select((F.col("h") / F.lit(24)).cast("bigint").alias("day"), "cnt", "sv")
+        .groupBy("day")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.sum("sv").cast("double").alias("total_value"),
+        )
+    )
+    return day
+
+
+_ROLLUP_SQL = """
+SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+_GKMV_K = 64
+
+
+def distinct_users_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV sketch: approximate distinct users per
+    event_type from the 64 smallest md5 hashes per group, with exact
+    distincts alongside. The per-key variant of events_distinct_kmv —
+    the mergeable sketch you'd keep per partition/key at 100 TB and
+    fold, instead of a per-key exact distinct.
+
+    The top-k-smallest per group is a partition-parallel row_number
+    window over the deduplicated (type, hash) relation — no global
+    sort anywhere.
+    """
+    ev = load(spark, "events", sf_dir)
+    h = ev.selectExpr(
+        "event_type",
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint) as hv",
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kmin = h.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= _GKMV_K)
+    agg = kmin.groupBy("event_type").agg(
+        F.count("*").alias("k"), F.max("hv").alias("kth_min")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        agg.join(exact, "event_type")
+        .selectExpr(
+            "event_type",
+            "k",
+            "kth_min",
+            "cast(k - 1 as double) * 1152921504606846976.0 / cast(kth_min as double) as estimate",
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+_GKMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+kmin AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h
+),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k, MAX(hv) AS kth_min
+  FROM kmin WHERE rk <= {_GKMV_K} GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, k, kth_min,
+       CAST(k - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_min AS DOUBLE) AS estimate,
+       exact_distinct
+FROM agg a JOIN ex USING (event_type)
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "retention_cohorts": retention_cohorts,
     "word_graph_triangles": word_graph_triangles,
     "customer_spend_ranks": customer_spend_ranks,
     "daily_reconciliation": daily_reconciliation,
+    "events_rollup_cascade": events_rollup_cascade,
+    "distinct_users_kmv_by_type": distinct_users_kmv_by_type,
 }
 ORACLE = {
     "customer_spend_ranks": _RANKS_SQL,
     "daily_reconciliation": _RECON_SQL,
+    "events_rollup_cascade": _ROLLUP_SQL,
+    "distinct_users_kmv_by_type": _GKMV_SQL,
     "funnel_view_click_purchase": _FUNNEL_SQL,
     "retention_cohorts": _RETENTION_SQL,
     "word_graph_triangles": _TRIANGLES_SQL,
