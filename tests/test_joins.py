@@ -173,3 +173,26 @@ def test_interval_join_rejects_bad_bin_width(spark):
     pts, iv = _points_and_intervals(spark)
     with _pytest.raises(ValueError):
         interval_join(pts, iv, "pt", "s", "e", bin_width=0)
+
+
+def test_interval_join_property_random_corpora(spark):
+    # randomized-but-seeded corpora: binned join must equal the naive
+    # range join pair-for-pair across messy layouts (dense overlaps,
+    # negative coords, bin-edge-straddling intervals)
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        pts_rows = [(i, rng.randint(-500, 1500)) for i in range(300)]
+        iv_rows = []
+        for j in range(80):
+            s = rng.randint(-600, 1400)
+            iv_rows.append((j, s, s + rng.randint(0, 250)))
+        pts = spark.createDataFrame(pts_rows, "pid long, pt long")
+        iv = spark.createDataFrame(iv_rows, "iv_id long, s long, e long")
+        bw = rng.choice([7, 64, 100, 333])
+        got = interval_join(pts, iv, "pt", "s", "e", bin_width=bw)
+        want = pts.join(iv, (F.col("pt") >= F.col("s")) & (F.col("pt") <= F.col("e")))
+        g = sorted((r.pid, r.iv_id) for r in got.collect())
+        w = sorted((r.pid, r.iv_id) for r in want.collect())
+        assert g == w, f"trial={trial} bw={bw}"
