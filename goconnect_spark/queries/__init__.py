@@ -32,6 +32,54 @@ from goconnect_spark.queries import (
 
 ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, dedup, similarity, text, text2, packing, quality)
 
+# Driver-verification priority: the per-round correctness harness runs the
+# catalog in registration order and may cap the run (round 2 covered only the
+# first ~50 of 85).  Queries that have never received a green DRIVER row come
+# first so the cumulative artifact converges on full-catalog coverage:
+#   tier 1 — absent from CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json, plus
+#            ann_ivf_kmeans_topk whose only driver row was err=no_oracle;
+#   tier 2 — present in r01 only (green there, but re-verify cheaply);
+#   tier 3 — green in r02 (freshest coverage, lowest urgency).
+_DRIVER_PRIORITY = (
+    # tier 1: never driver-green
+    "user_rolling_7d",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "word_graph_triangles",
+    "customer_spend_ranks",
+    "daily_reconciliation",
+    "events_rollup_cascade",
+    "distinct_users_kmv_by_type",
+    "dedup_filtered_corpus",
+    "benchmark_contamination",
+    "doc_repetition_ratio",
+    "vocab_oov_rate",
+    "word_cooccurrence",
+    "bigram_cond_prob",
+    "source_mix_weights",
+    "value_outliers_mad",
+    "orders_profile",
+    "referential_integrity",
+    "ann_ivf_kmeans_topk",
+    # tier 2: green in r01 but not r02
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "cosine_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "doc_fingerprint",
+    "text_token_bpeish",
+    "doc_length_buckets",
+    "sequence_packing",
+    "stratified_sample",
+)
+
 
 def all_queries():
     out = {}
@@ -40,7 +88,12 @@ def all_queries():
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
-    return out
+    ordered = {}
+    for name in _DRIVER_PRIORITY:
+        if name in out:
+            ordered[name] = out.pop(name)
+    ordered.update(out)
+    return ordered
 
 
 def all_oracles():
