@@ -208,9 +208,20 @@ JOIN edges e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2
 
 def customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full window-ranking family over customer order spend:
-    rank, dense_rank, percent_rank and ntile(10) — one window, one
-    pass, deterministic total order (spend is an exact decimal sum;
-    ties broken by c_custkey).
+    rank, dense_rank, percent_rank and ntile(10) — deterministic total
+    order (spend is an exact decimal sum; ties broken by custkey).
+
+    Scale shape: NO unpartitioned data-sized window. Because the order
+    (spend_dec DESC, custkey ASC) is total — custkey is unique — every
+    member of the family is a closed-form function of the global row
+    number rn and the row count n: rank = dense_rank = rn,
+    percent_rank = (rn-1)/(n-1), and ntile(k) follows the first-(n%k)-
+    tiles-get-ceil(n/k) rule. rn itself comes from the two-phase scan
+    (same pattern as packing.py's cumsum): range-partition on the sort
+    key, a constant-size window over per-partition counts yields each
+    partition's offset, and the data-sized row_number window is
+    partitioned by pid. n is a 1-row broadcast. At 100x the customer
+    dimension every data-sized step stays parallel.
 
     percent_rank's double is (rank-1)/(n-1): identical integers
     divided in both engines. Top 100 by the same total order.
@@ -219,15 +230,47 @@ def customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(_PRICE)).alias("spend_dec")
     )
-    w = Window.orderBy(F.desc("spend_dec"), F.asc("o_custkey"))
+    ranged = spend.repartitionByRange(
+        F.desc("spend_dec"), F.asc("o_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pcnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("pcnt").over(w_off), F.lit(0)).alias("poff")
+    )
+    total = counts.agg(F.sum("pcnt").alias("n_total"))
+    w_in = Window.partitionBy("pid").orderBy(
+        F.desc("spend_dec"), F.asc("o_custkey")
+    )
+    ranked = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_custkey",
+            "spend_dec",
+            (F.col("poff") + F.row_number().over(w_in)).alias("rn"),
+        )
+        .crossJoin(F.broadcast(total))  # 1-row scalar: the global count
+    )
+    # ntile(10): q = n DIV 10, r = n MOD 10; tiles 1..r hold q+1 rows
+    # (CASE keeps the q=0 division branch unevaluated under ANSI)
+    decile = F.expr(
+        """CASE WHEN rn <= (n_total % 10) * (n_total DIV 10 + 1)
+                THEN (rn + n_total DIV 10) DIV (n_total DIV 10 + 1)
+                ELSE n_total % 10
+                     + (rn - (n_total % 10) * (n_total DIV 10 + 1)
+                        + n_total DIV 10 - 1) DIV (n_total DIV 10)
+           END"""
+    )
     return (
-        spend.select(
+        ranked.select(
             F.col("o_custkey").alias("custkey"),
             F.col("spend_dec").cast("double").alias("spend"),
-            F.rank().over(w).cast("bigint").alias("rnk"),
-            F.dense_rank().over(w).cast("bigint").alias("drnk"),
-            F.percent_rank().over(w).alias("prnk"),
-            F.ntile(10).over(w).cast("bigint").alias("decile"),
+            F.col("rn").cast("bigint").alias("rnk"),
+            F.col("rn").cast("bigint").alias("drnk"),
+            F.when(F.col("n_total") > 1, (F.col("rn") - 1) / (F.col("n_total") - 1))
+            .otherwise(F.lit(0.0))
+            .alias("prnk"),
+            decile.cast("bigint").alias("decile"),
         )
         .orderBy("rnk", "custkey")
         .limit(100)

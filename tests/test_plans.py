@@ -141,3 +141,19 @@ def test_q13_preaggregates_before_join(spark, sf_dir, qs):
     join_idx = plan.index("Join")
     agg_idx = plan.index("HashAggregate")
     assert agg_idx > join_idx or "Aggregate" in plan[join_idx:]
+
+
+def test_customer_spend_ranks_no_global_window(spark, sf_dir, qs):
+    # the ranking family runs as the two-phase scan: the data-sized
+    # row_number window is partitioned by pid; the only unpartitioned
+    # window is the offset prefix-sum over per-partition counts
+    # (constant-size). A plain Window.orderBy over the customer
+    # dimension would show an unpartitioned window over spend_dec.
+    plan = _plan(qs["customer_spend_ranks"](spark, sf_dir))
+    import re
+
+    windows = [ln for ln in plan.split("\n") if re.search(r"\bWindow\b", ln)]
+    assert windows, plan
+    for ln in windows:
+        if "row_number" in ln or "spend_dec" in ln:
+            assert "pid" in ln, ln
