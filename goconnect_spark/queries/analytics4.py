@@ -562,12 +562,18 @@ ORACLE["q22_sales_opportunity"] = _Q22_SQL
 # a single Expand+HashAggregate — one scan, one shuffle, not three).
 # --------------------------------------------------------------------
 def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUPING() markers (not COALESCE) label the rollup rows: a
+    # genuine NULL group value stays NULL while subtotal rows read
+    # 'ALL' — the two can no longer conflate if the data ever carries
+    # NULL keys (tests/test_functions.py proves it on a NULL fixture).
     orders = load(spark, "orders", sf_dir)
     orders.createOrReplaceTempView("orders_gs")
     return spark.sql(
         """
-        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-               COALESCE(o_orderpriority, 'ALL') AS priority,
+        SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                    ELSE o_orderpriority END AS priority,
                COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         FROM orders_gs
@@ -578,8 +584,10 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GROUPING_SETS_SQL = """
-SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-       COALESCE(o_orderpriority, 'ALL') AS priority,
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END AS status,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
        COUNT(*) AS n_orders,
        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price
 FROM orders

@@ -158,14 +158,17 @@ def word_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the word co-occurrence graph (edges = word
     pairs sharing >= _TRI_MIN_PAIR documents).
 
-    The count uses the oriented-edge algorithm: every edge is stored
-    once as (lo, hi) with lo < hi, and triangles are found as
-    e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — each triangle counted
-    exactly once, join sizes bounded by out-degrees under the
-    orientation. At real graph scale the orientation key would be
-    (degree, id) instead of raw id — that bounds every out-degree by
-    sqrt(|E|) (the classic heavy-vertex fix); id-orientation keeps the
-    oracle simple here and the plan shape is identical.
+    The count uses the DEGREE-oriented-edge algorithm: every
+    undirected edge is oriented from its lower to its higher endpoint
+    under the total order (degree, id), wedges are enumerated at each
+    source over its out-neighbours, and a wedge (b, c) closes iff the
+    oriented edge b→c exists. Each triangle is counted exactly once
+    (at its minimum-(degree,id) vertex). Degree orientation bounds
+    EVERY out-degree by O(sqrt(|E|)) — the classic heavy-vertex fix —
+    so one stop-word surviving the support threshold cannot make the
+    wedge join quadratic in its (huge) degree the way raw-id
+    orientation can. The triangle count is orientation-invariant, so
+    the oracle SQL is the plain three-way join.
     """
     docs = load(spark, "documents", sf_dir)
     dw = docs.select(
@@ -181,11 +184,35 @@ def word_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= _TRI_MIN_PAIR)
         .select("w1", "w2")
     )
-    e1 = edges.select(F.col("w1").alias("a"), F.col("w2").alias("b"))
-    e2 = edges.select(F.col("w1").alias("b"), F.col("w2").alias("c"))
-    e3 = edges.select(F.col("w1").alias("a"), F.col("w2").alias("c"))
-    wedges = e1.join(e2, "b")
-    tris = wedges.join(e3, ["a", "c"])
+    # degree of each vertex in the thresholded graph (vertex-dim sized)
+    deg = (
+        edges.select(F.col("w1").alias("v"))
+        .unionAll(edges.select(F.col("w2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # attach (deg, id) order keys to both endpoints; struct comparison
+    # is lexicographic, giving the total order the orientation needs
+    keyed = (
+        edges.join(deg.withColumnRenamed("v", "w1").withColumnRenamed("deg", "d1"), "w1")
+        .join(deg.withColumnRenamed("v", "w2").withColumnRenamed("deg", "d2"), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.struct(F.col("d1").alias("d"), F.col("w1").alias("v")).alias("k1"),
+            F.struct(F.col("d2").alias("d"), F.col("w2").alias("v")).alias("k2"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("k1") < F.col("k2"), F.col("w1")).otherwise(F.col("w2")).alias("src"),
+        F.when(F.col("k1") < F.col("k2"), F.col("w2")).otherwise(F.col("w1")).alias("dst"),
+        F.when(F.col("k1") < F.col("k2"), F.col("k2")).otherwise(F.col("k1")).alias("kdst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("b"), F.col("kdst").alias("kb"))
+    o2 = oriented.select("src", F.col("dst").alias("c"), F.col("kdst").alias("kc"))
+    wedges = o1.join(o2, "src").where(F.col("kb") < F.col("kc"))
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
     return tris.agg(F.count("*").alias("n_triangles"))
 
 

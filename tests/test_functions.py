@@ -171,3 +171,47 @@ def test_minhash_estimates_jaccard(spark):
         .jaccard
     )
     assert abs(agree - true_j) < 0.25  # 24 samples -> wide but real bound
+
+
+def test_grouping_sets_null_key_not_conflated_with_rollup(spark, tmp_path):
+    # orders_grouping_sets uses GROUPING() markers: a genuine NULL
+    # group value must stay NULL (distinct from the 'ALL' subtotal
+    # rows), and the aggregate values must match DuckDB running the
+    # oracle SQL on the same NULL-bearing data.
+    import duckdb
+
+    from goconnect_spark.queries.analytics4 import (
+        _GROUPING_SETS_SQL,
+        orders_grouping_sets,
+    )
+
+    rows = [
+        ("O", "1-URGENT", "10.00"),
+        ("O", None, "20.00"),
+        (None, "1-URGENT", "40.00"),
+        (None, None, "80.00"),
+        ("F", "2-HIGH", "160.00"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, p, float(v)) for i, (s, p, v) in enumerate(rows)],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, o_totalprice double",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+    got = orders_grouping_sets(spark, sf).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(_GROUPING_SETS_SQL).fetchall()
+
+    norm = lambda rs: sorted(
+        ((r[0] or "", r[1] or "", r[0] is None, r[1] is None, int(r[2]), round(float(r[3]), 6)) for r in rs)
+    )
+    assert norm(got) == norm(want)
+    # the NULL-status group and the 'ALL' rollup are separate rows
+    statuses = [r[0] for r in got]
+    assert None in statuses and "ALL" in statuses
+    null_detail = [r for r in got if r[0] is None and r[1] == "1-URGENT"]
+    assert null_detail and null_detail[0][2] == 1

@@ -35,7 +35,16 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_connected_components",
+    # graph family: degree-oriented triangle counting (documents-only
+    # input, so the replicated corpus exercises it too). Replica word
+    # prefixes keep components disjoint → true triangle count scales
+    # linearly, which is what the wall-clock should do as well.
+    "word_graph_triangles",
 ]
+
+# subset via env, e.g. SCALE_QUERIES=word_graph_triangles
+if os.environ.get("SCALE_QUERIES"):
+    QUERIES = [q for q in QUERIES if q in os.environ["SCALE_QUERIES"].split(",")]
 
 
 def synthesize(spark, m: int, out_dir: str) -> None:
