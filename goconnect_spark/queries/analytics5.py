@@ -281,8 +281,11 @@ def word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size, which is the entire point of a CMS at 100 TB. Probes
     join the tiny cell table via broadcast.
     """
-    docs = load(spark, "documents", sf_dir)
-    tok = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    from goconnect_spark.queries.corpus import doc_token_arrays
+
+    tok = doc_token_arrays(spark, sf_dir).select(
+        F.explode("toks").alias("tok")
+    )
     js = F.array([F.lit(j) for j in range(_CMS_D)])
     bucket = F.expr(
         f"cast(conv(substr(md5(concat(cast(j as string), ':', tok)), 1, 15), 16, 10) as bigint) % {_CMS_W}"

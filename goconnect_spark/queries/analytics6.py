@@ -170,10 +170,9 @@ def word_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation can. The triangle count is orientation-invariant, so
     the oracle SQL is the plain three-way join.
     """
-    docs = load(spark, "documents", sf_dir)
-    dw = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+    from goconnect_spark.queries.corpus import doc_tokens_distinct
+
+    dw = doc_tokens_distinct(spark, sf_dir)  # shared persisted incidence table
     a = dw.select("doc_id", F.col("tok").alias("w1"))
     b = dw.select("doc_id", F.col("tok").alias("w2"))
     edges = (

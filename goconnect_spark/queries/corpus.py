@@ -1,0 +1,68 @@
+"""Shared tokenized-corpus tables, persisted once per (session, sf_dir).
+
+The text-sketch family (word_freq_cms, word_cooccurrence,
+bigram_cond_prob, word_graph_triangles) each consume the same
+tokenization of `documents.text`; recomputing the parquet scan + split
+per query wastes the dominant shared cost. These helpers materialize
+the token layer ONCE per session and sf_dir:
+
+- ``doc_token_arrays``  — (doc_id, toks array<string>), the base split
+- ``doc_tokens_distinct`` — distinct (doc_id, tok), the document-level
+  word-incidence table the co-occurrence and graph queries start from
+
+This is the same share-the-expensive-intermediate principle as the
+PPJoin shingle-set persist (dedup.py): at 100 TB a pipeline would
+materialize the token table as a first-class dataset (bucketed by
+doc_id) and every downstream sketch would read it instead of re-
+tokenizing the raw corpus. MEMORY_AND_DISK so an oversized corpus
+spills instead of OOMing; unpersisting is never required for
+correctness — a cleared cache just recomputes lazily.
+
+Results are unchanged: each query's DuckDB oracle still tokenizes from
+raw text, so the hash-match proves the shared table is equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from goconnect_spark.tables import load
+
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    key = (id(spark), os.path.abspath(sf_dir), kind)
+    df = _CACHE.get(key)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _CACHE[key] = df
+    return df
+
+
+def doc_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks: array<string>) — one split per document."""
+    return _cached(
+        spark,
+        sf_dir,
+        "toks",
+        lambda: load(spark, "documents", sf_dir).select(
+            "doc_id", F.split("text", " ").alias("toks")
+        ),
+    )
+
+
+def doc_tokens_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, tok) — the word-incidence table."""
+    return _cached(
+        spark,
+        sf_dir,
+        "dw",
+        lambda: doc_token_arrays(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .distinct(),
+    )

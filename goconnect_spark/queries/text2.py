@@ -182,9 +182,11 @@ def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 < w2. The pair aggregation is one shuffle on (w1, w2); df
     lookups re-use the tiny pruned-vocab table, broadcast twice.
     """
+    from goconnect_spark.queries.corpus import doc_tokens_distinct
+
     docs = load(spark, "documents", sf_dir)
     n_docs = docs.count()  # scalar dim seed, one cheap job
-    dw = _tokens(docs).distinct()
+    dw = doc_tokens_distinct(spark, sf_dir)  # shared persisted incidence table
     dfc = dw.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     vocab = dfc.where(F.col("df") >= _COOC_MIN_DF)
     dwv = dw.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
@@ -259,15 +261,20 @@ def bigram_cond_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     followed by something), so numerators sum to the denominator
     exactly. One shuffle per aggregation, both with partial combine.
     """
-    docs = load(spark, "documents", sf_dir)
-    grams = docs.select(
-        F.explode(
-            F.expr(
-                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-                " (w, i) -> struct(w as w1, element_at(split(text, ' '), i + 2) as w2))"
-            )
-        ).alias("g")
-    ).select("g.w1", "g.w2")
+    from goconnect_spark.queries.corpus import doc_token_arrays
+
+    grams = (
+        doc_token_arrays(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (w, i) -> struct(w as w1, element_at(toks, i + 2) as w2))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
     pair = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     head = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     return (
