@@ -8,8 +8,9 @@ metadata struct — the schema any 100 TB multimodal corpus uses:
     media_meta   STRUCT<kind: STRING,       -- image|audio|video
                         format: STRING,     -- png|jpeg|wav|mp4|...
                         width: INT, height: INT,
-                        sample_rate: INT, n_frames: INT,
-                        duration_ms: LONG>
+                        sample_rate: INT, n_channels: INT,
+                        n_frames: INT, duration_ms: LONG,
+                        n_bytes: LONG>
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 Pandas UDFs over mapInPandas — the Spark-side plumbing (schema,
@@ -34,7 +35,8 @@ from pyspark.sql import DataFrame
 
 MEDIA_META_SCHEMA = (
     "struct<kind:string,format:string,width:int,height:int,"
-    "sample_rate:int,n_frames:int,duration_ms:bigint>"
+    "sample_rate:int,n_channels:int,n_frames:int,duration_ms:bigint,"
+    "n_bytes:bigint>"
 )
 
 _FEATURE_SCHEMA = (
@@ -56,8 +58,10 @@ def attach_meta(df: DataFrame, media_col: str = "media", kind: str = "image",
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_channels"),
             F.lit(None).cast("int").alias("n_frames"),
-            F.length(media_col).cast("bigint").alias("duration_ms"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+            F.length(media_col).cast("bigint").alias("n_bytes"),
         ),
     )
 
@@ -120,8 +124,10 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
             width.alias("width"),
             height.alias("height"),
             sample_rate.alias("sample_rate"),
-            n_channels.alias("n_frames"),
-            F.length(media_col).cast("bigint").alias("duration_ms"),
+            n_channels.alias("n_channels"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+            F.length(media_col).cast("bigint").alias("n_bytes"),
         ),
     )
 

@@ -101,13 +101,16 @@ class TextFileSource(Source):
     """file.Text parity: one element per line, seq = (file, line)
     composite so ordering follows files then lines.
 
-    Scale shape: line numbering is per-file (a window PARTITIONED BY
-    the file — parallel across files), and the file index is a window
-    over the distinct file list (one row per file — constant-sized).
-    No data-sized global window. Line order within a file follows the
-    scan's partition order (Spark's text source gives no stronger
-    contract in the DataFrame API; files small enough for one split —
-    the reference's use case, io/file — are exactly ordered)."""
+    Reads each file whole (``wholetext``) and splits lines with
+    posexplode, so within-file line numbering is exact BYTE order —
+    immune to the multi-split hazard where a plain ``spark.read.text``
+    scan's partition order is not byte order for files larger than one
+    split. The trade is that one file must fit in one task (the
+    reference's io/file use case — per-element files — is far below
+    that); a 100 TB pipeline with multi-GB single text files should
+    land them as parquet/jsonl first. The file index is a window over
+    the distinct file list (one row per file — constant-sized); no
+    data-sized global window anywhere."""
 
     path: str
 
@@ -116,23 +119,24 @@ class TextFileSource(Source):
     def read(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql.window import Window
 
-        df = spark.read.text(self.path).select(
+        df = spark.read.option("wholetext", True).text(self.path).select(
             F.input_file_name().alias("_f"),
-            F.monotonically_increasing_id().alias("_mid"),
             F.col("value"),
         )
         files = df.select("_f").distinct().select(
             "_f",
             (F.row_number().over(Window.orderBy("_f")) - 1).cast("long").alias("_fidx"),
         )
-        line_w = Window.partitionBy("_f").orderBy("_mid")
+        # Hadoop line semantics: a trailing newline does not open a
+        # final empty line; an empty file has no lines.
+        lines = F.split(F.regexp_replace("value", r"\r?\n$", ""), r"\r?\n")
         return (
             df.join(F.broadcast(files), "_f")
+            .where(F.length("value") > 0)
+            .select("_fidx", F.posexplode(lines).alias("_pos", "value"))
             .select(
                 (
-                    F.col("_fidx") * F.lit(self._FILE_STRIDE)
-                    + F.row_number().over(line_w)
-                    - 1
+                    F.col("_fidx") * F.lit(self._FILE_STRIDE) + F.col("_pos")
                 ).cast("long").alias("seq"),
                 F.current_timestamp().alias("event_time"),
                 "value",

@@ -102,9 +102,17 @@ def run_bounded(stream_df: DataFrame, sink_name: str, output_mode: str = "append
 
 
 class StreamingLimit:
-    """Exact Limit(n) on an unbounded stream — the reference's
-    stop-cascade (def.go:88-91): take the first n elements in seq
-    order as batches arrive, then stop the query.
+    """Limit(n) on an unbounded stream — the reference's stop-cascade
+    (def.go:88-91): stop the query once n elements are taken.
+
+    Ordering contract: first-n-by-ARRIVAL across micro-batches,
+    seq-ordered WITHIN each batch. A later batch can carry a smaller
+    seq than an earlier batch's rows (e.g. out-of-order file pickup),
+    and those rows are not retroactively swapped in — matching the
+    reference, whose Limit also takes whatever reaches it first
+    (elements already in flight when the cascade fires). Only a full
+    sort-buffer of the unbounded stream could give global seq order,
+    which neither engine attempts.
 
     Spark's sort+limit is unsupported on append streams, so this is a
     foreachBatch accumulator: each micro-batch contributes its
@@ -115,7 +123,7 @@ class StreamingLimit:
 
     >>> lim = StreamingLimit(n=100)
     >>> q = lim.start(stream_df)
-    >>> lim.await_filled(q); lim.rows  # first 100 elements by seq
+    >>> lim.await_filled(q); lim.rows  # first 100 by arrival
     """
 
     def __init__(self, n: int):

@@ -98,8 +98,9 @@ def test_parse_media_headers_real_containers(spark):
     out = {r.media_id: r.media_meta for r in parse_media_headers(df).collect()}
     assert (out[1].format, out[1].width, out[1].height, out[1].kind) == ("png", 640, 480, "image")
     assert (out[2].width, out[2].height) == (16, 4096)
-    assert (out[3].format, out[3].sample_rate, out[3].n_frames, out[3].kind) == ("wav", 44100, 2, "audio")
-    assert (out[4].sample_rate, out[4].n_frames) == (16000, 1)
+    assert (out[3].format, out[3].sample_rate, out[3].n_channels, out[3].kind) == ("wav", 44100, 2, "audio")
+    assert (out[4].sample_rate, out[4].n_channels) == (16000, 1)
+    assert out[4].n_bytes == 44 and out[4].n_frames is None
     assert (out[5].format, out[5].kind) == ("jpeg", "image")
     assert out[6].format == "unknown" and out[6].width is None
 

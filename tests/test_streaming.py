@@ -347,3 +347,33 @@ def test_keyed_fold_tws_matches_batch(spark, events_stream):
     )
     want = {r.l_returnflag: (round(r.s, 6), r.n) for r in batch}
     assert got == want
+
+
+def test_streaming_limit_multi_batch_is_first_n_by_arrival(spark, tmp_path):
+    """Across micro-batches StreamingLimit is first-n-by-ARRIVAL
+    (seq-ordered within each batch), per its documented contract: an
+    earlier batch's rows are never evicted by later, smaller seqs."""
+    import os
+    import time
+
+    from goconnect_spark.streaming.run import StreamingLimit
+
+    d = str(tmp_path / "in")
+    # file A (older mtime -> first batch) carries the LARGER seqs
+    spark.range(100, 110).selectExpr("id as seq").coalesce(1).write.parquet(d + "/a")
+    time.sleep(1.1)  # FileStreamSource orders files by mtime
+    spark.range(0, 10).selectExpr("id as seq").coalesce(1).write.parquet(d + "/b")
+
+    stream = (
+        spark.readStream.schema("seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+        .select(F.col("seq"), F.current_timestamp().alias("event_time"))
+    )
+    lim = StreamingLimit(n=15)
+    q = lim.start(stream, trigger={"availableNow": True})
+    lim.await_filled(q)
+    seqs = [r.seq for r in lim.rows]
+    # batch 1 = all of file A in seq order; batch 2 = the 5 smallest of
+    # file B — NOT the 15 globally-smallest seqs
+    assert seqs == list(range(100, 110)) + list(range(0, 5))
