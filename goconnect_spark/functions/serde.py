@@ -84,6 +84,94 @@ def xml_encode(struct: Column, row_tag: str = "r") -> Column:
     return F.to_xml(struct, {"rowTag": row_tag})
 
 
+XML_NODE_SCHEMA = (
+    "array<struct<node_id:int,parent_id:int,type:string,tag:string,"
+    "text:string,comment:string,target:string,inst:string,"
+    "directive:string,attrs:map<string,string>>>"
+)
+
+
+def xml_nodes() -> Column:
+    """Full XML node-tree decode — the columnar equivalent of the
+    reference's Node interface (coder/xml/node.go:35-72), which
+    models Root/Tag/Text/Comment/ProcInst/Directive nodes that
+    Spark's `from_xml` (and therefore `xml_decode`) silently drops.
+
+    Returns a pandas UDF: xml string -> preorder-flattened node array
+    (node_id = document order, parent_id = -1 for root). Tag nodes
+    carry `tag` + `attrs`; Text/Comment/Directive carry their data;
+    ProcInst carries `target` + `inst` — exactly the reference's
+    accessor partition (TagName/Attr vs Text vs Comment vs
+    Target/Inst vs Directive, each empty for other node types).
+
+    Tree extraction is inherently non-columnar, so this is the
+    documented Arrow-batched slow path (expat, C speed, one pass per
+    document); schema-known element projection should keep using
+    `xml_decode`, which stays JVM-side. Malformed XML yields NULL
+    (PERMISSIVE, matching from_xml's corrupt-record behavior).
+    """
+    import pandas as pd  # noqa: F401 - resolved by pandas_udf type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def parse_one(doc):
+        if doc is None:
+            return None
+        from xml.parsers import expat
+
+        nodes: list = [(0, -1, "root", None, None, None, None, None, None, None)]
+        stack = [0]
+
+        def nid():
+            return len(nodes)
+
+        def start(tag, attrs):
+            i = nid()
+            nodes.append((i, stack[-1], "tag", tag, None, None, None, None, None, dict(attrs)))
+            stack.append(i)
+
+        def end(tag):
+            stack.pop()
+
+        def chars(data):
+            # expat splits character data arbitrarily; merge runs so a
+            # text node is maximal, like the reference's charData node
+            last = nodes[-1]
+            if last[2] == "text" and last[1] == stack[-1]:
+                nodes[-1] = last[:4] + (last[4] + data,) + last[5:]
+            else:
+                nodes.append((nid(), stack[-1], "text", None, data, None, None, None, None, None))
+
+        def comment(data):
+            nodes.append((nid(), stack[-1], "comment", None, None, data, None, None, None, None))
+
+        def pi(target, inst):
+            nodes.append((nid(), stack[-1], "procinst", None, None, None, target, inst, None, None))
+
+        def doctype(name, sysid, pubid, has_internal):
+            nodes.append((nid(), stack[-1], "directive", None, None, None, None, None,
+                          "DOCTYPE " + name, None))
+
+        p = expat.ParserCreate()
+        p.buffer_text = True
+        p.StartElementHandler = start
+        p.EndElementHandler = end
+        p.CharacterDataHandler = chars
+        p.CommentHandler = comment
+        p.ProcessingInstructionHandler = pi
+        p.StartDoctypeDeclHandler = doctype
+        try:
+            p.Parse(doc, True)
+        except expat.ExpatError:
+            return None
+        return nodes
+
+    def run(s):
+        return s.map(parse_one)
+
+    run.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(XML_NODE_SCHEMA)(run)
+
+
 def json_encode(struct: Column) -> Column:
     """GenericRecord -> JSON (reference serde.JsonEncoder)."""
     return F.to_json(struct)

@@ -143,6 +143,35 @@ def test_xml_encode_roundtrip(spark):
     assert back.d.id == 1 and back.d.mode == "fast"
 
 
+def test_xml_nodes_full_tree(spark):
+    """Node-type parity with the reference's coder/xml/node.go:35-72:
+    Root/Tag/Text/Comment/ProcInst/Directive all surface, preorder,
+    with the accessor partition (tag+attrs vs text vs comment vs
+    target+inst vs directive) and NULL for malformed input."""
+    doc = (
+        '<?xml version="1.0"?><!DOCTYPE note>'
+        '<root a="1"><!--hi--><child>txt<?php echo?></child>tail</root>'
+    )
+    df = spark.createDataFrame([(doc,), (None,), ("<bad",)], "xml string")
+    rows = df.select(serde.xml_nodes()(F.col("xml")).alias("n")).collect()
+    nodes = rows[0].n
+    types = [n.type for n in nodes]
+    assert types == ["root", "directive", "tag", "comment", "tag", "text", "procinst", "text"]
+    assert nodes[0].parent_id == -1
+    root_tag = nodes[2]
+    assert root_tag.tag == "root" and root_tag.attrs == {"a": "1"}
+    assert nodes[1].directive == "DOCTYPE note"
+    assert nodes[3].comment == "hi" and nodes[3].parent_id == root_tag.node_id
+    child = nodes[4]
+    assert (nodes[5].text, nodes[5].parent_id) == ("txt", child.node_id)
+    assert (nodes[6].target, nodes[6].inst) == ("php", "echo")
+    assert (nodes[7].text, nodes[7].parent_id) == ("tail", root_tag.node_id)
+    # non-matching accessors stay NULL, like the reference's empty returns
+    assert nodes[5].tag is None and root_tag.text is None
+    # PERMISSIVE: null in, malformed in -> NULL out
+    assert rows[1].n is None and rows[2].n is None
+
+
 def test_minhash_estimates_jaccard(spark):
     # statistical validation: the banded-minhash signature agreement
     # rate approximates the true Jaccard within sampling error
