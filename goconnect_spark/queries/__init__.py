@@ -22,6 +22,7 @@ from goconnect_spark.queries import (
     analytics5,
     analytics6,
     dedup,
+    filtering,
     packing,
     parity,
     quality,
@@ -30,7 +31,7 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, dedup, similarity, text, text2, packing, quality)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, dedup, filtering, similarity, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (round 2 covered only the
@@ -41,6 +42,11 @@ ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5
 #   tier 2 — present in r01 only (green there, but re-verify cheaply);
 #   tier 3 — green in r02 (freshest coverage, lowest urgency).
 _DRIVER_PRIORITY = (
+    # tier 0: new in round 4 — never seen by the driver
+    "gopher_quality_rules",
+    "duplicated_ngram_coverage",
+    "doc_lm_score",
+    "embedding_outliers",
     # tier 1: never driver-green
     "user_rolling_7d",
     "funnel_view_click_purchase",

@@ -157,3 +157,17 @@ def test_customer_spend_ranks_no_global_window(spark, sf_dir, qs):
     for ln in windows:
         if "row_number" in ln or "spend_dec" in ln:
             assert "pid" in ln, ln
+
+
+def test_filtering_family_plans_are_scale_shaped(spark, sf_dir, qs):
+    """Round-4 filtering operators: candidate generation must stay on
+    equi-joins (no cartesian/NLJ), all-JVM (no EvalPython), and never
+    use an unpartitioned data-sized window."""
+    for name in ["gopher_quality_rules", "duplicated_ngram_coverage",
+                 "doc_lm_score", "embedding_outliers"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
+        # none of these needs a window at all — the centroid/threshold
+        # scalars arrive via 1-row broadcast, not a global window
+        assert "Window" not in plan, name
