@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = (
     "duplicated_ngram_coverage",
     "doc_lm_score",
     "embedding_outliers",
+    "curated_corpus_stats",
     # tier 1: never driver-green
     "user_rolling_7d",
     "funnel_view_click_purchase",

@@ -382,11 +382,112 @@ ORDER BY vec_id
 """
 
 
+_CONTAM_T = 2  # duplicated eval trigrams that mark a train doc contaminated
+
+
+def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation budget: the full decision stack a corpus
+    pipeline runs before committing training data — eval holdout,
+    Gopher quality rules, near-dup clustering, benchmark
+    decontamination — composed from the SAME operators the catalog
+    verifies individually, rolled up per source.
+
+    Decision precedence (counts are disjoint, sum to n_docs):
+    eval-holdout > quality-fail > dup-drop > contamination > curated.
+
+    Composition is free at the plan level: each ingredient query ends
+    in an orderBy, and Catalyst's EliminateSorts removes every inner
+    sort under the joins/aggregation (verified: no Sort survives in
+    the optimized plan except the final source ordering), so reusing
+    the public operators costs nothing over hand-fusing them. The
+    joins are doc-keyed equi-joins; the rollup is one keyed shuffle.
+    """
+    from goconnect_spark.queries.dedup import dedup_connected_components
+    from goconnect_spark.queries.text2 import _EVAL_MOD, benchmark_contamination
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    gq = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
+    cc = dedup_connected_components(spark, sf_dir)
+    dup = cc.where(F.col("doc_id") != F.col("keeper_doc_id")).select(
+        "doc_id", F.lit(True).alias("is_dup")
+    )
+    contam = benchmark_contamination(spark, sf_dir).where(
+        F.col("n_matched") >= _CONTAM_T
+    ).select("doc_id", F.lit(True).alias("is_contam"))
+
+    flagged = (
+        docs.join(gq, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "source",
+            (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+            F.coalesce("keep", F.lit(False)).alias("quality_ok"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            F.coalesce("is_contam", F.lit(False)).alias("is_contam"),
+        )
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    eval_c = F.when(F.col("is_eval"), one).otherwise(zero)
+    qual_c = F.when(~F.col("is_eval") & ~F.col("quality_ok"), one).otherwise(zero)
+    dup_c = F.when(~F.col("is_eval") & F.col("quality_ok") & F.col("is_dup"), one).otherwise(zero)
+    cont_c = F.when(
+        ~F.col("is_eval") & F.col("quality_ok") & ~F.col("is_dup") & F.col("is_contam"), one
+    ).otherwise(zero)
+    cur_c = F.when(
+        ~F.col("is_eval") & F.col("quality_ok") & ~F.col("is_dup") & ~F.col("is_contam"), one
+    ).otherwise(zero)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(one).alias("n_docs"),
+            F.sum(eval_c).cast("long").alias("n_eval_holdout"),
+            F.sum(qual_c).cast("long").alias("n_quality_drop"),
+            F.sum(dup_c).cast("long").alias("n_dup_drop"),
+            F.sum(cont_c).cast("long").alias("n_contam_drop"),
+            F.sum(cur_c).cast("long").alias("n_curated"),
+        )
+        .orderBy("source")
+    )
+
+
+def _curated_sql() -> str:
+    from goconnect_spark.queries.dedup import _cc_oracle_sql
+    from goconnect_spark.queries.text2 import _CONTAMINATION_SQL, _EVAL_MOD
+
+    return f"""
+WITH gq AS ({_GOPHER_SQL}),
+cc AS ({_cc_oracle_sql()}),
+ct AS ({_CONTAMINATION_SQL}),
+flagged AS (
+  SELECT d.source,
+         d.doc_id % {_EVAL_MOD} = 0 AS is_eval,
+         COALESCE(gq.keep, FALSE) AS quality_ok,
+         COALESCE(cc.doc_id <> cc.keeper_doc_id, FALSE) AS is_dup,
+         COALESCE(ct.n_matched >= {_CONTAM_T}, FALSE) AS is_contam
+  FROM documents d
+  LEFT JOIN gq ON gq.doc_id = d.doc_id
+  LEFT JOIN cc ON cc.doc_id = d.doc_id
+  LEFT JOIN ct ON ct.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_holdout,
+       CAST(SUM(CASE WHEN NOT is_eval AND NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_drop,
+       CAST(SUM(CASE WHEN NOT is_eval AND quality_ok AND is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_drop,
+       CAST(SUM(CASE WHEN NOT is_eval AND quality_ok AND NOT is_dup AND is_contam THEN 1 ELSE 0 END) AS BIGINT) AS n_contam_drop,
+       CAST(SUM(CASE WHEN NOT is_eval AND quality_ok AND NOT is_dup AND NOT is_contam THEN 1 ELSE 0 END) AS BIGINT) AS n_curated
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "gopher_quality_rules": gopher_quality_rules,
     "duplicated_ngram_coverage": duplicated_ngram_coverage,
     "doc_lm_score": doc_lm_score,
     "embedding_outliers": embedding_outliers,
+    "curated_corpus_stats": curated_corpus_stats,
 }
 
 ORACLE = {
@@ -395,3 +496,4 @@ ORACLE = {
     "doc_lm_score": _LM_SCORE_SQL,
     "embedding_outliers": _EMB_OUTLIER_SQL,
 }
+ORACLE["curated_corpus_stats"] = _curated_sql()
