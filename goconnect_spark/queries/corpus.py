@@ -35,7 +35,10 @@ from goconnect_spark.tables import load
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
-def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+def cached_table(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    """Persist-once registry for expensive shared intermediates (token
+    tables, dedup cluster maps): the session-lifetime analog of
+    materializing a first-class dataset in a 100 TB pipeline."""
     key = (id(spark), os.path.abspath(sf_dir), kind)
     df = _CACHE.get(key)
     if df is None:
@@ -46,7 +49,7 @@ def _cached(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
 
 def doc_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, toks: array<string>) — one split per document."""
-    return _cached(
+    return cached_table(
         spark,
         sf_dir,
         "toks",
@@ -58,7 +61,7 @@ def doc_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_tokens_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, tok) — the word-incidence table."""
-    return _cached(
+    return cached_table(
         spark,
         sf_dir,
         "dw",

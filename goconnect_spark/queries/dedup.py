@@ -520,6 +520,19 @@ ORACLE = {
 # fixpoint: min doc_id reachable.
 # --------------------------------------------------------------------
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached per (session, sf_dir): three catalog queries consume the
+    cluster map (standalone, dedup_filtered_corpus,
+    curated_corpus_stats), and the iterative build runs eager jobs —
+    re-deriving it per consumer tripled the most expensive build in
+    the catalog. Same materialize-once principle as corpus.py."""
+    from goconnect_spark.queries.corpus import cached_table
+
+    return cached_table(
+        spark, sf_dir, "cc", lambda: _cc_build(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+def _cc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir).select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     # materialize the edge list once — every CC iteration joins it,
@@ -563,7 +576,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.join(sizes, "label")
         .select("doc_id", F.col("label").alias("keeper_doc_id"), "component_size")
         .where(F.col("component_size") > 1)  # only true duplicate clusters
-        .orderBy("doc_id")
     )
 
 
