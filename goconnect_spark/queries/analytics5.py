@@ -275,11 +275,15 @@ def word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (j, bucket) -> count table (<= 1024 cells). The point estimate for
     a key is min over its 4 cells.
 
-    Scale shape: the exploded token stream collapses via map-side
-    partial aggregation into <= 1024 cells per partition before the
-    exchange — the sketch build is one near-free shuffle regardless of
-    corpus size, which is the entire point of a CMS at 100 TB. Probes
-    join the tiny cell table via broadcast.
+    Scale shape: one shuffle total — the token stream collapses to
+    the vocab-sized exact-count table (map-side partial agg), and the
+    sketch cells are summed from THAT table, so the 4 md5 hashes run
+    per distinct word, not per occurrence (cell values are identical:
+    a cell holds the sum of counts of the words hashing into it).
+    Probes join the tiny cell table via broadcast. In a pure-sketch
+    deployment (no exact table, e.g. streaming) the per-occurrence
+    build still collapses map-side into <= 1024 cells per partition —
+    the CMS property this query demonstrates.
     """
     from goconnect_spark.queries.corpus import doc_token_arrays
 
@@ -290,13 +294,13 @@ def word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(
         f"cast(conv(substr(md5(concat(cast(j as string), ':', tok)), 1, 15), 16, 10) as bigint) % {_CMS_W}"
     )
-    cells = (
-        tok.select("tok", F.explode(js).alias("j"))
-        .select("j", bucket.alias("b"))
-        .groupBy("j", "b")
-        .agg(F.count("*").alias("cnt"))
-    )
     exact = tok.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    cells = (
+        exact.select("tok", "exact_count", F.explode(js).alias("j"))
+        .select("j", bucket.alias("b"), "exact_count")
+        .groupBy("j", "b")
+        .agg(F.sum("exact_count").cast("long").alias("cnt"))
+    )
     top = exact.orderBy(F.desc("exact_count"), "tok").limit(20)
     probes = top.select("tok", "exact_count", F.explode(js).alias("j")).withColumn(
         "b", bucket

@@ -182,6 +182,13 @@ def word_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= _TRI_MIN_PAIR)
         .select("w1", "w2")
+        # materialize once: the edge subtree feeds deg, the two wedge
+        # sides AND the closing join — without this the support-
+        # threshold aggregation re-executes ~5x (measured 8.7 -> 1.3 s
+        # at sf0.1). The thresholded graph is support-bounded, far
+        # smaller than the corpus, so checkpointing it is the same
+        # materialize-the-small-intermediate move as the CC edge list.
+        .localCheckpoint()
     )
     # degree of each vertex in the thresholded graph (vertex-dim sized)
     deg = (

@@ -138,9 +138,22 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tri"),
     )
     train = tris.where(F.col("doc_id") % 5 != 0)
-    test = tris.where(F.col("doc_id") % 5 == 0).select(
-        "doc_id", F.col("lang").alias("true_lang"), "tri"
-    ).distinct()
+    # test-side dedup happens IN-ROW (array_distinct over the doc's
+    # trigram array) — a per-doc distinct needs no shuffle, unlike
+    # the .distinct() exchange on the exploded (doc, tri) table
+    test = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, greatest(length(text)-2, 0)),"
+                    " i -> substr(text, i, 3)))"
+                )
+            ).alias("tri"),
+        )
+    )
 
     counts = train.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window
@@ -198,21 +211,38 @@ ORDER BY doc_id
 # "hash min".
 # --------------------------------------------------------------------
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8 char shingles, w=4 window), fully
+    IN-ROW: the rolling window-min, dedup and rollup are per-document
+    array expressions, so the whole query is a map over documents —
+    no explode to a position-level table, no doc-partitioned window
+    shuffle, no distinct shuffle (previously three exchanges; now the
+    only exchange is the final presentation sort). Per-row memory is
+    O(doc length) — the same class as the text column itself. The
+    hash array is computed in its own projection so the window-min
+    transform references a column, not a re-evaluated subexpression
+    (lambda bodies are not subexpression-eliminated)."""
     docs = load(spark, "documents", sf_dir)
     k, w = 8, 4
-    hashes = docs.select(
+    hs = docs.select(
         "doc_id",
-        F.explode(
-            F.expr(f"transform(sequence(1, greatest(length(text)-{k-1}, 1)), i -> named_struct('i', i, 'h', md5(substr(text, i, {k}))))")
-        ).alias("s"),
-    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.h").alias("h"))
-    from pyspark.sql import Window
-
-    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
-    fps = hashes.withColumn("wmin", F.min("h").over(win)).select("doc_id", "wmin").distinct()
+        F.expr(
+            f"transform(sequence(1, greatest(length(text)-{k-1}, 1)),"
+            f" i -> md5(substr(text, i, {k})))"
+        ).alias("hs"),
+    )
+    fps = hs.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(hs)),"
+            f" i -> array_min(slice(hs, i, {w}))))"
+        ).alias("fps"),
+    )
     return (
-        fps.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_fingerprints"), F.min("wmin").alias("min_fingerprint"))
+        fps.select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fingerprint"),
+        )
         .orderBy("doc_id")
     )
 

@@ -40,6 +40,14 @@ QUERIES = [
     # prefixes keep components disjoint → true triangle count scales
     # linearly, which is what the wall-clock should do as well.
     "word_graph_triangles",
+    # round-4 filtering family (documents-only inputs). Replica
+    # prefixes keep gram/bigram spaces disjoint across replicas, so
+    # duplicated-gram mass and the bigram LM table scale linearly.
+    # Within one multiplier the three share the cached token corpus;
+    # the first query's wall carries the tokenize cost.
+    "gopher_quality_rules",
+    "duplicated_ngram_coverage",
+    "doc_lm_score",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles
