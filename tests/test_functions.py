@@ -244,3 +244,40 @@ def test_grouping_sets_null_key_not_conflated_with_rollup(spark, tmp_path):
     assert None in statuses and "ALL" in statuses
     null_detail = [r for r in got if r[0] is None and r[1] == "1-URGENT"]
     assert null_detail and null_detail[0][2] == 1
+
+
+def test_winnowing_inrow_matches_reference_impl(spark):
+    """Property test guarding the in-row winnowing rewrite
+    (text.doc_fingerprint): for random strings, the array-expression
+    pipeline must equal an independent pure-Python winnowing
+    (k=8 shingle md5, w=4 window-min, distinct)."""
+    import hashlib
+    import random
+
+    rng = random.Random(42)
+    alphabet = "ab cd"
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 60))))
+        for i in range(40)
+    ]
+
+    def winnow(text, k=8, w=4):
+        n = max(len(text) - (k - 1), 1)
+        hs = [hashlib.md5(text[i:i + k].encode()).hexdigest() for i in range(n)]
+        wmins = [min(hs[i:i + w]) for i in range(n)]
+        fps = sorted(set(wmins))
+        return len(fps), min(fps)
+
+    import pandas as pd
+
+    sf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sf.write.parquet(f"{d}/documents.parquet")
+        from goconnect_spark.queries.text import doc_fingerprint
+
+        out = {r.doc_id: (r.n_fingerprints, r.min_fingerprint)
+               for r in doc_fingerprint(spark, d).collect()}
+    for i, text in docs:
+        assert out[i] == winnow(text), (i, repr(text))
