@@ -69,3 +69,31 @@ def doc_tokens_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("toks").alias("tok"))
         .distinct(),
     )
+
+
+def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shset: sorted distinct word-bigram array, n: set size)
+    for docs with >= 2 words — the shared base of the whole dedup
+    family: PPJoin verification needs exactly this table, the minhash
+    signature is computable from it (MIN over a multiset equals MIN
+    over the set), and connected components consume minhash. One
+    shuffle builds it (collect_set dedups in the partial aggregate);
+    every consumer after the first reads the persisted copy."""
+    def build():
+        toks = doc_token_arrays(spark, sf_dir).where(F.size("toks") >= 2)
+        raw = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-2),"
+                    " i -> concat(toks[i], ' ', toks[i+1]))"
+                )
+            ).alias("shingle"),
+        )
+        return (
+            raw.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("shingle")).alias("shset"))
+            .withColumn("n", F.size("shset"))
+        )
+
+    return cached_table(spark, sf_dir, "shingles", build)

@@ -88,33 +88,35 @@ GROUP BY 1 ORDER BY keeper_doc_id
 # MinHash + LSH banding.
 # --------------------------------------------------------------------
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE full-table aggregation does everything heavy: MIN over a
-    # multiset equals MIN over the set, so the 12 minhashes AND the
-    # distinct-shingle count come out of a single groupBy over the
-    # *raw* (non-deduped) shingle stream — no distinct shuffle, no
-    # seed cross join. Band keys are md5 over each band's 3 signature
+    # ONE aggregation over the shared shingle-set table does
+    # everything heavy (12 minhashes in a single groupBy; the distinct
+    # count rides along as a grouping column — no countDistinct, no
+    # seed cross join). Band keys are md5 over each band's 3 signature
     # columns; candidates come from the (band, key) equi-join; the
     # Jaccard verify runs only on shingles of candidate docs
     # (broadcast semi-join filter before the self-join).
-    docs = load(spark, "documents", sf_dir)
-    words = docs.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 2)
-    raw = words.select(
-        "doc_id",
-        F.explode(F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).alias("shingle"),
-    )
+    # shared per-doc distinct shingle-set table (corpus.py cache):
+    # PPJoin and the minhash family both start from it, and MIN over
+    # the raw multiset equals MIN over the set, so the signature loses
+    # nothing by hashing the deduped sets — while the md5 work drops
+    # from per-occurrence to per-distinct-shingle and the distinct
+    # count is a free column instead of a countDistinct aggregate.
+    from goconnect_spark.queries.corpus import doc_shingle_arrays
+
+    arrays = doc_shingle_arrays(spark, sf_dir)
+    sh = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
 
     # ONE md5 per shingle; the 12 hash families come from
     # Kirsch-Mitzenmacher double hashing g_s = (h1 + s*h2) mod 2^48
     # (h1/h2 = independent 48-bit md5 halves, h2 forced odd) — all
     # values < 2^53 so the arithmetic is exact in both engines.
-    hashed = raw.selectExpr(
+    hashed = sh.selectExpr(
         "doc_id",
-        "shingle",
+        "n",
         "cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint) as h1",
         "cast(conv(substr(md5(shingle), 13, 12), 16, 10) as bigint) * 2 + 1 as h2",
     )
-    sig = hashed.groupBy("doc_id").agg(
-        F.countDistinct("shingle").alias("n"),
+    sig = hashed.groupBy("doc_id", "n").agg(
         *[
             F.expr(f"min((h1 + {s} * h2) % 281474976710656)").alias(f"mh{s}")
             for s in range(_N_HASHES)
@@ -143,7 +145,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = raw.join(F.broadcast(cand_docs), "doc_id").distinct()
+    sh_cand = sh.select("doc_id", "shingle").join(F.broadcast(cand_docs), "doc_id")
     inter = (
         cand.join(sh_cand.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
@@ -265,28 +267,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification arrays) derives from it — a production PPJoin at
     100 TB materializes the tokenized+ranked records the same way
     instead of recomputing the tokenize across its 3 consumers."""
-    return ngram_jaccard_pairs(load(spark, "documents", sf_dir))
+    from goconnect_spark.queries.corpus import doc_shingle_arrays
+
+    return ngram_jaccard_pairs(
+        load(spark, "documents", sf_dir),
+        arrays=doc_shingle_arrays(spark, sf_dir),
+    )
 
 
-def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, arrays: DataFrame = None) -> DataFrame:
     """The PPJoin pipeline over any (doc_id, text) DataFrame — factored
     out so tests can compare against brute force on randomized
     corpora (losslessness of the three filters is a theorem; the test
-    checks the implementation honors it)."""
-    words = docs.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 2)
-    raw = words.select(
-        "doc_id",
-        F.explode(F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).alias("shingle"),
-    )
-    # ONE pass over the corpus: per-doc distinct shingle set (sorted
-    # for the verify's array_intersect) — collect_set dedups in the
-    # partial aggregate, so the shuffle carries set-sized rows
-    arrays = (
-        raw.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("shingle")).alias("shset"))
-        .withColumn("n", F.size("shset"))
-        .persist()
-    )
+    checks the implementation honors it). `arrays` lets the sf-level
+    query inject the session-cached shared shingle-set table; absent,
+    it is built (and persisted) from `docs` directly."""
+    if arrays is None:
+        words = docs.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 2)
+        raw = words.select(
+            "doc_id",
+            F.explode(F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).alias("shingle"),
+        )
+        # ONE pass over the corpus: per-doc distinct shingle set (sorted
+        # for the verify's array_intersect) — collect_set dedups in the
+        # partial aggregate, so the shuffle carries set-sized rows
+        arrays = (
+            raw.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("shingle")).alias("shset"))
+            .withColumn("n", F.size("shset"))
+            .persist()
+        )
     exploded = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # rank each doc's shingles by global rarity in-row (sort_array on
