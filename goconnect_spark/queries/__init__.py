@@ -21,6 +21,7 @@ from goconnect_spark.queries import (
     analytics4,
     analytics5,
     analytics6,
+    analytics7,
     dedup,
     filtering,
     packing,
@@ -31,60 +32,46 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, dedup, filtering, similarity, text, text2, packing, quality)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, dedup, filtering, similarity, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
-# catalog in registration order and may cap the run (round 2 covered only the
-# first ~50 of 85).  Queries that have never received a green DRIVER row come
-# first so the cumulative artifact converges on full-catalog coverage:
-#   tier 1 — absent from CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json, plus
-#            ann_ivf_kmeans_topk whose only driver row was err=no_oracle;
-#   tier 2 — present in r01 only (green there, but re-verify cheaply);
-#   tier 3 — green in r02 (freshest coverage, lowest urgency).
+# catalog in registration order and may cap the run (~50 of the catalog).
+# Cumulative coverage through r03 is complete for the pre-round-4 catalog
+# (r01 ∪ r02 ∪ r03 = 85/85 green), so priority now tracks STALENESS:
+#   tier 0 — queries the driver has never run (added after the r03 snapshot);
+#   tier 1 — queries whose implementation changed after the r03 snapshot
+#            (commits 5d9d280..HEAD: shared shingle/token tables, two-phase
+#            ranking, degree-oriented triangles, GROUPING() markers, in-row
+#            winnowing, vocab-level CMS hashing, cached cluster map) — their
+#            old green rows no longer certify HEAD;
+#   tier 2 — everything else, byte-identical to a driver-green round.
 _DRIVER_PRIORITY = (
-    # tier 0: new in round 4 — never seen by the driver
+    # tier 0: never driver-run
     "gopher_quality_rules",
     "duplicated_ngram_coverage",
     "doc_lm_score",
     "embedding_outliers",
     "curated_corpus_stats",
-    # tier 1: never driver-green
-    "user_rolling_7d",
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "word_graph_triangles",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_parts_supplier_counts",
+    "q20_potential_promotion",
+    "q21_late_suppliers",
+    # tier 1: implementation changed since the r03-verified snapshot
+    "orders_grouping_sets",
     "customer_spend_ranks",
-    "daily_reconciliation",
-    "events_rollup_cascade",
-    "distinct_users_kmv_by_type",
-    "dedup_filtered_corpus",
-    "benchmark_contamination",
-    "doc_repetition_ratio",
-    "vocab_oov_rate",
+    "word_graph_triangles",
+    "word_freq_cms",
     "word_cooccurrence",
     "bigram_cond_prob",
-    "source_mix_weights",
-    "value_outliers_mad",
-    "orders_profile",
-    "referential_integrity",
-    "ann_ivf_kmeans_topk",
-    # tier 2: green in r01 but not r02
-    "dedup_exact",
+    "text_lang_id",
+    "doc_fingerprint",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_connected_components",
-    "cosine_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "doc_fingerprint",
-    "text_token_bpeish",
-    "doc_length_buckets",
-    "sequence_packing",
-    "stratified_sample",
+    "dedup_filtered_corpus",
+    "dedup_exact",
 )
 
 

@@ -1,0 +1,364 @@
+"""TPC-H batch 3 (round 4): the five queries that complete the full
+22-query TPC-H suite — q11, q12, q16, q20, q21. With these, every
+TPC-H query shape runs on the engine (q1-q22), which is the relational
+coverage bar the reference's users care about.
+
+The shipped schema is slimmer than full TPC-H (no partsupp table, no
+l_shipmode / l_commitdate / l_receiptdate / s_comment), so predicates
+are adapted as noted per query; the plan SHAPES — scalar-subquery
+threshold (q11), CASE-bucketed two-way counts (q12), anti-join +
+count-distinct grouping (q16), agg-vs-agg share semi-join (q20), and
+the only-late-supplier double-correlated quantifier (q21) — are the
+canonical ones, which is what matters at scale.
+
+Scale notes (100 TB):
+- Every dimension join here broadcasts (supplier: SF x 10k rows but
+  only after a nation filter = 1/25 of it; nation: 25 rows). part is
+  SF x 200k — left unhinted so AQE picks broadcast at bench SFs and
+  shuffle-hash beyond the threshold.
+- The lineitem fact is touched once per query and aggregates
+  map-side-partial before any exchange; q11/q20's thresholds are
+  1-row broadcast scalars (crossJoin of an agg), never a recompute.
+- q21's canonical double-EXISTS would self-join lineitem twice; the
+  implementation rewrites it as ONE orderkey aggregation (distinct
+  suppliers / distinct late suppliers per order) — the oracle SQL
+  keeps the textbook correlated-quantifier form, so the hash match
+  proves the rewrite equivalent while the Spark plan shuffles the
+  fact once instead of three times.
+
+Reference parity: the reference engine ships no TPC-H suite of its
+own; these queries exercise its declared operator surface (Map /
+Filter / Fold / keyed aggregation / joins — pipeline.go:60-118) at
+relational-benchmark complexity.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from goconnect_spark.tables import load
+
+_PRICE = "decimal(12,2)"
+_RATE = "decimal(6,4)"
+
+
+def _dec(col: str, t: str = _PRICE) -> F.Column:
+    return F.col(col).cast(t)
+
+
+def _disc_price() -> F.Column:
+    return _dec("l_extendedprice") * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
+
+
+# --------------------------------------------------------------------
+# q11: important stock identification. Canonical form sums
+# ps_supplycost * ps_availqty over partsupp for one nation and keeps
+# parts above a fraction of the national total. Adapted (no partsupp):
+# "stock value" of a part = discounted revenue shipped by NATION_7
+# suppliers; keep parts above 1/1000 of the national total. Shape:
+# grouped agg + 1-row global-threshold scalar (broadcast), exactly the
+# canonical HAVING > (SELECT SUM(...) * f).
+# --------------------------------------------------------------------
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    supp = load(spark, "supplier", sf_dir)
+    nat = load(spark, "nation", sf_dir).where(F.col("n_name") == "NATION_7")
+    nat_supp = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    fact = li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+    per_part = fact.groupBy("l_partkey").agg(
+        F.sum(_disc_price()).alias("value_dec")
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    # threshold compare in double-land with IDENTICAL operands on both
+    # engines (decimal division would round to engine-specific result
+    # scales at the boundary): exact decimal sums -> double, then one
+    # IEEE division by 1000.0 each side — bit-identical by IEEE-754
+    return (
+        per_part.crossJoin(F.broadcast(total))  # 1-row scalar threshold
+        .where(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") / F.lit(1000.0)
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value_dec").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+_Q11_SQL = """
+WITH nat_supp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+), per_part AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS value_dec
+  FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS value
+FROM per_part
+WHERE CAST(CAST(value_dec AS VARCHAR) AS DOUBLE)
+      > CAST(CAST((SELECT SUM(value_dec) FROM per_part) AS VARCHAR) AS DOUBLE) / 1000.0
+ORDER BY value DESC, partkey
+"""
+
+
+# --------------------------------------------------------------------
+# q12: shipping-mode / order-priority matrix. Canonical form buckets
+# by l_shipmode and counts urgent vs non-urgent orders. Adapted (no
+# l_shipmode): bucket by shipping SPEED — a line is 'SLOW' when it
+# shipped more than 30 days after the order date, else 'FAST'. Same
+# join (orders x lineitem on orderkey), same CASE-sum pivot.
+# --------------------------------------------------------------------
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    speed = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        F.lit("SLOW"),
+    ).otherwise(F.lit("FAST"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.select(speed.alias("ship_speed"), high.alias("is_high"))
+        .groupBy("ship_speed")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_speed")
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+            THEN 'SLOW' ELSE 'FAST' END AS ship_speed,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1 ORDER BY ship_speed
+"""
+
+
+# --------------------------------------------------------------------
+# q16: parts/supplier relationship counts. Canonical form counts
+# distinct partsupp suppliers per (brand, type, size) bucket,
+# excluding complaint suppliers. Adapted: the supplier-offers-part
+# incidence comes from distinct (l_partkey, l_suppkey) pairs in
+# lineitem; "complaint" suppliers are those with negative account
+# balance (anti-join on the 1/16-of-suppliers exclusion set).
+# --------------------------------------------------------------------
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir)
+    part = load(spark, "part", sf_dir).where(
+        (F.col("p_brand") != "Brand#2")
+        & (~F.col("p_type").startswith("ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    complaints = load(spark, "supplier", sf_dir).where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            pairs.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------
+# q20: potential part promotion. Canonical form keeps suppliers whose
+# availqty exceeds half their shipped quantity of 'forest%' parts.
+# Adapted (no partsupp.availqty): a NATION_3 supplier qualifies when,
+# for some 'small%'-named part, their 1996 shipped quantity exceeds
+# 30% of that part's total 1996 shipped quantity — a dominant-share
+# supplier. Shape: two aggregates at different granularity
+# ((part,supp) vs part) joined on partkey, then a semi-join up to the
+# supplier dimension — the canonical nested-IN chain.
+# --------------------------------------------------------------------
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    small_parts = (
+        load(spark, "part", sf_dir)
+        .where(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    fact = li.join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"))
+    per_ps = fact.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("supp_qty")
+    )
+    per_part = fact.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("part_qty")
+    ).withColumnRenamed("l_partkey", "pk")
+    dominant = (
+        per_ps.join(per_part, per_ps.l_partkey == F.col("pk"))
+        # decimal-exact share test: supp_qty > 0.3 * part_qty, scaled
+        # to integers (x10) so neither engine divides
+        .where(F.col("supp_qty") * 10 > F.col("part_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load(spark, "supplier", sf_dir)
+    nat = load(spark, "nation", sf_dir).where(F.col("n_name") == "NATION_3")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(dominant), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+WITH fact AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+), per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(qty) AS supp_qty
+  FROM fact GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey AS pk, SUM(qty) AS part_qty FROM fact GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM per_ps JOIN per_part ON l_partkey = pk
+    WHERE supp_qty * 10 > part_qty * 3
+  )
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------
+# q21: suppliers who kept orders waiting. Canonical form: for
+# finalized multi-supplier orders, count per supplier the orders where
+# they were the ONLY late supplier. Adapted lateness (no
+# l_receiptdate/l_commitdate): a line is late when it shipped more
+# than 90 days after the order date.
+#
+# The textbook plan is lineitem x lineitem EXISTS + NOT-EXISTS (two
+# more fact self-joins). Implemented instead as ONE aggregation per
+# orderkey — n_supp = distinct suppliers, n_late_supp = distinct
+# suppliers with a late line — then a supplier qualifies on an order
+# iff they are late, n_supp > 1, and n_late_supp = 1 (they ARE that
+# one). The oracle keeps the canonical EXISTS/NOT-EXISTS form, so the
+# hash match is a differential proof of the rewrite. One fact shuffle
+# instead of three; the count is per (order, supplier) pair.
+# --------------------------------------------------------------------
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, "orders", sf_dir).where(F.col("o_orderstatus") == "F")
+    li = load(spark, "lineitem", sf_dir)
+    fact = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_pair = fact.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late_supp"),
+    ).withColumnRenamed("l_orderkey", "ok")
+    waiting = (
+        per_pair.join(per_order, per_pair.l_orderkey == F.col("ok"))
+        .where(
+            F.col("supp_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    supp = load(spark, "supplier", sf_dir)
+    nat = load(spark, "nation", sf_dir).where(F.col("n_name") == "NATION_1")
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1
+      JOIN orders ON l1.l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+        )
+     ) pairs
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+QUERIES = {
+    "q11_important_stock": q11_important_stock,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q16_parts_supplier_counts": q16_parts_supplier_counts,
+    "q20_potential_promotion": q20_potential_promotion,
+    "q21_late_suppliers": q21_late_suppliers,
+}
+
+ORACLE = {
+    "q11_important_stock": _Q11_SQL,
+    "q12_shipmode_priority": _Q12_SQL,
+    "q16_parts_supplier_counts": _Q16_SQL,
+    "q20_potential_promotion": _Q20_SQL,
+    "q21_late_suppliers": _Q21_SQL,
+}
