@@ -22,6 +22,7 @@ from goconnect_spark.queries import (
     analytics5,
     analytics6,
     analytics7,
+    curation,
     dedup,
     filtering,
     packing,
@@ -32,7 +33,7 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, dedup, filtering, similarity, text, text2, packing, quality)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, curation, dedup, filtering, similarity, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
@@ -57,6 +58,10 @@ _DRIVER_PRIORITY = (
     "q16_parts_supplier_counts",
     "q20_potential_promotion",
     "q21_late_suppliers",
+    "doc_chunking",
+    "chunk_dedup_stats",
+    "train_val_test_split",
+    "tfidf_top_terms",
     # tier 1: implementation changed since the r03-verified snapshot
     "orders_grouping_sets",
     "customer_spend_ranks",

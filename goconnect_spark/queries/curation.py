@@ -1,0 +1,236 @@
+"""Training-data curation batch (round 4): chunking, chunk-level
+dedup, deterministic corpus splits, and TF-IDF keyword extraction —
+the remaining ops an LLM-data pipeline runs between "filtered corpus"
+and "tokenized shards".
+
+All four are pure JVM column expressions (no Python UDFs), all are
+DuckDB-oracle-gated, and all reuse the session-cached token layer
+(corpus.py) so the tokenize cost is shared with the sketch family.
+
+Scale notes (100 TB):
+- doc_chunking is embarrassingly parallel (per-row transform +
+  posexplode; zero shuffles). At 100 TB the output is larger than the
+  input (overlap) — the md5 chunk fingerprint column is what a real
+  pipeline would persist, bucketed by hash prefix, for downstream
+  dedup; the full chunk text never needs to leave the stage.
+- chunk_dedup_stats groups by the 128-bit fingerprint — uniform keys,
+  no skew, one shuffle; cardinality = chunk count but each row is a
+  32-byte hash + counts, and the HAVING count>1 filter collapses it
+  to the duplicate tail before the final ORDER BY.
+- train_val_test_split is a single map-side hash + one aggregation on
+  (source, split) — 60 output rows regardless of corpus size. The
+  md5-of-doc_id assignment is the industry-standard replayable split:
+  any worker can recompute membership without a lookup table.
+- tfidf_top_terms joins token frequencies against the document-
+  frequency table; df is vocabulary-sized (Heaps' law: ~1M rows at
+  100 TB, broadcastable), and the per-doc top-3 window is partitioned
+  by doc_id — never global. Scoring is integer fixed-point
+  (tf * 1e6 DIV df), so both engines rank identical integers and the
+  float-log idf portability trap (ln() last-ulp divergence) is
+  avoided entirely.
+
+Reference parity: the reference has no curation layer; these extend
+its Map/FlatMap/Fold surface (pipeline.go:60-118) the way its own
+str.Split examples compose word pipelines (examples/, SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from goconnect_spark.queries.corpus import doc_token_arrays, doc_tokens_distinct
+
+# chunk geometry: 64-token chunks every 56 tokens (8-token overlap) —
+# small enough that sf0.01 docs (~100 tokens) produce 2-3 chunks each
+_CHUNK = 64
+_STRIDE = 56
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-stride token chunks per document: the shard
+    step before tokenizer packing. Output carries the chunk md5
+    fingerprint (what a pipeline persists for chunk-level dedup), not
+    the chunk text, so the result stays narrow at any scale."""
+    toks = doc_token_arrays(spark, sf_dir).where(F.size("toks") >= 1)
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(toks)-1) DIV {_STRIDE} AS INT)),"
+                f" i -> slice(toks, i*{_STRIDE}+1, {_CHUNK}))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size("chunk").cast("bigint").alias("n_toks"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 1
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(t, i*{_STRIDE}+1, i*{_STRIDE}+{_CHUNK})) AS BIGINT) AS n_toks,
+       md5(array_to_string(list_slice(t, i*{_STRIDE}+1, i*{_STRIDE}+{_CHUNK}), ' ')) AS chunk_hash
+FROM (SELECT doc_id, t,
+             unnest(generate_series(0, CAST((len(t)-1) // {_STRIDE} AS BIGINT))) AS i
+      FROM toks)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity duplication (the ExactSubstr/Llama-style
+    fine-grained pass exact dedup misses): which chunk fingerprints
+    recur, how often, and across how many documents. Groups on the
+    uniform 128-bit hash — skew-free by construction."""
+    chunks = doc_chunking(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+    )
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 1
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, i*{_STRIDE}+1, i*{_STRIDE}+{_CHUNK}), ' ')) AS chunk_hash
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(0, CAST((len(t)-1) // {_STRIDE} AS BIGINT))) AS i
+        FROM toks)
+)
+SELECT chunk_hash,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(*) > 1
+ORDER BY n_occurrences DESC, chunk_hash
+"""
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based corpus split (80/10/10): membership is
+    a pure function of doc_id (md5 mod 100), so the assignment is
+    replayable on any worker with no lookup table — the standard way
+    a 100 TB corpus is split without a shuffle. Reports doc and token
+    budgets per (source, split)."""
+    from goconnect_spark.tables import load
+
+    # single scan, zero joins: the split is a map-side pure function
+    # of doc_id, the token count a cheap in-row size(split())
+    docs = load(spark, "documents", sf_dir)
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 100"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(
+            "source",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_toks"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+_SPLIT_SQL = """
+SELECT source,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+ORDER BY source, split
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by fixed-point TF-IDF:
+    score = tf * 1e6 DIV df — monotone in tf/df like tf*log(N/df) for
+    ranking-within-doc purposes, but integer-exact in both engines
+    (float ln() is a last-ulp portability trap). df comes from the
+    shared distinct-incidence table; the top-3 window is per-doc."""
+    tf = (
+        doc_token_arrays(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = doc_tokens_distinct(spark, sf_dir).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        F.expr("tf * 1000000 DIV df").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", F.col("rnk").cast("bigint").alias("rnk"), "tok", "score")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM
+  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), scored AS (
+  SELECT doc_id, tf.tok AS tok, (tf * 1000000) // df AS score
+  FROM tf JOIN df ON tf.tok = df.tok
+), ranked AS (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, score
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+QUERIES = {
+    "doc_chunking": doc_chunking,
+    "chunk_dedup_stats": chunk_dedup_stats,
+    "train_val_test_split": train_val_test_split,
+    "tfidf_top_terms": tfidf_top_terms,
+}
+
+ORACLE = {
+    "doc_chunking": _CHUNKING_SQL,
+    "chunk_dedup_stats": _CHUNK_DEDUP_SQL,
+    "train_val_test_split": _SPLIT_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
+}
