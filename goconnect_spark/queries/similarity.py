@@ -415,20 +415,35 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").alias("qs"),
     )
-    cents = spark.createDataFrame(
-        [(c, qs) for c, qs in enumerate(_IVF_CENTROIDS_Q)], "cell int, cq array<bigint>"
+    # In-row argmax assignment: the 8 centroids are LITERAL arrays, so
+    # each vector scores every cell inside one projection — no 8xN
+    # cross join, no per-vec_id window shuffle (was the dominant cost:
+    # 8N rows exchanged + sorted just to pick a max). Centroid norm-
+    # squares are exact integer literals (computed in Python, same
+    # integers the oracle sums); sqrt+divide in doubles on identical
+    # operands is bit-identical, and array_position(.., array_max(..))
+    # picks the FIRST max — the oracle's (score DESC, cell ASC) tie
+    # rule.
+    cents_lit = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(f"CAST({v} AS BIGINT)" for v in qs))
+            for qs in _IVF_CENTROIDS_Q
+        )
     )
-    cdot = F.expr("aggregate(zip_with(qs, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-    cnrm = F.expr("sqrt(CAST(aggregate(transform(cq, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE))")
-    scored = qarr.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cell", (cdot.cast("double") / cnrm).alias("score")
+    nsq_lit = "array({})".format(
+        ", ".join(f"CAST({sum(v * v for v in qs)} AS BIGINT)" for qs in _IVF_CENTROIDS_Q)
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
-    assign = (
-        scored.withColumn("rk", F.row_number().over(w_assign)).where(F.col("rk") == 1)
-        .select("vec_id", "cell")
+    scores = (
+        f"zip_with(transform({cents_lit}, cq -> CAST(aggregate("
+        "zip_with(qs, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v"
+        f") AS DOUBLE)), {nsq_lit}, (d, n2) -> d / sqrt(CAST(n2 AS DOUBLE)))"
     )
-    member = assign.join(qarr, "vec_id")
+    member = qarr.withColumn(
+        "cell",
+        F.expr(
+            f"CAST(array_position({scores}, array_max({scores})) AS INT) - 1"
+        ),
+    )
     probes = member.where(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "cell", F.col("qs").alias("pqs")
     )

@@ -171,3 +171,41 @@ def test_filtering_family_plans_are_scale_shaped(spark, sf_dir, qs):
         # none of these needs a window at all — the centroid/threshold
         # scalars arrive via 1-row broadcast, not a global window
         assert "Window" not in plan, name
+
+
+def test_orders_profile_has_no_expand(spark, sf_dir, qs):
+    # 5 countDistincts in one aggregation would plan a 6-way Expand
+    # into a 6-key SortAggregate (6x the table, sorted). The split
+    # formulation (typed min/max scan-reduce + melt/hash-distinct)
+    # must keep Expand out of the plan and the melt aggregation hashed.
+    plan = _plan(qs["orders_profile"](spark, sf_dir))
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ann_kmeans_assignment_is_in_row(spark, sf_dir, qs):
+    # cell assignment is an in-row argmax over literal centroid
+    # arrays: no per-vec_id window and no 8xN centroid join may
+    # reappear. The only window is the per-probe top-k.
+    plan = _plan(qs["ann_ivf_kmeans_topk"](spark, sf_dir))
+    import re
+
+    windows = [ln for ln in plan.split("\n") if re.search(r"\bWindow\b", ln)]
+    for ln in windows:
+        assert "probe_id" in ln, ln
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_family_plans_are_scale_shaped(spark, sf_dir, qs):
+    # chunking/split are shuffle-minimal map-side ops; tfidf's only
+    # window is per-doc. No Python eval anywhere.
+    for name in ["doc_chunking", "chunk_dedup_stats", "train_val_test_split",
+                 "tfidf_top_terms"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    plan = _plan(qs["tfidf_top_terms"](spark, sf_dir))
+    import re
+
+    for ln in [l for l in plan.split("\n") if re.search(r"\bWindow\b", l)]:
+        assert "doc_id" in ln, ln
