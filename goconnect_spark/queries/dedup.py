@@ -140,30 +140,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # Verify in-row against the shared shingle-set arrays: candidate
+    # pairs are band-collision-bounded (small), so both joins against
+    # the arrays table broadcast the candidate side (AQE) and the
+    # intersection is size(array_intersect) inside the row — no
+    # shingle-level re-explode, no (pair x shingle) exchange.
+    pa = arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"), F.col("n").alias("na")
     )
-    sh_cand = sh.select("doc_id", "shingle").join(F.broadcast(cand_docs), "doc_id")
-    inter = (
-        cand.join(sh_cand.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh_cand.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pb = arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"), F.col("n").alias("nb")
     )
-    sizes = sig.select("doc_id", "n")
     return (
-        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
-        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("inter", F.expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)"))
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("inter") / (F.col("na.n") + F.col("nb.n") - F.col("inter")).cast("double")).alias("jaccard"),
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= _JACCARD_T)
         .orderBy("doc_a", "doc_b")
