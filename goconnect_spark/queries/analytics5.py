@@ -58,13 +58,26 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load(spark, "supplier", sf_dir)
     li = load(spark, "lineitem", sf_dir)
 
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice").cast(_PRICE)).alias("offer")
-    )
     euro = (
         supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # semi-filter the fact BEFORE the pair aggregation: only mid-size
+    # parts (~1/5) offered by EUROPE suppliers (~1/5) contribute, so
+    # the (partkey, suppkey) groupBy sees ~1/25 of lineitem. Both
+    # filters are broadcast semi-joins — no exchange added.
+    li_f = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(euro.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    offers = li_f.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast(_PRICE)).alias("offer")
     )
     joined = (
         offers.join(part, F.col("l_partkey") == F.col("p_partkey"))
