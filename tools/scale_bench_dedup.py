@@ -48,6 +48,15 @@ QUERIES = [
     "gopher_quality_rules",
     "duplicated_ngram_coverage",
     "doc_lm_score",
+    # round-4 curation family (documents-only inputs): chunking is
+    # map-side linear; chunk dedup groups the uniform fingerprint;
+    # the split aggregate is output-constant; tfidf joins the
+    # vocabulary-sized df table (prefixed words: vocab scales with m,
+    # which is the worst case for the df join).
+    "doc_chunking",
+    "chunk_dedup_stats",
+    "train_val_test_split",
+    "tfidf_top_terms",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles
