@@ -209,3 +209,43 @@ def test_curation_family_plans_are_scale_shaped(spark, sf_dir, qs):
 
     for ln in [l for l in plan.split("\n") if re.search(r"\bWindow\b", l)]:
         assert "doc_id" in ln, ln
+
+
+def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
+    """EVERY catalog query's physical plan, one structural contract:
+    no CartesianProduct anywhere, no Python eval anywhere, and
+    BroadcastNestedLoopJoin / Expand only where deliberately chosen:
+
+    - BNLJ: crossJoin of a 1-row aggregate scalar (thresholds,
+      totals, bounds) or the 16-row hyperplane dim in
+      embedding_near_dup — constant-size broadcasts, not pair
+      blow-ups;
+    - Expand: Spark's execution of GROUPING SETS / ROLLUP / CUBE
+      (inherent to the semantics), plus the bounded distinct+
+      nondistinct aggregate mix in text_token_stats.
+
+    A new query that trips a flag must either fix its plan or add
+    itself here with a reason.
+    """
+    allowed = {
+        "embedding_outliers": {"BroadcastNestedLoopJoin"},   # 1-row p95 threshold
+        "q11_important_stock": {"BroadcastNestedLoopJoin"},  # 1-row national total
+        "customer_spend_ranks": {"BroadcastNestedLoopJoin"}, # 1-row global count
+        "events_hourly_gapfill": {"BroadcastNestedLoopJoin"},# 1-row min/max bounds
+        "q22_sales_opportunity": {"BroadcastNestedLoopJoin"},# 1-row avg balance
+        "events_distinct_kmv": {"BroadcastNestedLoopJoin"},  # 1-row kth-min threshold
+        "value_histogram_quantiles": {"BroadcastNestedLoopJoin"},  # 1-row bounds
+        "embedding_near_dup": {"BroadcastNestedLoopJoin"},   # 16-row hyperplane dim
+        "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
+        "orders_rollup": {"Expand"},                         # ROLLUP semantics
+        "lineitem_cube": {"Expand"},                         # CUBE semantics
+        "text_token_stats": {"Expand"},                      # distinct+nondistinct agg mix
+    }
+    flags = ("CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython", "Expand")
+    offenders = {}
+    for name, fn in qs.items():
+        plan = _plan(fn(spark, sf_dir))
+        hit = {f for f in flags if f in plan} - allowed.get(name, set())
+        if hit:
+            offenders[name] = sorted(hit)
+    assert not offenders, offenders
