@@ -56,9 +56,12 @@ def _disc_price() -> F.Column:
 # ps_supplycost * ps_availqty over partsupp for one nation and keeps
 # parts above a fraction of the national total. Adapted (no partsupp):
 # "stock value" of a part = discounted revenue shipped by NATION_7
-# suppliers; keep parts above 1/1000 of the national total. Shape:
-# grouped agg + 1-row global-threshold scalar (broadcast), exactly the
-# canonical HAVING > (SELECT SUM(...) * f).
+# suppliers; keep parts above 2x the average per-part value. TPC-H
+# scales its fraction by 1/SF for exactly this reason — a fixed share
+# of total degenerates to zero rows as the part dimension grows; the
+# 2x-average form keeps the same plan shape (grouped agg + 1-row
+# global-threshold scalar broadcast, the canonical HAVING >
+# (SELECT ...)) with a non-trivial tail at every scale.
 # --------------------------------------------------------------------
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
@@ -71,16 +74,20 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = fact.groupBy("l_partkey").agg(
         F.sum(_disc_price()).alias("value_dec")
     )
-    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    total = per_part.agg(
+        F.sum("value_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     # threshold compare in double-land with IDENTICAL operands on both
     # engines (decimal division would round to engine-specific result
-    # scales at the boundary): exact decimal sums -> double, then one
-    # IEEE division by 1000.0 each side — bit-identical by IEEE-754
+    # scales at the boundary): exact decimal sums -> double, then the
+    # same left-associative (2.0 * total) / n each side — bit-identical
+    # by IEEE-754
     return (
         per_part.crossJoin(F.broadcast(total))  # 1-row scalar threshold
         .where(
             F.col("value_dec").cast("double")
-            > F.col("total_dec").cast("double") / F.lit(1000.0)
+            > F.lit(2.0) * F.col("total_dec").cast("double") / F.col("n_parts")
         )
         .select(
             F.col("l_partkey").alias("partkey"),
@@ -104,7 +111,8 @@ WITH nat_supp AS (
 SELECT partkey, CAST(CAST(value_dec AS VARCHAR) AS DOUBLE) AS value
 FROM per_part
 WHERE CAST(CAST(value_dec AS VARCHAR) AS DOUBLE)
-      > CAST(CAST((SELECT SUM(value_dec) FROM per_part) AS VARCHAR) AS DOUBLE) / 1000.0
+      > 2.0 * CAST(CAST((SELECT SUM(value_dec) FROM per_part) AS VARCHAR) AS DOUBLE)
+            / (SELECT COUNT(*) FROM per_part)
 ORDER BY value DESC, partkey
 """
 

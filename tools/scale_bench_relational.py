@@ -28,6 +28,17 @@ QUERIES = [
     "q5_region_revenue",
     "q7_trade_volume",
     "q18_large_volume_customers",
+    # round-4 TPC-H completions: the grouped-threshold (q11), fact-
+    # fact priority matrix (q12), distinct-pair grouping (q16),
+    # two-granularity share join (q20) and only-late-supplier
+    # aggregation (q21) shapes. Fact replication with offset
+    # orderkeys leaves per-order structure intact, so q21's per-order
+    # supplier counts scale linearly in orders.
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_parts_supplier_counts",
+    "q20_potential_promotion",
+    "q21_late_suppliers",
 ]
 DIMS = ["region", "nation", "customer", "supplier", "part", "events", "documents", "embeddings"]
 
