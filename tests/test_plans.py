@@ -236,6 +236,8 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "events_distinct_kmv": {"BroadcastNestedLoopJoin"},  # 1-row kth-min threshold
         "value_histogram_quantiles": {"BroadcastNestedLoopJoin"},  # 1-row bounds
         "embedding_near_dup": {"BroadcastNestedLoopJoin"},   # 16-row hyperplane dim
+        "source_epoch_plan": {"BroadcastNestedLoopJoin"},    # 1-row corpus totals
+        "key_skew_profile": {"BroadcastNestedLoopJoin"},     # 1-row key-cardinality stats
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
