@@ -426,15 +426,25 @@ def _simhash_agg_sql() -> str:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .where(F.col("w") != "")
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .withColumn("h", F.substring(F.md5("w"), 1, _SIMHASH_BITS // 4))
-    )
-    sim = toks.groupBy("doc_id").agg(F.expr(_simhash_agg_sql()).alias("simhash"))
+    from goconnect_spark.queries.corpus import cached_table, doc_token_arrays
+
+    def build_sim() -> DataFrame:
+        toks = (
+            doc_token_arrays(spark, sf_dir)
+            .select("doc_id", F.explode("toks").alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .withColumn("h", F.substring(F.md5("w"), 1, _SIMHASH_BITS // 4))
+        )
+        return toks.groupBy("doc_id").agg(F.expr(_simhash_agg_sql()).alias("simhash"))
+
+    # The signature table is doc-count-sized (16 bytes/doc) and feeds
+    # BOTH sides of the band self-join; without materialization Spark
+    # recomputes the tokenize+aggregate subtree twice (self-joins do
+    # not share uncached subtrees). At 100 TB this is the first-class
+    # "signatures" dataset a dedup pipeline writes once and reuses.
+    sim = cached_table(spark, sf_dir, "simhash", build_sim)
     n_bands = _SIMHASH_BITS // _SIMHASH_BAND_BITS
     modulus = 2 ** _SIMHASH_BAND_BITS
     band_structs = ", ".join(
