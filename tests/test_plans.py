@@ -33,15 +33,13 @@ def test_q5_broadcasts_dims(spark, sf_dir, qs):
 
 
 def test_dedup_queries_have_no_cross_join(spark, sf_dir, qs):
-    # embedding_near_dup keeps ONE BroadcastNestedLoopJoin by design:
-    # the 16-row hyperplane dim crossed against the quantized corpus
-    # (a broadcast of a constant-size local relation — not a pair
-    # blow-up). No unbounded cartesian anywhere.
+    # embedding_near_dup's hyperplane signs are a constant literal
+    # (driver-precomputed md5 twin), so since round 4 even it has no
+    # BNLJ: candidates only ever come from equi-joins on band keys.
     for name in ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "embedding_near_dup"]:
         plan = _plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
-        if name != "embedding_near_dup":
-            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_no_python_udfs_in_relational_queries(spark, sf_dir, qs):
@@ -235,7 +233,6 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "q22_sales_opportunity": {"BroadcastNestedLoopJoin"},# 1-row avg balance
         "events_distinct_kmv": {"BroadcastNestedLoopJoin"},  # 1-row kth-min threshold
         "value_histogram_quantiles": {"BroadcastNestedLoopJoin"},  # 1-row bounds
-        "embedding_near_dup": {"BroadcastNestedLoopJoin"},   # 16-row hyperplane dim
         "source_epoch_plan": {"BroadcastNestedLoopJoin"},    # 1-row corpus totals
         "key_skew_profile": {"BroadcastNestedLoopJoin"},     # 1-row key-cardinality stats
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
