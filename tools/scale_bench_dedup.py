@@ -57,6 +57,12 @@ QUERIES = [
     "chunk_dedup_stats",
     "train_val_test_split",
     "tfidf_top_terms",
+    # round-4 sampling family (documents-only inputs): the greedy
+    # budget sample's grouped two-phase cumsum must stay flat-ish as
+    # each of the 20 sources grows m-x (no per-source serialization);
+    # the epoch plan is #sources-sized aggregation throughout.
+    "token_budget_sample",
+    "source_epoch_plan",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles
