@@ -83,7 +83,7 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     #sources rows.
     """
     docs = _doc_tokens(spark, sf_dir)
-    ranged = docs.repartitionByRange(32, "source", "h", "doc_id").withColumn(
+    ranged = docs.repartitionByRange("source", "h", "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
     ptot = ranged.groupBy("source", "pid").agg(F.sum("n_tokens").alias("ptot"))
