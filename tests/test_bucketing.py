@@ -67,3 +67,57 @@ def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed_tables):
         .collect()
     }
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def partitioned_orders(spark, sf_dir, tmp_path_factory):
+    """orders written date-partitioned — the other half of the 100 TB
+    storage strategy: bucketing co-locates joins, partitioning prunes
+    scans. A real warehouse partitions facts by day."""
+    out = str(tmp_path_factory.mktemp("part") / "orders_by_month")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("o_month")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def test_static_partition_pruning(spark, partitioned_orders):
+    """A literal predicate on the partition column must reach the scan
+    as a PartitionFilter (zero non-matching files read), not a post-
+    scan Filter."""
+    df = spark.read.parquet(partitioned_orders).where(F.col("o_month") == "1995-03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_month" in plan.split("PartitionFilters:")[1][:200]
+    n = df.count()
+    assert n > 0
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, partitioned_orders):
+    """A selective dim-side filter prunes fact partitions at RUNTIME:
+    Spark plants a dynamicpruning subquery in the fact scan's
+    PartitionFilters. At 100 TB this is the difference between
+    scanning one month and scanning the whole table when the filter
+    arrives through a join instead of a literal."""
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    facts = spark.read.parquet(partitioned_orders)
+    # dim: an INDEPENDENT month-attribute relation (DPP won't plant a
+    # pruning subquery for a dim derived from the pruned scan itself),
+    # filtered on an attribute that is NOT the join key — so the only
+    # way to skip fact partitions is the runtime subquery.
+    dim_path = partitioned_orders + "_dim"
+    (
+        facts.select("o_month").distinct()
+        .withColumn("quarter", (F.substring("o_month", 6, 2).cast("int") + 2) / 3)
+        .write.mode("overwrite").parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path).where(F.col("quarter") == 1)
+    joined = facts.join(dim.hint("broadcast"), "o_month").groupBy(
+        "o_orderstatus"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
