@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = (
     "train_val_test_split",
     "tfidf_top_terms",
     # tier 1: implementation changed since the r03-verified snapshot
+    "embedding_near_dup",
     "orders_grouping_sets",
     "customer_spend_ranks",
     "word_graph_triangles",
