@@ -131,3 +131,59 @@ def keyed_fold_tws(
             timeMode="None",
         )
     )
+
+
+def budget_admit(
+    stream: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str,
+) -> DataFrame:
+    """Streaming admission control under a per-key weight budget — the
+    streaming analog of queries/sampling.py::token_budget_sample.
+
+    A row is ADMITTED iff its key's cumulative admitted weight before
+    it is still under `budget` (the same greedy rule as the batch
+    query, so the overshoot is at most one row per key); everything
+    after is dropped and only admitted rows are emitted (append mode).
+    Like StreamingLimit (run.py), the order is ARRIVAL order across
+    micro-batches — a stream has no md5-replayable global order; the
+    batch twin is the replayable variant.
+
+    State is ONE bigint per key (weight consumed), checkpointed by
+    Structured Streaming — bounded by key cardinality, never by stream
+    length, which is what lets a 100 TB ingest run this forever. Keys
+    keep no timeout: a budget is a lifetime cap, not a window.
+    """
+
+    def fn(key: Tuple, pdfs, state: GroupState):
+        (used,) = state.get if state.exists else (0,)
+        out_ids, out_w, out_used = [], [], []
+        for pdf in pdfs:
+            for rid, w in zip(pdf[id_col], pdf[weight_col]):
+                if used < budget:
+                    used += int(w)
+                    out_ids.append(int(rid))
+                    out_w.append(int(w))
+                    out_used.append(used)
+        state.update((used,))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(out_ids),
+                "id": out_ids,
+                "weight": out_w,
+                "used_after": out_used,
+            }
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType="key string, id bigint, weight bigint, used_after bigint",
+            stateStructType="used bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

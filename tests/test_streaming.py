@@ -377,3 +377,45 @@ def test_streaming_limit_multi_batch_is_first_n_by_arrival(spark, tmp_path):
     # batch 1 = all of file A in seq order; batch 2 = the 5 smallest of
     # file B — NOT the 15 globally-smallest seqs
     assert seqs == list(range(100, 110)) + list(range(0, 5))
+
+
+def test_budget_admit_enforces_budget_across_batches(spark, tmp_path):
+    # streaming twin of token_budget_sample: per-key lifetime budget,
+    # state survives micro-batch boundaries. Two files + 
+    # maxFilesPerTrigger=1 force >=2 batches; equal weights make the
+    # admitted count order-independent: budget 35 / weight 10 admits
+    # exactly 4 rows per key (greedy used<budget rule, one-row
+    # overshoot) no matter how arrivals interleave.
+    from goconnect_spark.streaming.stateful import budget_admit
+
+    d = str(tmp_path / "docs")
+    rows1 = [(k * 100 + i, f"s{k}", 10) for k in range(3) for i in range(2)]
+    rows2 = [(k * 100 + 10 + i, f"s{k}", 10) for k in range(3) for i in range(5)]
+    cols = ["doc_id", "source", "n_tokens"]
+    spark.createDataFrame(rows1, cols).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, cols).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, n_tokens bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    admitted = budget_admit(stream, "source", "n_tokens", budget=35, id_col="doc_id")
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName("t_budget_admit")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from t_budget_admit").collect()
+    per_key = {}
+    for r in got:
+        per_key.setdefault(r.key, []).append(r)
+    assert set(per_key) == {"s0", "s1", "s2"}
+    for k, rs in per_key.items():
+        assert len(rs) == 4, (k, rs)           # 4 * 10 = 40 >= 35, 5th denied
+        assert max(r.used_after for r in rs) == 40
+    # the run really crossed a batch boundary (state carried over)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
