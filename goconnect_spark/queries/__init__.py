@@ -30,11 +30,12 @@ from goconnect_spark.queries import (
     quality,
     sampling,
     similarity,
+    sketches,
     text,
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, curation, dedup, filtering, sampling, similarity, text, text2, packing, quality)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, curation, dedup, filtering, sampling, similarity, sketches, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
@@ -49,6 +50,11 @@ ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5
 #   tier 2 — everything else, byte-identical to a driver-green round.
 _DRIVER_PRIORITY = (
     # tier 0: never driver-run
+    "events_distinct_hll",
+    "user_overlap_kmv",
+    "bloom_prune_join",
+    "priority_sample",
+    "semantic_dedup",
     "token_budget_sample",
     "source_epoch_plan",
     "key_skew_profile",

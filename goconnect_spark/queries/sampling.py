@@ -283,14 +283,86 @@ _KEY_SKEW_SQL = (
 )
 
 
+# --------------------------------------------------------------------
+# Priority sampling (Duffield–Lund–Thorup): weighted sampling WITHOUT
+# replacement with an unbiased per-item weight estimator. Each doc
+# gets priority w/u with u uniform in (0,1]; the sample is the top-k
+# priorities, and every sampled item's weight estimate is
+# max(w, tau) with tau the (k+1)-th priority — sum(est_w) is an
+# unbiased estimator of total corpus weight.
+#
+# Determinism: u is derived from md5(doc_id) truncated to 52 bits, so
+# (hv+1) is EXACTLY representable as a double and u = (hv+1)/2^52 is
+# an exact binary fraction; priority = w/u divides identical doubles
+# in both engines. This is why priority sampling is used here instead
+# of A-ES (key = u^(1/w)): pow/ln are not cross-engine
+# bit-stable, w/u is. The replayable-hash idea matches
+# token_budget_sample above; the estimator is the published one.
+#
+# Scale (100 TB): top-(k+1) by priority compiles to
+# TakeOrderedAndProject — per-partition heaps of k+1 rows, driver
+# merge of k+1-sized sets, NO global sort, NO full shuffle. The
+# corpus is scanned once; tau and the final filter run on the
+# localCheckpointed (k+1)-row sample.
+# --------------------------------------------------------------------
+_PS_K = 200
+_TWO_52 = 1 << 52
+
+
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    pri = docs.selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        "cast(n_chars as double) /"
+        " ((cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint) + 1)"
+        f" / cast({_TWO_52} as double)) as priority",
+    )
+    topk1 = pri.orderBy(F.desc("priority")).limit(_PS_K + 1).localCheckpoint()
+    tau = topk1.agg(F.min("priority").alias("tau"))
+    return (
+        topk1.crossJoin(F.broadcast(tau))
+        .where(F.col("priority") > F.col("tau"))
+        .selectExpr(
+            "doc_id",
+            "source",
+            "n_chars as w_chars",
+            "priority",
+            "greatest(cast(n_chars as double), tau) as est_w",
+        )
+        .orderBy(F.desc("priority"))
+    )
+
+
+_PRIORITY_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         CAST(n_chars AS DOUBLE) /
+           (((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT) + 1)
+            / CAST({_TWO_52} AS DOUBLE)) AS priority
+  FROM documents
+),
+topk1 AS (SELECT * FROM pri ORDER BY priority DESC LIMIT {_PS_K + 1}),
+tau AS (SELECT MIN(priority) AS tau FROM topk1)
+SELECT doc_id, source, n_chars AS w_chars, priority,
+       GREATEST(CAST(n_chars AS DOUBLE), tau) AS est_w
+FROM topk1, tau
+WHERE priority > tau
+ORDER BY priority DESC
+"""
+
+
 QUERIES = {
     "token_budget_sample": token_budget_sample,
     "source_epoch_plan": source_epoch_plan,
     "key_skew_profile": key_skew_profile,
+    "priority_sample": priority_sample,
 }
 
 ORACLE = {
     "token_budget_sample": _TOKEN_BUDGET_SQL,
     "source_epoch_plan": _EPOCH_PLAN_SQL,
     "key_skew_profile": _KEY_SKEW_SQL,
+    "priority_sample": _PRIORITY_SQL,
 }

@@ -436,6 +436,41 @@ _IVF_CENTROIDS_Q = [
 ]
 
 
+def _kmeans_member(emb: DataFrame) -> DataFrame:
+    """(vec_id, qs, cell): every vector assigned to its best frozen
+    centroid by in-row argmax. The 8 centroids are LITERAL arrays, so
+    each vector scores every cell inside one projection — no 8xN
+    cross join, no per-vec_id window shuffle (was the dominant cost:
+    8N rows exchanged + sorted just to pick a max). Centroid norm-
+    squares are exact integer literals (computed in Python, same
+    integers the oracle sums); sqrt+divide in doubles on identical
+    operands is bit-identical, and array_position(.., array_max(..))
+    picks the FIRST max — the oracle's (score DESC, cell ASC) tie
+    rule."""
+    qarr = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").alias("qs"),
+    )
+    cents_lit = "array({})".format(
+        ", ".join(
+            "array({})".format(", ".join(f"CAST({v} AS BIGINT)" for v in qs))
+            for qs in _IVF_CENTROIDS_Q
+        )
+    )
+    nsq_lit = "array({})".format(
+        ", ".join(f"CAST({sum(v * v for v in qs)} AS BIGINT)" for qs in _IVF_CENTROIDS_Q)
+    )
+    scores = (
+        f"zip_with(transform({cents_lit}, cq -> CAST(aggregate("
+        "zip_with(qs, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v"
+        f") AS DOUBLE)), {nsq_lit}, (d, n2) -> d / sqrt(CAST(n2 AS DOUBLE)))"
+    )
+    return qarr.withColumn(
+        "cell",
+        F.expr(f"CAST(array_position({scores}, array_max({scores})) AS INT) - 1"),
+    )
+
+
 def train_ivf_centroids(spark: SparkSession, sf_dir: str, k: int = 8, seed: int = 42):
     """The offline index-build step (reference point for the frozen
     artifact above): returns quantized centroid rows [(cell, [q..])].
@@ -462,39 +497,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
     quant = _quantized(emb)
     norms = _norms(quant)
-    qarr = emb.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").alias("qs"),
-    )
-    # In-row argmax assignment: the 8 centroids are LITERAL arrays, so
-    # each vector scores every cell inside one projection — no 8xN
-    # cross join, no per-vec_id window shuffle (was the dominant cost:
-    # 8N rows exchanged + sorted just to pick a max). Centroid norm-
-    # squares are exact integer literals (computed in Python, same
-    # integers the oracle sums); sqrt+divide in doubles on identical
-    # operands is bit-identical, and array_position(.., array_max(..))
-    # picks the FIRST max — the oracle's (score DESC, cell ASC) tie
-    # rule.
-    cents_lit = "array({})".format(
-        ", ".join(
-            "array({})".format(", ".join(f"CAST({v} AS BIGINT)" for v in qs))
-            for qs in _IVF_CENTROIDS_Q
-        )
-    )
-    nsq_lit = "array({})".format(
-        ", ".join(f"CAST({sum(v * v for v in qs)} AS BIGINT)" for qs in _IVF_CENTROIDS_Q)
-    )
-    scores = (
-        f"zip_with(transform({cents_lit}, cq -> CAST(aggregate("
-        "zip_with(qs, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v"
-        f") AS DOUBLE)), {nsq_lit}, (d, n2) -> d / sqrt(CAST(n2 AS DOUBLE)))"
-    )
-    member = qarr.withColumn(
-        "cell",
-        F.expr(
-            f"CAST(array_position({scores}, array_max({scores})) AS INT) - 1"
-        ),
-    )
+    member = _kmeans_member(emb)
     probes = member.where(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "cell", F.col("qs").alias("pqs")
     )
@@ -530,9 +533,7 @@ def _cent_values_sql() -> str:
     )
 
 
-_ANN_KMEANS_SQL = f"""
-WITH {_QUANT_CTE},
-cent AS (SELECT * FROM (VALUES {_cent_values_sql()}) AS t(cell, cq)),
+_ASSIGN_CTES = f"""cent AS (SELECT * FROM (VALUES {_cent_values_sql()}) AS t(cell, cq)),
 centq AS (
   SELECT cell, generate_subscripts(cq, 1) - 1 AS d, unnest(cq) AS cqv FROM cent
 ),
@@ -549,7 +550,11 @@ assign AS (
                               ORDER BY (CAST(a.dot AS DOUBLE) / n.cnrm) DESC, a.cell ASC) AS rk
     FROM adots a JOIN cnorm n ON n.cell = a.cell
   ) WHERE rk = 1
-),
+)"""
+
+_ANN_KMEANS_SQL = f"""
+WITH {_QUANT_CTE},
+{_ASSIGN_CTES},
 probes AS (SELECT vec_id AS probe_id, cell FROM assign WHERE vec_id < {_N_PROBES}),
 dots AS (
   SELECT p.probe_id, a.vec_id, SUM(cq.q * pq.q) AS dot
@@ -576,3 +581,122 @@ ORDER BY probe_id, rk
 
 QUERIES["ann_ivf_kmeans_topk"] = ann_ivf_kmeans_topk
 ORACLE["ann_ivf_kmeans_topk"] = _ANN_KMEANS_SQL
+
+
+# --------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+# every embedding to a k-means cell, compute ALL pairwise cosines
+# WITHIN each cell (never across cells — that is the whole point of
+# clustering first), and greedily drop any vector that is
+# semantically redundant with a lower-id one. tau = 0.3125 (an exact
+# binary fraction, 5/16, so the threshold compare has no
+# decimal->double conversion hazard; production runs calibrate tau
+# per-corpus).
+#
+# Scale (100 TB): within-cell pairwise is quadratic in CELL size, not
+# corpus size — SemDeDup keeps cells bounded by growing k with N
+# (k ~ N/const); here k is the frozen 8-cell quantizer, so cells are
+# N/8 and the demo corpus keeps the join modest. The pair dot
+# products run as an exploded (pair, dim) hash aggregation — all
+# JVM, whole-stage-codegen (an in-row zip_with fold would be ~16M
+# interpreted lambda evals at sf0.1 — the simhash lesson) — and the
+# assignment is the same one-projection in-row argmax the IVF index
+# uses. The (vec_id, cell) membership is localCheckpointed: three
+# consumers, pennies of storage.
+# --------------------------------------------------------------------
+_SEMDEDUP_TAU = "cast(0.3125 as double)"
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    quant = _quantized(emb)
+    norms = _norms(quant)
+    member = _kmeans_member(emb).select("vec_id", "cell").localCheckpoint()
+    pairs = (
+        member.alias("a")
+        .join(
+            member.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+        )
+    )
+    q1 = quant.select(F.col("vec_id").alias("v1"), "d", F.col("q").alias("qa"))
+    q2 = quant.select(
+        F.col("vec_id").alias("v2b"), F.col("d").alias("d2"), F.col("q").alias("qb")
+    )
+    dots = (
+        pairs.join(q1, "v1")
+        .join(q2, (F.col("d") == F.col("d2")) & (F.col("v2") == F.col("v2b")))
+        .groupBy("cell", "v1", "v2")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    n1 = norms.select(F.col("vec_id").alias("v1"), F.col("nrm").alias("nrm1"))
+    n2 = norms.select(F.col("vec_id").alias("v2"), F.col("nrm").alias("nrm2"))
+    dup = (
+        dots.join(n1, "v1")
+        .join(n2, "v2")
+        .where(
+            F.col("dot").cast("double") / (F.col("nrm1") * F.col("nrm2"))
+            >= F.expr(_SEMDEDUP_TAU)
+        )
+    )
+    per_cell = dup.groupBy("cell").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("v2").alias("n_dropped"),
+    )
+    sizes = member.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    return (
+        sizes.join(per_cell, "cell", "left")
+        .selectExpr(
+            "cast(cell as bigint) as cell",
+            "cast(n_vectors as bigint) as n_vectors",
+            "cast(coalesce(n_dup_pairs, 0) as bigint) as n_dup_pairs",
+            "cast(coalesce(n_dropped, 0) as bigint) as n_dropped",
+            "cast(n_vectors - coalesce(n_dropped, 0) as bigint) as n_kept",
+        )
+        .orderBy("cell")
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH {_QUANT_CTE},
+{_ASSIGN_CTES},
+pairs AS (
+  SELECT a.cell, a.vec_id AS v1, b.vec_id AS v2
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.cell, p.v1, p.v2, SUM(qa.q * qb.q) AS dot
+  FROM pairs p
+  JOIN quant qa ON qa.vec_id = p.v1
+  JOIN quant qb ON qb.vec_id = p.v2 AND qb.d = qa.d
+  GROUP BY p.cell, p.v1, p.v2
+),
+dup AS (
+  SELECT d.cell, d.v1, d.v2
+  FROM dots d
+  JOIN norms x ON x.vec_id = d.v1
+  JOIN norms y ON y.vec_id = d.v2
+  WHERE CAST(d.dot AS DOUBLE) / (x.nrm * y.nrm) >= CAST(0.3125 AS DOUBLE)
+),
+per_cell AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+         CAST(COUNT(DISTINCT v2) AS BIGINT) AS n_dropped
+  FROM dup GROUP BY cell
+),
+sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM assign GROUP BY cell)
+SELECT CAST(s.cell AS BIGINT) AS cell, s.n_vectors,
+       CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(p.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(s.n_vectors - COALESCE(p.n_dropped, 0) AS BIGINT) AS n_kept
+FROM sizes s LEFT JOIN per_cell p ON p.cell = s.cell
+ORDER BY s.cell
+"""
+
+QUERIES["semantic_dedup"] = semantic_dedup
+ORACLE["semantic_dedup"] = _SEMDEDUP_SQL

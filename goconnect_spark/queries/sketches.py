@@ -1,0 +1,493 @@
+"""Sketch algebra + Bloom-pruned joins — the distributed-systems
+side of the approximate-query family (extends analytics5's KMV and
+CMS with mergeable-register sketches and set operations).
+
+Three oracle-gated queries:
+
+- events_distinct_hll: a REAL HyperLogLog (p=10, 1024 registers) done
+  portably: md5 -> 60-bit hash, bucket = top 10 bits, rho = leading
+  zeros of the remaining 50 bits + 1, harmonic mean of 2^-rho. Every
+  step is integer arithmetic (the harmonic denominator is
+  sum(2^(51-rho)) as a BIGINT — summing doubles 2^-rho directly would
+  need 61 mantissa bits and become order-dependent), so the DuckDB
+  oracle hash-matches bit-for-bit. The alpha_m * m^2 * 2^51 scale
+  factor is ONE Python-computed double literal: DuckDB parses bare
+  decimal literals as DECIMAL, so an inline `0.7213/(1+1.079/1024)`
+  expression diverges from Spark's double arithmetic (measured: last
+  3 digits differ).
+- user_overlap_kmv: KMV sketch SET OPERATIONS (the theta-sketch
+  trick): per event_type, the k=32 minimum user-id hashes; for every
+  type pair, the union sketch is the k smallest of A ∪ B, the overlap
+  count c = |union sketch ∩ A ∩ B| estimates Jaccard as c/k, and
+  intersection = jaccard * union_estimate. Exact values computed
+  alongside. k is a power of two so c/k is an exact double.
+- bloom_prune_join: an EXPLICIT portable Bloom filter (8192 bits,
+  k=4 md5-derived positions, words built with bit_or) over a
+  selective order-key set, used to prune lineitem BEFORE the exact
+  join — the classic pre-shuffle pruning move for a 100 TB fact
+  against a small key set. Output is the diagnostic a pipeline
+  operator would emit: candidate rows, true matches, false
+  positives, and the exact revenue (bit-identical because the FP
+  rows are removed by the exact join before aggregation).
+
+Reference parity: the reference engine's aggregation surface is
+exact folds (fold.go, SURVEY.md §2.3); the sketch family is part of
+the beyond-reference LLM/analytics layer the task brief mandates.
+
+Scale notes (100 TB):
+- HLL needs NO distinct: max(rho) per bucket is idempotent, so the
+  plan is a map-side partial max into a 1024-row exchange — the
+  cheapest possible distinct-count at any scale (KMV's distinct()
+  shuffles the full key set). This is exactly why production engines
+  ship HLL; the register layout here is mergeable across partitions/
+  days by the same max.
+- KMV set ops: one data-sized distinct builds the per-key sketches;
+  everything after (pairing, union, overlap) runs on k*|types| rows.
+  The sketches are localCheckpointed — they are referenced four
+  times and would otherwise re-run the distinct per reference.
+- Bloom: the filter is 128 words = 1 KB regardless of key count —
+  it broadcasts as an array literal to every task; lineitem is
+  scanned ONCE (candidate test + exact-match mark + aggregate in a
+  single pass, no second scan for the diagnostics). The false-
+  positive column is the operator's self-monitoring: at 10x the key
+  count the 8192-bit filter saturates (kn/m ~ 1.3) and the FP share
+  visibly climbs — the signal to re-size m with n.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from goconnect_spark.tables import load
+
+_PRICE = "decimal(12,2)"
+_RATE = "decimal(6,4)"
+
+# --------------------------------------------------------------------
+# HyperLogLog, p=10.
+# --------------------------------------------------------------------
+_HLL_M = 1024  # 2^10 registers
+_W_MASK = (1 << 50) - 1  # low 50 bits of the 60-bit hash
+# alpha_m * m^2 * 2^51  (raw HLL estimator scale; one literal, see
+# module docstring for why this must not be inline arithmetic)
+_HLL_SCALE = repr(0.7213 / (1 + 1.079 / _HLL_M) * 2.0**71)
+
+
+def events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count over event_id with the exact count alongside.
+
+    rho is derived from the bit length of the 50-bit remainder via
+    the binary string length (conv base-2 in Spark, bin() in DuckDB)
+    — no log2 on doubles, whose rounding is not cross-engine-stable.
+    """
+    ev = load(spark, "events", sf_dir)
+    reg = (
+        ev.selectExpr(
+            "cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) as hv"
+        )
+        .selectExpr("shiftright(hv, 50) as bucket", f"hv & {_W_MASK} as w")
+        .selectExpr(
+            "bucket",
+            "case when w = 0 then 51 else 51 - length(conv(w, 10, 2)) end as rho",
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    full = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .join(reg, "bucket", "left")
+        .selectExpr("cast(coalesce(rho, 0) as int) as rho")
+    )
+    agg = full.agg(
+        F.expr("sum(shiftleft(cast(1 as bigint), 51 - rho))").alias("harmonic_denom"),
+        F.expr("cast(sum(case when rho = 0 then 1 else 0 end) as bigint)").alias(
+            "zero_registers"
+        ),
+    )
+    exact = ev.agg(F.countDistinct("event_id").alias("exact_distinct"))
+    return agg.crossJoin(F.broadcast(exact)).selectExpr(
+        f"cast({_HLL_M} as bigint) as m",
+        "zero_registers",
+        "harmonic_denom",
+        f"cast({_HLL_SCALE} as double) / cast(harmonic_denom as double) as estimate",
+        "exact_distinct",
+    )
+
+
+_HLL_SQL = f"""
+WITH hv AS (
+  SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+rw AS (SELECT hv >> 50 AS bucket, hv & {_W_MASK} AS w FROM hv),
+rho AS (
+  SELECT bucket,
+         MAX(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END) AS rho
+  FROM rw GROUP BY bucket
+),
+regs AS (
+  SELECT COALESCE(rho.rho, 0) AS rho
+  FROM range({_HLL_M}) r LEFT JOIN rho ON rho.bucket = r.range
+),
+agg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS harmonic_denom,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
+  FROM regs
+),
+ex AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct FROM events)
+SELECT CAST({_HLL_M} AS BIGINT) AS m, zero_registers, harmonic_denom,
+       CAST({_HLL_SCALE} AS DOUBLE) / CAST(harmonic_denom AS DOUBLE) AS estimate,
+       exact_distinct
+FROM agg, ex
+"""
+
+
+# --------------------------------------------------------------------
+# KMV set operations across event types.
+# --------------------------------------------------------------------
+_KMV_PAIR_K = 32  # power of two: overlap/k is an exact double
+_TWO_60 = 1 << 60
+
+
+def user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types, estimated from
+    per-type KMV sketches (union via k-smallest of the merged
+    sketches, intersection via the theta-sketch overlap rule), with
+    exact values alongside.
+
+    Identity is the 60-bit md5 of user_id, so the same user hashes
+    identically in every type's sketch — the property sketch set
+    algebra depends on.
+    """
+    ev = load(spark, "events", sf_dir)
+    base = (
+        ev.selectExpr(
+            "event_type",
+            "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint) as hv",
+        )
+        .distinct()
+    )
+    wt = Window.partitionBy("event_type").orderBy("hv")
+    # sketches are |types| * k rows; checkpoint so the four downstream
+    # references don't each re-run the data-sized distinct
+    sk = (
+        base.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= _KMV_PAIR_K)
+        .select("event_type", "hv")
+        .localCheckpoint()
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    merged = (
+        pairs.join(
+            sk,
+            (sk["event_type"] == F.col("ta")) | (sk["event_type"] == F.col("tb")),
+        )
+        .select("ta", "tb", "hv")
+        .distinct()
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("hv")
+    uk = merged.withColumn("rn", F.row_number().over(wu)).where(
+        F.col("rn") <= _KMV_PAIR_K
+    )
+    ina = sk.select(F.col("event_type").alias("ta"), "hv").withColumn("ia", F.lit(1))
+    inb = sk.select(F.col("event_type").alias("tb"), "hv").withColumn("ib", F.lit(1))
+    est = (
+        uk.join(ina, ["ta", "hv"], "left")
+        .join(inb, ["tb", "hv"], "left")
+        .groupBy("ta", "tb")
+        .agg(
+            F.max("hv").alias("kth_min"),
+            F.sum(
+                F.when((F.col("ia") == 1) & (F.col("ib") == 1), 1).otherwise(0)
+            ).alias("kmv_overlap"),
+        )
+    )
+    # exact values from the same distinct (type, hv) base
+    sizes = base.groupBy("event_type").agg(F.count("*").alias("n"))
+    inter = (
+        base.alias("x")
+        .join(
+            base.alias("y"),
+            (F.col("x.hv") == F.col("y.hv"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("ta"), F.col("y.event_type").alias("tb")
+        )
+        .agg(F.count("*").alias("exact_intersect"))
+    )
+    na = sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    return (
+        est.join(inter, ["ta", "tb"])
+        .join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .selectExpr(
+            "ta",
+            "tb",
+            f"cast({_KMV_PAIR_K} as bigint) as kmv_k",
+            "cast(kmv_overlap as bigint) as kmv_overlap",
+            f"cast({_KMV_PAIR_K - 1} as double) * cast({_TWO_60} as double)"
+            " / cast(kth_min as double) as union_est",
+            f"cast(kmv_overlap as double) / {_KMV_PAIR_K}.0 as jaccard_est",
+            f"(cast(kmv_overlap as double) / {_KMV_PAIR_K}.0)"
+            f" * (cast({_KMV_PAIR_K - 1} as double) * cast({_TWO_60} as double)"
+            " / cast(kth_min as double)) as intersect_est",
+            "cast(na + nb - exact_intersect as bigint) as exact_union",
+            "cast(exact_intersect as bigint) as exact_intersect",
+            "cast(exact_intersect as double) / cast(na + nb - exact_intersect as double)"
+            " as exact_jaccard",
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+_OVERLAP_SQL = f"""
+WITH base AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+sk AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM base
+  ) WHERE rn <= {_KMV_PAIR_K}
+),
+types AS (SELECT DISTINCT event_type FROM sk),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+merged AS (
+  SELECT DISTINCT p.ta, p.tb, s.hv
+  FROM pairs p JOIN sk s ON s.event_type = p.ta OR s.event_type = p.tb
+),
+uk AS (
+  SELECT ta, tb, hv FROM (
+    SELECT ta, tb, hv,
+           ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+    FROM merged
+  ) WHERE rn <= {_KMV_PAIR_K}
+),
+est AS (
+  SELECT u.ta, u.tb, MAX(u.hv) AS kth_min,
+         CAST(SUM(CASE WHEN a.hv IS NOT NULL AND b.hv IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS kmv_overlap
+  FROM uk u
+  LEFT JOIN sk a ON a.event_type = u.ta AND a.hv = u.hv
+  LEFT JOIN sk b ON b.event_type = u.tb AND b.hv = u.hv
+  GROUP BY u.ta, u.tb
+),
+sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY event_type),
+inter AS (
+  SELECT x.event_type AS ta, y.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS exact_intersect
+  FROM base x JOIN base y
+    ON x.hv = y.hv AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type
+)
+SELECT e.ta, e.tb,
+       CAST({_KMV_PAIR_K} AS BIGINT) AS kmv_k,
+       e.kmv_overlap,
+       CAST({_KMV_PAIR_K - 1} AS DOUBLE) * CAST({_TWO_60} AS DOUBLE)
+         / CAST(e.kth_min AS DOUBLE) AS union_est,
+       CAST(e.kmv_overlap AS DOUBLE) / CAST({_KMV_PAIR_K} AS DOUBLE) AS jaccard_est,
+       (CAST(e.kmv_overlap AS DOUBLE) / CAST({_KMV_PAIR_K} AS DOUBLE))
+         * (CAST({_KMV_PAIR_K - 1} AS DOUBLE) * CAST({_TWO_60} AS DOUBLE)
+            / CAST(e.kth_min AS DOUBLE)) AS intersect_est,
+       CAST(na.n + nb.n - i.exact_intersect AS BIGINT) AS exact_union,
+       i.exact_intersect,
+       CAST(i.exact_intersect AS DOUBLE)
+         / CAST(na.n + nb.n - i.exact_intersect AS DOUBLE) AS exact_jaccard
+FROM est e
+JOIN inter i ON i.ta = e.ta AND i.tb = e.tb
+JOIN sizes na ON na.event_type = e.ta
+JOIN sizes nb ON nb.event_type = e.tb
+ORDER BY e.ta, e.tb
+"""
+
+
+# --------------------------------------------------------------------
+# Bloom-pruned join.
+# --------------------------------------------------------------------
+_BLOOM_BITS = 8192  # 13-bit positions
+_BLOOM_MASK = _BLOOM_BITS - 1
+_BLOOM_K = 4  # disjoint 4-hex-char slices of one md5
+_MIN_LONG = -(1 << 63)
+
+
+def _positions(hash_col: str) -> list[str]:
+    """k bit positions from disjoint substrings of one md5 hex column."""
+    return [
+        f"cast(conv(substr({hash_col}, {1 + 4 * i}, 4), 16, 10) as bigint) & {_BLOOM_MASK}"
+        for i in range(_BLOOM_K)
+    ]
+
+
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 8192-bit Bloom filter over recent-urgent order keys,
+    prune lineitem with it in-row (the filter rides along as a
+    128-word broadcast array), then run the exact join and report
+    the pruning diagnostics + exact revenue in one pass."""
+    orders = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    keys = orders.where(
+        "o_orderpriority = '1-URGENT' AND o_orderdate >= timestamp'2001-01-01'"
+    ).select("o_orderkey")
+
+    posed = keys.selectExpr(
+        "md5(cast(o_orderkey as string)) as h"
+    ).select(
+        F.explode(F.array(*[F.expr(p) for p in _positions("h")])).alias("p")
+    )
+    words = (
+        posed.selectExpr(
+            "cast(shiftright(p, 6) as bigint) as word",
+            "shiftleft(cast(1 as bigint), cast(p & 63 as int)) as bv",
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bv)").alias("w"))
+    )
+    bloom = (
+        spark.range(_BLOOM_BITS // 64)
+        .select(F.col("id").alias("word"))
+        .join(words, "word", "left")
+        .selectExpr("word", "coalesce(w, cast(0 as bigint)) as w")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(word, w))), s -> s.w)"
+            ).alias("bw")
+        )
+    )
+    # one lineitem pass: in-row bloom test, broadcast exact-match mark,
+    # single aggregation for all diagnostics
+    lp = li.selectExpr(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        "md5(cast(l_orderkey as string)) as h",
+    ).crossJoin(F.broadcast(bloom))
+    tests = [
+        f"(element_at(bw, cast(shiftright({p}, 6) as int) + 1)"
+        f" & shiftleft(cast(1 as bigint), cast(({p}) & 63 as int))) != 0"
+        for p in _positions("h")
+    ]
+    cand = lp.where(" AND ".join(f"({t})" for t in tests))
+    kmark = keys.withColumn("mk", F.lit(1))
+    n_keys = keys.agg(F.count("*").alias("n_keys"))
+    agg = (
+        cand.join(F.broadcast(kmark), cand["l_orderkey"] == kmark["o_orderkey"], "left")
+        .agg(
+            F.count("*").alias("bloom_candidates"),
+            F.sum(F.when(F.col("mk") == 1, 1).otherwise(0)).alias("tm"),
+            F.sum(
+                F.when(
+                    F.col("mk") == 1,
+                    F.col("l_extendedprice").cast(_PRICE)
+                    * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE)),
+                )
+            ).alias("rev"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(n_keys)).selectExpr(
+        "cast(n_keys as bigint) as n_keys",
+        "cast(bloom_candidates as bigint) as bloom_candidates",
+        "cast(tm as bigint) as true_matches",
+        "cast(bloom_candidates - tm as bigint) as false_positives",
+        "cast(cast(rev as string) as double) as matched_revenue",
+    )
+
+
+def _sql_positions(hash_col: str) -> list[str]:
+    return [
+        f"(('0x' || substr({hash_col}, {1 + 4 * i}, 4))::BIGINT & {_BLOOM_MASK})"
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _sql_bit(p: str) -> str:
+    """Word value with bit (p & 63) set — DuckDB's << overflows at 63,
+    so bit 63 is the min-bigint literal."""
+    return (
+        f"CASE WHEN ({p} & 63) = 63 THEN CAST({_MIN_LONG} AS BIGINT)"
+        f" ELSE CAST(1 AS BIGINT) << CAST({p} & 63 AS INT) END"
+    )
+
+
+def _bloom_sql() -> str:
+    key_pos = _sql_positions("h")
+    probe = _sql_positions("h")
+    cand_tests = " AND ".join(
+        f"((COALESCE(b{i}.w, 0) & {_sql_bit(p)}) != 0)" for i, p in enumerate(probe)
+    )
+    cand_joins = "\n  ".join(
+        f"LEFT JOIN bw b{i} ON b{i}.word = ({p} >> 6)" for i, p in enumerate(probe)
+    )
+    pos_union = " UNION ALL ".join(
+        f"SELECT {p} AS p FROM keyed" for p in key_pos
+    )
+    return f"""
+WITH sel AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '2001-01-01'
+),
+keyed AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h FROM sel),
+pos AS ({pos_union}),
+bw AS (
+  SELECT (p >> 6) AS word, bit_or({_sql_bit('p')}) AS w
+  FROM pos GROUP BY (p >> 6)
+),
+lp AS (
+  SELECT l_orderkey, l_extendedprice, l_discount,
+         md5(CAST(l_orderkey AS VARCHAR)) AS h
+  FROM lineitem
+),
+cand AS (
+  SELECT lp.l_orderkey, lp.l_extendedprice, lp.l_discount
+  FROM lp
+  {cand_joins}
+  WHERE {cand_tests}
+),
+marked AS (
+  SELECT c.*, s.o_orderkey AS mk
+  FROM cand c LEFT JOIN sel s ON s.o_orderkey = c.l_orderkey
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS bloom_candidates,
+         CAST(SUM(CASE WHEN mk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tm,
+         SUM(CASE WHEN mk IS NOT NULL THEN
+             CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+           END) AS rev
+  FROM marked
+),
+nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM sel)
+SELECT n_keys, bloom_candidates, tm AS true_matches,
+       CAST(bloom_candidates - tm AS BIGINT) AS false_positives,
+       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS matched_revenue
+FROM agg, nk
+"""
+
+
+QUERIES = {
+    "events_distinct_hll": events_distinct_hll,
+    "user_overlap_kmv": user_overlap_kmv,
+    "bloom_prune_join": bloom_prune_join,
+}
+
+ORACLE = {
+    "events_distinct_hll": _HLL_SQL,
+    "user_overlap_kmv": _OVERLAP_SQL,
+    "bloom_prune_join": _bloom_sql(),
+}

@@ -235,6 +235,10 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "value_histogram_quantiles": {"BroadcastNestedLoopJoin"},  # 1-row bounds
         "source_epoch_plan": {"BroadcastNestedLoopJoin"},    # 1-row corpus totals
         "key_skew_profile": {"BroadcastNestedLoopJoin"},     # 1-row key-cardinality stats
+        "events_distinct_hll": {"BroadcastNestedLoopJoin"},  # 1-row exact-count scalar
+        "user_overlap_kmv": {"BroadcastNestedLoopJoin"},     # sketch-sized (|types|*k) pairing
+        "bloom_prune_join": {"BroadcastNestedLoopJoin"},     # 1-row 128-word filter + 1-row key count
+        "priority_sample": {"BroadcastNestedLoopJoin"},      # 1-row tau threshold
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
