@@ -36,16 +36,23 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros
-        # (exactly what DuckDB's reader does), independent of whatever
-        # session config the caller created.
+        # events.ts arrives in whichever parquet flavor the generator
+        # used: TIMESTAMP(NANOS) (Spark's vectorized reader rejects it;
+        # read nanos as long and truncate to micros, exactly what
+        # DuckDB's reader does) or plain micros with isAdjustedToUTC
+        # false (Spark reads TIMESTAMP_NTZ). Normalize both to the
+        # session-TZ timestamp the query catalog expects — the session
+        # is pinned UTC above, so the wall-clock values are identical
+        # to the naive values DuckDB sees.
         import pyspark.sql.functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
