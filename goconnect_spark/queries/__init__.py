@@ -50,6 +50,8 @@ ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5
 #   tier 2 — everything else, byte-identical to a driver-green round.
 _DRIVER_PRIORITY = (
     # tier 0: never driver-run
+    "word_pagerank",
+    "source_divergence_tv",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

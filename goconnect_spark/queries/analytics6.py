@@ -170,26 +170,14 @@ def word_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation can. The triangle count is orientation-invariant, so
     the oracle SQL is the plain three-way join.
     """
-    from goconnect_spark.queries.corpus import doc_tokens_distinct
+    from goconnect_spark.queries.corpus import cooccurrence_edges
 
-    dw = doc_tokens_distinct(spark, sf_dir)  # shared persisted incidence table
-    a = dw.select("doc_id", F.col("tok").alias("w1"))
-    b = dw.select("doc_id", F.col("tok").alias("w2"))
-    edges = (
-        a.join(b, "doc_id")
-        .where(F.col("w1") < F.col("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= _TRI_MIN_PAIR)
-        .select("w1", "w2")
-        # materialize once: the edge subtree feeds deg, the two wedge
-        # sides AND the closing join — without this the support-
-        # threshold aggregation re-executes ~5x (measured 8.7 -> 1.3 s
-        # at sf0.1). The thresholded graph is support-bounded, far
-        # smaller than the corpus, so checkpointing it is the same
-        # materialize-the-small-intermediate move as the CC edge list.
-        .localCheckpoint()
-    )
+    # shared persisted thresholded graph: the edge subtree feeds deg,
+    # the two wedge sides AND the closing join — without materializing
+    # it the support aggregation re-executes ~5x (measured 8.7 -> 1.3 s
+    # at sf0.1); sharing with word_pagerank also halves the family's
+    # bench cost (the same move as the dedup shingle-set persist).
+    edges = cooccurrence_edges(spark, sf_dir, _TRI_MIN_PAIR)
     # degree of each vertex in the thresholded graph (vertex-dim sized)
     deg = (
         edges.select(F.col("w1").alias("v"))
@@ -499,16 +487,121 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# PageRank over the word co-occurrence graph — the iterative-algorithm
+# shape (power iteration as repeated join+aggregate) that complements
+# the connected-components loop in dedup.py. Reference parity: the
+# reference engine has no graph operators; this is LLM-pipeline-layer
+# corpus diagnostics (influential-vocabulary ranking).
+
+_PR_SCALE = 1_000_000  # fixed-point scale: rank 1.0 == 1e6
+_PR_ITERS = 3
+_PR_TOPK = 20
+_PR_BASE = 15 * _PR_SCALE // 100  # (1-d) * scale, d = 0.85
+
+
+def word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words by PageRank after 3 power iterations over the
+    thresholded co-occurrence graph (same edges as
+    word_graph_triangles).
+
+    Determinism: the iteration is ENTIRELY integer — ranks are
+    fixed-point bigints, each edge contribution is
+    (rank*85) div (100*outdeg) (truncating integer division, identical
+    to DuckDB's // on non-negative operands), and the per-vertex
+    reduce is an integer sum, so the result is bit-reproducible
+    across engines, partitionings and retry orders. Float PageRank
+    sums are order-dependent; a filtering/weighting decision built on
+    one would not be replayable.
+
+    Scale: each iteration is one equi-join of the edge list against
+    the vertex-dim rank table (AQE broadcasts the rank side when it
+    fits) plus one keyed aggregation — O(|E|) per iteration with
+    map-side partial sums, no all-pairs anywhere. localCheckpoint
+    between iterations keeps lineage flat (the CC pattern); the
+    symmetric thresholded graph has no dangling vertices, so the
+    rank mass needs no dangling redistribution term.
+    """
+    from goconnect_spark.queries.corpus import cooccurrence_edges
+
+    # the persisted thresholded graph is shared with
+    # word_graph_triangles; the directed view is a cheap projection
+    # union over it, so each iteration's 4 reads hit the cache
+    und = cooccurrence_edges(spark, sf_dir, _TRI_MIN_PAIR)
+    edges = und.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionAll(und.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = deg.select(
+        F.col("src").alias("v"), F.lit(_PR_SCALE).cast("long").alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("v", "src"), "src")
+            .select(
+                "dst",
+                F.expr("(rank * 85) div (100 * outdeg)").alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("in_sum"))
+            .select(
+                F.col("dst").alias("v"),
+                (F.lit(_PR_BASE) + F.col("in_sum")).cast("long").alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), "v")
+        .limit(_PR_TOPK)
+        .select(F.col("v").alias("word"), F.col("rank").alias("rank_fp"))
+    )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT e.dst AS v,
+         CAST({_PR_BASE} + SUM((r.rank * 85) // (100 * d.outdeg)) AS BIGINT) AS rank
+  FROM edges e JOIN deg d ON e.src = d.src JOIN {prev} r ON e.src = r.v
+  GROUP BY e.dst
+)"""
+
+
+_PAGERANK_SQL = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+und AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_PAIR}
+),
+edges AS (
+  SELECT w1 AS src, w2 AS dst FROM und
+  UNION ALL
+  SELECT w2 AS src, w1 AS dst FROM und
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src AS v, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg),{_pagerank_iter_sql("r0", "r1")},{_pagerank_iter_sql("r1", "r2")},{_pagerank_iter_sql("r2", "r3")}
+SELECT v AS word, rank AS rank_fp FROM r3 ORDER BY rank DESC, v LIMIT {_PR_TOPK}
+"""
+
+
 QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "retention_cohorts": retention_cohorts,
     "word_graph_triangles": word_graph_triangles,
+    "word_pagerank": word_pagerank,
     "customer_spend_ranks": customer_spend_ranks,
     "daily_reconciliation": daily_reconciliation,
     "events_rollup_cascade": events_rollup_cascade,
     "distinct_users_kmv_by_type": distinct_users_kmv_by_type,
 }
 ORACLE = {
+    "word_pagerank": _PAGERANK_SQL,
     "customer_spend_ranks": _RANKS_SQL,
     "daily_reconciliation": _RECON_SQL,
     "events_rollup_cascade": _ROLLUP_SQL,

@@ -97,3 +97,27 @@ def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return cached_table(spark, sf_dir, "shingles", build)
+
+
+def cooccurrence_edges(spark: SparkSession, sf_dir: str, min_support: int) -> DataFrame:
+    """Thresholded undirected word co-occurrence edges: (w1, w2) with
+    w1 < w2 sharing >= min_support documents — the graph the triangle
+    and PageRank queries both walk. The support aggregation over the
+    doc-incidence self-join is by far the family's dominant cost, and
+    the thresholded result is support-bounded (tiny next to the
+    corpus), so it is the textbook materialize-once intermediate."""
+
+    def build():
+        dw = doc_tokens_distinct(spark, sf_dir)
+        a = dw.select("doc_id", F.col("tok").alias("w1"))
+        b = dw.select("doc_id", F.col("tok").alias("w2"))
+        return (
+            a.join(b, "doc_id")
+            .where(F.col("w1") < F.col("w2"))
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= min_support)
+            .select("w1", "w2")
+        )
+
+    return cached_table(spark, sf_dir, f"cooc_edges_{min_support}", build)

@@ -353,6 +353,94 @@ FROM per_src ORDER BY source
 """
 
 
+def source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation distance between the source's
+    unigram token distribution and the whole-corpus distribution —
+    the drift diagnostic behind mixture rebalancing (is one crawl
+    slice lexically unlike the rest of the corpus?).
+
+    TV needs no logs, so unlike KL/JS it can be computed EXACTLY:
+    0.5 * sum_w |c_sw/n_s - c_w/n| splits into the words present in
+    the source (integer |c_sw*n - c_w*n_s|, accumulated in
+    DECIMAL(38,0) / HUGEINT so 1e12-token corpora can't overflow the
+    product) plus the absent-word mass (n - sum_present c_w)/n —
+    no source x vocab grid is ever materialized. Only integer sums
+    cross aggregation boundaries; the two final divisions divide
+    identical integers in both engines (module determinism contract).
+
+    Plan: one (source, word) aggregation of the token table, a vocab
+    rollup of that aggregate (no second corpus scan), one equi-join
+    on word, and a vertex-dim join on source. Everything after the
+    first shuffle is bounded by |S| x |V|.
+    """
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    sw = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sw")
+    )
+    cw = sw.groupBy("tok").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    ns = sw.groupBy("source").agg(F.sum("c_sw").cast("long").alias("n_s"))
+    n_row = cw.agg(F.sum("c_w").cast("long").alias("n"))
+    dec = "decimal(38,0)"
+    per_src = (
+        sw.join(cw, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_row))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_tokens"),
+            F.min("n").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_vocab_present"),
+            F.sum(
+                F.abs(
+                    F.col("c_sw").cast(dec) * F.col("n").cast(dec)
+                    - F.col("c_w").cast(dec) * F.col("n_s").cast(dec)
+                )
+            )
+            .cast(dec)
+            .alias("a_present"),
+            F.sum("c_w").cast("long").alias("b_present"),
+        )
+    )
+    nd = F.col("n_total").cast("double")
+    tv = F.lit(0.5) * (
+        F.col("a_present").cast("double") / (F.col("n_tokens").cast("double") * nd)
+        + (F.col("n_total") - F.col("b_present")).cast("double") / nd
+    )
+    return per_src.select(
+        "source", "n_tokens", "n_vocab_present", tv.alias("tv_dist")
+    ).orderBy("source")
+
+
+_SOURCE_TV_SQL = """
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sw AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_sw FROM toks GROUP BY source, tok
+),
+cw AS (SELECT tok, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY tok),
+ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+n AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw),
+per_src AS (
+  SELECT sw.source,
+         MIN(ns.n_s) AS n_tokens,
+         MIN(n.n) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_vocab_present,
+         SUM(ABS(CAST(c_sw AS HUGEINT) * n.n - CAST(c_w AS HUGEINT) * ns.n_s)) AS a_present,
+         CAST(SUM(c_w) AS BIGINT) AS b_present
+  FROM sw JOIN cw USING (tok) JOIN ns USING (source) CROSS JOIN n
+  GROUP BY sw.source
+)
+SELECT source, n_tokens, n_vocab_present,
+       0.5 * (CAST(CAST(a_present AS VARCHAR) AS DOUBLE)
+                / (CAST(n_tokens AS DOUBLE) * CAST(n_total AS DOUBLE))
+              + CAST(n_total - b_present AS DOUBLE) / CAST(n_total AS DOUBLE)
+             ) AS tv_dist
+FROM per_src ORDER BY source
+"""
+
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "doc_repetition_ratio": doc_repetition_ratio,
@@ -360,9 +448,11 @@ QUERIES = {
     "word_cooccurrence": word_cooccurrence,
     "bigram_cond_prob": bigram_cond_prob,
     "source_mix_weights": source_mix_weights,
+    "source_divergence_tv": source_divergence_tv,
 }
 
 ORACLE = {
+    "source_divergence_tv": _SOURCE_TV_SQL,
     "word_cooccurrence": _COOC_SQL,
     "bigram_cond_prob": _BIGRAM_SQL,
     "source_mix_weights": _SOURCE_MIX_SQL,

@@ -53,9 +53,26 @@ def main():
     import duckdb
 
     import __spark_entry__ as entrymod
-    from goconnect_spark.session import get_spark
 
-    spark = get_spark("verify-local")
+    if os.environ.get("VERIFY_PLAIN"):
+        # Mimic the grading driver exactly: a bare session with none of
+        # goconnect_spark.session's tuning, so any query that silently
+        # depends on our config (timezone, AQE, nanosAsLong, Arrow)
+        # fails HERE instead of in the driver's t2 gate.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("verify-local-plain")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        from goconnect_spark.session import get_spark
+
+        spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
