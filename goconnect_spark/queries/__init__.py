@@ -52,6 +52,7 @@ _DRIVER_PRIORITY = (
     # tier 0: never driver-run
     "word_pagerank",
     "source_divergence_tv",
+    "knn_label_accuracy",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

@@ -700,3 +700,146 @@ ORDER BY s.cell
 
 QUERIES["semantic_dedup"] = semantic_dedup
 ORACLE["semantic_dedup"] = _SEMDEDUP_SQL
+
+
+# --------------------------------------------------------------------
+# kNN label-accuracy evaluation: the embedding-quality health check a
+# training pipeline runs after (re)embedding a corpus — if k nearest
+# neighbours stop agreeing with a vector's own label, the embedding
+# space (or the upstream labeler) drifted.
+# --------------------------------------------------------------------
+_KNN_PROBES = 70  # fixed probe panel size (vec_id < 70)
+_KNN_K = 5
+
+
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label leave-one-out kNN classification accuracy.
+
+    For each probe in a FIXED deterministic 70-vector panel
+    (vec_id < _KNN_PROBES — an eval fixture, so its cost stays
+    constant as the corpus scales): take its _KNN_K nearest
+    neighbours by quantized-integer
+    cosine (self excluded), majority-vote their labels (ties broken by
+    smaller label), and score the vote against the probe's own label.
+    Output is per-label probe counts and accuracy.
+
+    Determinism: dots are exact integer sums; cosine divides the same
+    integers through the same IEEE sqrt in both engines; both the
+    neighbour ranking (cosine DESC, vec_id ASC) and the vote ranking
+    (votes DESC, label ASC) are total orders.
+
+    Scale: identical shape to cosine_topk — the probe side is a
+    broadcast dim; the corpus side streams through one equi-join on
+    the dimension index and two keyed aggregations. The vote stage
+    operates on probes x k rows, negligible. At 100 TB one swaps the
+    brute-force candidate stage for the IVF cell-partitioned search
+    (ann_ivf_topk) and keeps this evaluation layer unchanged.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    quant = _quantized(emb)
+    norms = _norms(quant)
+    probe_labels = emb.where(F.col("vec_id") < _KNN_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
+    )
+    probes = quant.where(F.col("vec_id") < _KNN_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("d").alias("pd"), F.col("q").alias("pq")
+    )
+    dots = (
+        quant.join(
+            F.broadcast(probes),
+            (F.col("d") == F.col("pd")) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .groupBy("probe_id", "vec_id", "label")
+        .agg(F.sum(F.col("q") * F.col("pq")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms, "vec_id")
+        .join(
+            norms.select(F.col("vec_id").alias("probe_id"), F.col("nrm").alias("pnrm")),
+            "probe_id",
+        )
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            (F.col("dot").cast("double") / (F.col("nrm") * F.col("pnrm"))).alias("cosine"),
+        )
+    )
+    wn = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    top = cos.withColumn("rk", F.row_number().over(wn)).where(F.col("rk") <= _KNN_K)
+    votes = top.groupBy("probe_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("probe_id").orderBy(F.desc("votes"), F.asc("label"))
+    pred = (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .where(F.col("vrk") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"))
+    )
+    scored = pred.join(F.broadcast(probe_labels), "probe_id").select(
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).cast("long").alias("correct"),
+    )
+    return (
+        scored.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("correct").cast("long").alias("n_correct"),
+        )
+        .select(
+            F.col("true_label").alias("label"),
+            "n_probes",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_probes").cast("double")).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+_KNN_ACC_SQL = f"""
+WITH {_QUANT_CTE},
+probe_labels AS (
+  SELECT vec_id AS probe_id, label AS true_label FROM embeddings WHERE vec_id < {_KNN_PROBES}
+),
+probes AS (SELECT vec_id AS probe_id, d AS pd, q AS pq FROM quant WHERE vec_id < {_KNN_PROBES}),
+dots AS (
+  SELECT p.probe_id, c.vec_id, c.label, SUM(c.q * p.pq) AS dot
+  FROM quant c JOIN probes p ON c.d = p.pd AND c.vec_id <> p.probe_id
+  GROUP BY p.probe_id, c.vec_id, c.label
+),
+cos AS (
+  SELECT d.probe_id, d.vec_id, d.label,
+         CAST(d.dot AS DOUBLE) / (nv.nrm * np.nrm) AS cosine
+  FROM dots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms np ON np.vec_id = d.probe_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rk
+    FROM cos
+  ) WHERE rk <= {_KNN_K}
+),
+votes AS (
+  SELECT probe_id, label, CAST(COUNT(*) AS BIGINT) AS votes FROM top GROUP BY probe_id, label
+),
+pred AS (
+  SELECT probe_id, label AS pred_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY votes DESC, label ASC) AS vrk
+    FROM votes
+  ) WHERE vrk = 1
+),
+scored AS (
+  SELECT pl.true_label,
+         CASE WHEN p.pred_label = pl.true_label THEN 1 ELSE 0 END AS correct
+  FROM pred p JOIN probe_labels pl USING (probe_id)
+)
+SELECT true_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(correct) AS BIGINT) AS n_correct,
+       CAST(SUM(correct) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM scored GROUP BY true_label ORDER BY label
+"""
+
+QUERIES["knn_label_accuracy"] = knn_label_accuracy
+ORACLE["knn_label_accuracy"] = _KNN_ACC_SQL
