@@ -63,14 +63,36 @@ def _norms(quant: DataFrame) -> DataFrame:
     return quant.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")).alias("nrm"))
 
 
+def _quant_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted quantized embedding explode — every embedding
+    query starts from the same (vec_id, label, d, q) table, so it is
+    materialized once per (session, sf) like the token tables
+    (corpus.cached_table). 64 rows/vector: small next to the corpus."""
+    from goconnect_spark.queries.corpus import cached_table
+
+    return cached_table(
+        spark, sf_dir, "emb_quant",
+        lambda: _quantized(load(spark, "embeddings", sf_dir)),
+    )
+
+
+def _norms_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.queries.corpus import cached_table
+
+    return cached_table(
+        spark, sf_dir, "emb_norms",
+        lambda: _norms(_quant_cached(spark, sf_dir)),
+    )
+
+
 # --------------------------------------------------------------------
 # Brute-force cosine top-k for probes vec_id < N_PROBES.
 # The probe side is tiny -> broadcast; the corpus side streams.
 # --------------------------------------------------------------------
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
-    quant = _quantized(emb)
-    norms = _norms(quant)
+    quant = _quant_cached(spark, sf_dir)
+    norms = _norms_cached(spark, sf_dir)
     probes = quant.where(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("d").alias("pd"), F.col("q").alias("pq")
     )
@@ -129,8 +151,8 @@ ORDER BY probe_id, rk
 # --------------------------------------------------------------------
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
-    quant = _quantized(emb)
-    norms = _norms(quant)
+    quant = _quant_cached(spark, sf_dir)
+    norms = _norms_cached(spark, sf_dir)
 
     reps = quant.groupBy("label").agg(F.min("vec_id").alias("rep_id")).select("rep_id")
     rep_vecs = quant.join(reps, quant.vec_id == reps.rep_id).select(
@@ -495,8 +517,8 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids against the corpus — the index-build scan; the search
     join is cell-partitioned, touching ~1/k of the corpus per probe."""
     emb = load(spark, "embeddings", sf_dir)
-    quant = _quantized(emb)
-    norms = _norms(quant)
+    quant = _quant_cached(spark, sf_dir)
+    norms = _norms_cached(spark, sf_dir)
     member = _kmeans_member(emb)
     probes = member.where(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "cell", F.col("qs").alias("pqs")
@@ -609,8 +631,8 @@ _SEMDEDUP_TAU = "cast(0.3125 as double)"
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, "embeddings", sf_dir)
-    quant = _quantized(emb)
-    norms = _norms(quant)
+    quant = _quant_cached(spark, sf_dir)
+    norms = _norms_cached(spark, sf_dir)
     member = _kmeans_member(emb).select("vec_id", "cell").localCheckpoint()
     pairs = (
         member.alias("a")
@@ -736,8 +758,8 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ann_ivf_topk) and keeps this evaluation layer unchanged.
     """
     emb = load(spark, "embeddings", sf_dir)
-    quant = _quantized(emb)
-    norms = _norms(quant)
+    quant = _quant_cached(spark, sf_dir)
+    norms = _norms_cached(spark, sf_dir)
     probe_labels = emb.where(F.col("vec_id") < _KNN_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
     )
