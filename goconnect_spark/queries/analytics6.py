@@ -527,32 +527,13 @@ def word_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persisted thresholded graph is shared with
     # word_graph_triangles; the directed view is a cheap projection
     # union over it, so each iteration's 4 reads hit the cache
+    from goconnect_spark.operators.graph import pagerank_fixed_point
+
     und = cooccurrence_edges(spark, sf_dir, _TRI_MIN_PAIR)
     edges = und.select(
         F.col("w1").alias("src"), F.col("w2").alias("dst")
     ).unionAll(und.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = deg.select(
-        F.col("src").alias("v"), F.lit(_PR_SCALE).cast("long").alias("rank")
-    )
-    for _ in range(_PR_ITERS):
-        contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("v", "src"), "src")
-            .select(
-                "dst",
-                F.expr("(rank * 85) div (100 * outdeg)").alias("c"),
-            )
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg(F.sum("c").cast("long").alias("in_sum"))
-            .select(
-                F.col("dst").alias("v"),
-                (F.lit(_PR_BASE) + F.col("in_sum")).cast("long").alias("rank"),
-            )
-            .localCheckpoint()
-        )
+    ranks = pagerank_fixed_point(edges, iters=_PR_ITERS, scale=_PR_SCALE)
     return (
         ranks.orderBy(F.desc("rank"), "v")
         .limit(_PR_TOPK)

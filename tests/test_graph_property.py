@@ -1,0 +1,55 @@
+"""Property test for the fixed-point PageRank operator: on randomized
+directed graphs, the distributed join+aggregate power iteration must
+produce EXACTLY the ranks of the sequential reference implementation
+of the same integer recurrence — the distributed-vs-sequential
+equivalence contract (PPJoin / token-budget pattern). Integer
+arithmetic makes exact equality meaningful: any partition- or
+order-dependence would show up as an off-by-one in a truncating
+division sum."""
+
+import random
+
+import pytest
+
+from goconnect_spark.operators.graph import (
+    pagerank_fixed_point,
+    pagerank_fixed_point_py,
+)
+
+
+def _random_edges(rng, n_vertices, n_edges):
+    seen = set()
+    while len(seen) < n_edges:
+        s = rng.randrange(n_vertices)
+        d = rng.randrange(n_vertices)
+        if s != d:
+            seen.add((s, d))
+    return sorted(seen)
+
+
+@pytest.mark.parametrize("seed,n_v,n_e,iters", [(3, 12, 30, 3), (11, 25, 80, 4), (29, 8, 14, 2)])
+def test_pagerank_matches_sequential_reference(spark, seed, n_v, n_e, iters):
+    rng = random.Random(seed)
+    edges = _random_edges(rng, n_v, n_e)
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {
+        r.v: r.rank
+        for r in pagerank_fixed_point(df, iters=iters, checkpoint=False).collect()
+    }
+    want = pagerank_fixed_point_py(edges, iters=iters)
+    assert got == want
+
+
+def test_pagerank_symmetric_graph_conserves_vertices(spark):
+    # a symmetrized graph keeps every vertex in the rank table and the
+    # total rank mass stays within base*|V| of scale*|V| (no dangling
+    # leakage beyond truncation loss)
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    ranks = {r.v: r.rank for r in pagerank_fixed_point(df, iters=3, checkpoint=False).collect()}
+    assert set(ranks) == {0, 1, 2, 3}
+    total = sum(ranks.values())
+    scale = 1_000_000
+    # truncating division loses < 1 unit per edge per iteration
+    assert scale * 4 - 3 * len(edges) <= total <= scale * 4
