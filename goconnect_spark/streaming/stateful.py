@@ -187,3 +187,78 @@ def budget_admit(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def heavy_hitters(
+    stream: DataFrame,
+    value_col: str,
+    k: int = 10,
+    capacity: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming top-k frequent values with BOUNDED state: a
+    SpaceSaving sketch per hash shard, `capacity` counters each, so
+    total state is shards x capacity rows no matter how many distinct
+    values the stream carries — the property that lets a 100 TB
+    ingest track heavy hitters forever where a plain streaming
+    groupBy-count accumulates unbounded per-value state.
+
+    Values are hash-partitioned to exactly ONE shard, so a value's
+    estimate lives wholly in that shard's sketch and the global top-k
+    is a trivial union+sort of the per-shard snapshots (no cross-
+    sketch merge). Each trigger emits the shard's current top-k as
+    (shard, value, est, err) with the SpaceSaving guarantee
+    true <= est <= true + err for every value retained.
+
+    Batch rows are pre-aggregated (pandas value_counts) before the
+    weighted sketch update, so Python work is per distinct value per
+    batch, not per row.
+    """
+
+    def fn(key: Tuple, pdfs, state: GroupState):
+        if state.exists:
+            vals, counts, errs = state.get
+            sk = {v: [c, e] for v, c, e in zip(vals, counts, errs)}
+        else:
+            sk = {}
+        for pdf in pdfs:
+            for v, c in pdf[value_col].astype(str).value_counts().items():
+                c = int(c)
+                if v in sk:
+                    sk[v][0] += c
+                elif len(sk) < capacity:
+                    sk[v] = [c, 0]
+                else:
+                    u, (cmin, _) = min(sk.items(), key=lambda it: (it[1][0], it[0]))
+                    del sk[u]
+                    sk[v] = [cmin + c, cmin]
+        items = sorted(sk.items(), key=lambda it: (it[0],))
+        state.update(
+            (
+                [v for v, _ in items],
+                [ce[0] for _, ce in items],
+                [ce[1] for _, ce in items],
+            )
+        )
+        top = sorted(sk.items(), key=lambda it: (-it[1][0], it[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(top),
+                "value": [v for v, _ in top],
+                "est": [ce[0] for _, ce in top],
+                "err": [ce[1] for _, ce in top],
+            }
+        )
+
+    import pyspark.sql.functions as F
+
+    sharded = stream.withColumn(
+        "shard", (F.abs(F.xxhash64(F.col(value_col))) % shards).cast("int")
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType="shard int, value string, est bigint, err bigint",
+        stateStructType="vals array<string>, counts array<bigint>, errs array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

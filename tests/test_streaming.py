@@ -419,3 +419,54 @@ def test_budget_admit_enforces_budget_across_batches(spark, tmp_path):
         assert max(r.used_after for r in rs) == 40
     # the run really crossed a batch boundary (state carried over)
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+
+
+def test_heavy_hitters_bounded_state_guarantee(spark, tmp_path):
+    # SpaceSaving per shard: capacity 4 counters per shard with 20+
+    # distinct values forces evictions; the heavy value (40 of ~70
+    # rows) must survive with true <= est <= true + err, and state
+    # stays bounded. Two files force a batch boundary so the sketch
+    # itself is what carries across triggers.
+    from goconnect_spark.streaming.stateful import heavy_hitters
+
+    d = str(tmp_path / "words")
+    heavy = ["hot"] * 20 + [f"rare{i}" for i in range(10)]
+    heavy2 = ["hot"] * 20 + [f"tail{i}" for i in range(10)]
+    spark.createDataFrame([(w,) for w in heavy], ["w"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame([(w,) for w in heavy2], ["w"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema("w string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    hh = heavy_hitters(stream, "w", k=5, capacity=4, shards=2)
+    q = (
+        hh.writeStream.format("memory")
+        .queryName("t_heavy_hitters")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: keep the LAST snapshot per (shard, value)
+    rows = spark.sql(
+        "select * from (select *, row_number() over "
+        "(partition by shard, value order by est desc) rn from t_heavy_hitters) "
+        "where rn = 1"
+    ).collect()
+    by_val = {r.value: r for r in rows}
+    assert "hot" in by_val, sorted(by_val)
+    r = by_val["hot"]
+    assert 40 <= r.est <= 40 + r.err
+    # bounded emission: each trigger emits at most k rows per shard
+    # (the sink union may keep rows for since-evicted values — that is
+    # sink history, not state; the sketch itself holds <= capacity)
+    n_trig = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_trig >= 2
+    all_rows = spark.sql("select * from t_heavy_hitters").collect()
+    assert len(all_rows) <= n_trig * 2 * 5  # triggers * shards * k
