@@ -1,0 +1,78 @@
+"""Storage-layout maintenance: the compaction pass every long-lived
+100 TB table needs.
+
+Streaming ingests (and over-parallel batch writes) leave thousands of
+small parquet files; scans then pay per-file open/footer costs and
+schedulers pay per-split overhead. `compact_parquet` rewrites a
+directory into files sized for the scanner (default 128 MB, matching
+spark.sql.files.maxPartitionBytes in session.py), optionally
+range-sorting rows so parquet min/max zone maps prune selective
+predicates after the rewrite.
+
+Sizing uses the ACTUAL compressed byte size of the input files (not a
+row-count heuristic): compression ratios vary 10x across columns and
+corpora, and the existing files already reflect the true ratio.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Sequence
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _input_bytes(df: DataFrame) -> Optional[int]:
+    """Total compressed bytes of the scan's input files, when they are
+    locally stat-able (file: URIs). Returns None for remote schemes —
+    callers fall back to an explicit n_files."""
+    total = 0
+    for uri in df.inputFiles():
+        p = urlparse(uri)
+        if p.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return None
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: Optional[Sequence[str]] = None,
+    n_files: Optional[int] = None,
+) -> int:
+    """Rewrite `in_dir`'s parquet into ~target-sized files at
+    `out_dir`; returns the file count written.
+
+    With `sort_by`, rows are range-partitioned and sorted within each
+    file on those columns, so post-compaction scans with predicates on
+    them prune whole files via parquet min/max statistics — the poor
+    man's clustering index, and the right default for an event table
+    keyed by time. Without it, a plain repartition balances bytes.
+
+    `repartitionByRange` samples the sort key to build balanced range
+    bounds — one extra pass over the data, the standard price of a
+    sorted rewrite.
+    """
+    df = spark.read.parquet(in_dir)
+    if n_files is None:
+        total = _input_bytes(df)
+        if total is None:
+            raise ValueError(
+                "input bytes not stat-able for remote storage; pass n_files="
+            )
+        n_files = max(1, math.ceil(total / target_file_bytes))
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_dir)
+    written = spark.read.parquet(out_dir)
+    return len([u for u in written.inputFiles()])

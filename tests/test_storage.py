@@ -1,0 +1,50 @@
+"""Compaction: many small files in, few scanner-sized files out, same
+rows; a sorted rewrite leaves per-file disjoint min/max ranges so
+selective scans prune files."""
+
+import os
+
+from goconnect_spark.operators.storage import compact_parquet
+
+
+def _parquet_files(d):
+    return [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compact")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.repartition(40).write.parquet(src)  # simulate a small-files mess
+    assert len(_parquet_files(src)) == 40
+
+    n = compact_parquet(spark, src, out, target_file_bytes=1 << 30)
+    assert n == 1  # everything fits one target-sized file
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_compact_sorted_rewrite_gives_disjoint_zone_maps(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "small2")
+    out = str(tmp_path / "sorted")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(20).write.parquet(src)
+
+    compact_parquet(spark, src, out, n_files=4, sort_by=["event_id"])
+    files = _parquet_files(out)
+    assert len(files) == 4
+    # per-file [min, max] of the sort key must not overlap: that is
+    # what lets a point/range predicate skip whole files
+    ranges = []
+    for f in files:
+        df = spark.read.parquet(f)
+        row = df.selectExpr("min(event_id) lo", "max(event_id) hi").collect()[0]
+        ranges.append((row.lo, row.hi))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    assert spark.read.parquet(out).count() == ev.count()
