@@ -76,6 +76,9 @@ _DRIVER_PRIORITY = (
     "train_val_test_split",
     "tfidf_top_terms",
     # tier 1: implementation changed since the r03-verified snapshot
+    "cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "embedding_near_dup",
     "orders_grouping_sets",
     "customer_spend_ranks",
