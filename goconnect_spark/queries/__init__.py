@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = (
     "word_pagerank",
     "source_divergence_tv",
     "knn_label_accuracy",
+    "phrase_search_top_trigram",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

@@ -441,8 +441,83 @@ FROM per_src ORDER BY source
 """
 
 
+def phrase_search_top_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search over the corpus' positional inverted
+    index: mine the single most frequent 3-word phrase (ties broken
+    alphabetically, so the winner is deterministic at every scale),
+    then return every (doc_id, start_pos) occurrence — the IR shape
+    behind quote detection and boilerplate-span localization.
+
+    Plan: the trigram occurrence table is built IN-ROW from the shared
+    token arrays (array slicing, no self-joins — three exploded copies
+    joined on pos would shuffle the corpus twice); the argmax is one
+    keyed count + a global top-1 (TakeOrderedAndProject, constant
+    memory); the search is a broadcast equi-join of that 1-phrase row
+    back against the occurrence table. At 100 TB the occurrence table
+    is the positional posting list a real index would materialize
+    bucketed by term.
+    """
+    from goconnect_spark.queries.corpus import doc_token_arrays
+
+    toks = doc_token_arrays(spark, sf_dir).where(F.size("toks") >= 3)
+    occ = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(toks)-3),"
+                " i -> struct(toks[i] as w1, toks[i+1] as w2, toks[i+2] as w3))"
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", "pos", "g.w1", "g.w2", "g.w3")
+    top = (
+        occ.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "w1", "w2", "w3")
+        .limit(1)
+    )
+    return (
+        occ.join(F.broadcast(top), ["w1", "w2", "w3"])
+        .select(
+            F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
+            "doc_id",
+            F.col("pos").cast("long").alias("start_pos"),
+            "n_occurrences",
+        )
+        .orderBy("doc_id", "start_pos")
+    )
+
+
+_PHRASE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+gr AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> {'pos': i - 1, 'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]})) AS g
+  FROM w
+),
+occ AS (
+  SELECT doc_id, g.pos AS pos, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM gr
+),
+top AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM occ GROUP BY w1, w2, w3
+  ORDER BY n_occurrences DESC, w1, w2, w3 LIMIT 1
+)
+SELECT concat_ws(' ', o.w1, o.w2, o.w3) AS phrase,
+       o.doc_id,
+       CAST(o.pos AS BIGINT) AS start_pos,
+       t.n_occurrences
+FROM occ o JOIN top t USING (w1, w2, w3)
+ORDER BY o.doc_id, o.pos
+"""
+
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
+    "phrase_search_top_trigram": phrase_search_top_trigram,
     "doc_repetition_ratio": doc_repetition_ratio,
     "vocab_oov_rate": vocab_oov_rate,
     "word_cooccurrence": word_cooccurrence,
@@ -452,6 +527,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "phrase_search_top_trigram": _PHRASE_SQL,
     "source_divergence_tv": _SOURCE_TV_SQL,
     "word_cooccurrence": _COOC_SQL,
     "bigram_cond_prob": _BIGRAM_SQL,
