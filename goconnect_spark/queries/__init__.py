@@ -54,6 +54,7 @@ _DRIVER_PRIORITY = (
     "source_divergence_tv",
     "knn_label_accuracy",
     "phrase_search_top_trigram",
+    "events_hourly_anomalies",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

@@ -517,6 +517,104 @@ WINDOW w AS (PARTITION BY user_id ORDER BY tus
 """
 
 
+_ANOM_HOUR_US = 3_600_000_000
+_ANOM_LOOKBACK = 24  # trailing full-day window, in hours
+_ANOM_Z = 3.0
+
+
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomaly flags per event type: each hour is
+    z-scored against the trailing 24 fully-observed hours — the
+    monitoring query a 100 TB ingest runs on itself.
+
+    Determinism: the windowed mean/variance come from EXACT integer
+    sums (counts and squared counts over a row-bounded frame), using
+    var = (k*s2 - s1^2) / k^2 so only the final z division touches
+    doubles — both engines divide identical integers, so the flag is
+    reproducible. Hours are integer epoch-hour indexes, sidestepping
+    timestamp rendering differences.
+
+    Scale: one keyed aggregation (hour x type cardinality), then
+    windows partitioned by event_type over the tiny hourly series —
+    the window never sees raw events.
+    """
+    ev = load(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(_ANOM_HOUR_US)).cast("bigint").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_ANOM_LOOKBACK, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.sum("c").over(w).cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("long").alias("s2"),
+        F.count(F.lit(1)).over(w).cast("long").alias("k"),
+    ).where(F.col("k") == _ANOM_LOOKBACK)
+    kd = F.col("k").cast("double")
+    mean = F.col("s1").cast("double") / kd
+    var = (
+        F.col("k").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (kd * kd)
+    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    return (
+        stats.where(var > 0)
+        .select(
+            "event_type",
+            "h",
+            "c",
+            mean.alias("trailing_mean"),
+            z.alias("z"),
+            (F.abs(z) > _ANOM_Z).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+_ANOM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / {_ANOM_HOUR_US}) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, h, c,
+         CAST(SUM(c) OVER w AS BIGINT) AS s1,
+         CAST(SUM(c * c) OVER w AS BIGINT) AS s2,
+         CAST(COUNT(*) OVER w AS BIGINT) AS k
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {_ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h, c,
+       CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS trailing_mean,
+       (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+         / SQRT((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE))) AS z,
+       ABS((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+         / SQRT((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))) > {_ANOM_Z} AS is_anomaly
+FROM stats
+WHERE k = {_ANOM_LOOKBACK}
+  AND (CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)) > 0
+ORDER BY event_type, h
+"""
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "events_distinct_kmv": events_distinct_kmv,
@@ -526,8 +624,10 @@ QUERIES = {
     "word_freq_cms": word_freq_cms,
     "value_histogram_quantiles": value_histogram_quantiles,
     "user_rolling_7d": user_rolling_7d,
+    "events_hourly_anomalies": events_hourly_anomalies,
 }
 ORACLE = {
+    "events_hourly_anomalies": _ANOM_SQL,
     "user_rolling_7d": _ROLLING_SQL,
     "value_histogram_quantiles": _HISTQ_SQL,
     "events_in_error_windows": _ERRWIN_SQL,
