@@ -101,3 +101,78 @@ def pagerank_fixed_point_py(
             nxt[d] = nxt.get(d, 0) + c
         ranks = {v: base + c for v, c in nxt.items()}
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Min-label propagation over a SYMMETRIC edge list; returns
+    (v, label) where label is the smallest vertex id in v's component
+    — the duplicate-cluster primitive behind dedup keeper election
+    (queries/dedup.py wraps it with minhash edges).
+
+    Callers pass both directions of each undirected edge (labels flow
+    along edge direction only). Singleton vertices are omitted — they
+    can't change label; union the vertex dim back in if needed.
+
+    Scale: each round is one equi-join + keyed min + a convergence
+    count, and `localCheckpoint` truncates lineage per round (the
+    classic Spark iterative pitfall: an unbounded plan re-executes the
+    whole history each iteration). Rounds needed = graph diameter,
+    which for near-dup clusters is tiny; max_iters is the safety
+    bound. Column names "v"/"label" must not collide with src/dst.
+    """
+    if src in ("v", "label") or dst in ("v", "label"):
+        raise ValueError("src/dst column names collide with output names v/label")
+    edge_vs = edges.select(F.col(src).alias("v")).distinct()
+    labels = edge_vs.select("v", F.col("v").alias("label")).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, F.col(src) == F.col("v"))
+            .groupBy(F.col(dst).alias("v"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def connected_components_py(edges: list[tuple]) -> dict:
+    """Union-find reference (property tests): min vertex id per
+    component over the same symmetric edge list, restricted to
+    vertices that appear in an edge."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {v: find(v) for v in parent}

@@ -550,7 +550,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir).select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     # materialize the edge list once — every CC iteration joins it,
     # and without this each round would re-run the whole minhash
@@ -561,37 +560,21 @@ def _cc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    # restrict propagation to docs that appear in any edge (singletons
-    # can't change label), and truncate lineage each round with
-    # localCheckpoint — without it the iterative plan re-executes the
-    # whole history every iteration (classic Spark CC pitfall)
-    edge_docs = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = edge_docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-    for _ in range(20):  # diameter bound; converges far earlier
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select("doc_id", F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    # min-label propagation over the symmetric edge list is the shared
+    # operator (singleton docs are omitted there — they can't change
+    # label, and this query only reports clusters of size > 1 anyway)
+    from goconnect_spark.operators.graph import connected_components
+
+    labels = connected_components(edges)
 
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
     return (
         labels.join(sizes, "label")
-        .select("doc_id", F.col("label").alias("keeper_doc_id"), "component_size")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("label").alias("keeper_doc_id"),
+            "component_size",
+        )
         .where(F.col("component_size") > 1)  # only true duplicate clusters
     )
 

@@ -53,3 +53,19 @@ def test_pagerank_symmetric_graph_conserves_vertices(spark):
     scale = 1_000_000
     # truncating division loses < 1 unit per edge per iteration
     assert scale * 4 - 3 * len(edges) <= total <= scale * 4
+
+
+@pytest.mark.parametrize("seed,n_v,n_e", [(7, 14, 10), (19, 16, 26), (37, 10, 5)])
+def test_connected_components_matches_union_find(spark, seed, n_v, n_e):
+    from goconnect_spark.operators.graph import (
+        connected_components,
+        connected_components_py,
+    )
+
+    rng = random.Random(seed)
+    und = _random_edges(rng, n_v, n_e)
+    sym = und + [(d, s) for s, d in und]
+    df = spark.createDataFrame(sym, "src: long, dst: long")
+    got = {r.v: r.label for r in connected_components(df, max_iters=50).collect()}
+    want = connected_components_py(sym)
+    assert got == want
