@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = (
     "knn_label_accuracy",
     "phrase_search_top_trigram",
     "events_hourly_anomalies",
+    "word_communities_lpa",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

@@ -571,17 +571,117 @@ SELECT v AS word, rank AS rank_fp FROM r3 ORDER BY rank DESC, v LIMIT {_PR_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Label-propagation communities: the third member of the graph family
+# (triangles = local structure, PageRank = centrality, LPA =
+# community partition). Deterministic SYNCHRONOUS variant: classic
+# async LPA is order-dependent; synchronous rounds with a total
+# tie-break make the partition reproducible across engines.
+
+_LPA_ITERS = 4
+
+
+def word_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes over the thresholded co-occurrence graph after
+    4 synchronous label-propagation rounds.
+
+    Each round every vertex adopts the most frequent label among its
+    neighbours, ties broken by lexicographically smallest label —
+    counts are integers and the tie-break is a total order, so the
+    partition is deterministic (no float scores, no arrival order).
+    On this synthetic corpus the frequent-word graph is a near-clique
+    and LPA correctly converges to a single community; what the
+    oracle certifies is the exact per-round propagation (every
+    vertex's assignment after 4 synchronized rounds), which is why
+    the result is the per-vertex table, not just community sizes.
+
+    Scale: per round one equi-join edge x labels + one keyed count +
+    one per-vertex argmax (row_number over a keyed window) —
+    O(|E|) work, vertex-dim state, localCheckpoint keeping lineage
+    flat (same loop discipline as PageRank/CC).
+    """
+    from goconnect_spark.queries.corpus import cooccurrence_edges
+
+    und = cooccurrence_edges(spark, sf_dir, _TRI_MIN_PAIR)
+    edges = und.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst")
+    ).unionAll(und.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    wv = Window.partitionBy("v").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(_LPA_ITERS):
+        nb = edges.join(labels.withColumnRenamed("v", "src"), "src").select(
+            F.col("dst").alias("v"), "label"
+        )
+        labels = (
+            nb.groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1)
+            .select("v", "label")
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("v").alias("word"), F.col("label").alias("community"), "n_members")
+        .orderBy("word")
+    )
+
+
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT v, label FROM (
+    SELECT e.dst AS v, l.label,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rk
+    FROM edges e JOIN {prev} l ON e.src = l.v
+    GROUP BY e.dst, l.label
+  ) WHERE rk = 1
+)"""
+
+
+_LPA_SQL = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+und AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_PAIR}
+),
+edges AS (
+  SELECT w1 AS src, w2 AS dst FROM und
+  UNION ALL
+  SELECT w2 AS src, w1 AS dst FROM und
+),
+l0 AS (SELECT DISTINCT src AS v, src AS label FROM edges),{_lpa_iter_sql("l0", "l1")},{_lpa_iter_sql("l1", "l2")},{_lpa_iter_sql("l2", "l3")},{_lpa_iter_sql("l3", "l4")}
+,
+sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members FROM l4 GROUP BY label
+)
+SELECT l.v AS word, l.label AS community, s.n_members
+FROM l4 l JOIN sizes s USING (label) ORDER BY l.v
+"""
+
+
 QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "retention_cohorts": retention_cohorts,
     "word_graph_triangles": word_graph_triangles,
     "word_pagerank": word_pagerank,
+    "word_communities_lpa": word_communities_lpa,
     "customer_spend_ranks": customer_spend_ranks,
     "daily_reconciliation": daily_reconciliation,
     "events_rollup_cascade": events_rollup_cascade,
     "distinct_users_kmv_by_type": distinct_users_kmv_by_type,
 }
 ORACLE = {
+    "word_communities_lpa": _LPA_SQL,
     "word_pagerank": _PAGERANK_SQL,
     "customer_spend_ranks": _RANKS_SQL,
     "daily_reconciliation": _RECON_SQL,
