@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = (
     "phrase_search_top_trigram",
     "events_hourly_anomalies",
     "word_communities_lpa",
+    "source_length_quantiles",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

@@ -238,12 +238,66 @@ SELECT 4, 'lineitem_null_orderkey',
 """
 
 
+_QUANTS = (50, 90, 99)  # percent points reported per source
+
+
+def source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source document-length percentiles (p50/p90/p99 of
+    n_chars) via RANK ARITHMETIC, not an approximate sketch: within
+    each source, rows sort by (n_chars, doc_id) — a total order, so
+    the element at ceil(q/100 * n) is uniquely defined — and one
+    window pass plus a filter picks all three points. Integer inputs,
+    integer outputs, no interpolation: the same nearest-rank
+    definition in both engines.
+
+    Scale: one shuffle keyed by source; the window is per-source.
+    This is the exact companion to the sketch-based
+    value_histogram_quantiles — use the sketch when a single pass
+    over 100 TB must stay constant-memory, use this when per-group
+    exactness is the contract (e.g. SLA reporting).
+    """
+    docs = load(spark, "documents", sf_dir).select("source", "n_chars", "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    picks = None
+    for q in _QUANTS:
+        hit = ranked.where(
+            F.col("rk") == F.ceil(F.lit(q) / F.lit(100.0) * F.col("n")).cast("int")
+        ).select(
+            "source", F.lit(q).cast("int").alias("q"), F.col("n_chars").alias("value"), "n"
+        )
+        picks = hit if picks is None else picks.unionAll(hit)
+    return picks.orderBy("source", "q")
+
+
+_SRC_QUANT_SQL = f"""
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _QUANTS)}]) AS q)
+SELECT r.source, CAST(qs.q AS INT) AS q, r.n_chars AS value, r.n
+FROM ranked r JOIN qs ON r.rk = CAST(CEIL(qs.q / 100.0 * r.n) AS INT)
+ORDER BY r.source, q
+"""
+
 QUERIES = {
+    "source_length_quantiles": source_length_quantiles,
     "value_outliers_mad": value_outliers_mad,
     "orders_profile": orders_profile,
     "referential_integrity": referential_integrity,
 }
 ORACLE = {
+    "source_length_quantiles": _SRC_QUANT_SQL,
     "value_outliers_mad": _MAD_SQL,
     "orders_profile": _PROFILE_SQL,
     "referential_integrity": _RI_SQL,
