@@ -17,7 +17,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def salted_join(
@@ -120,3 +120,70 @@ def interval_join(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("__bin")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward inclusive as-of join: each left row picks up
+    `value_cols` from the LATEST right row with the same keys and
+    right_time <= left_time (pandas merge_asof semantics,
+    allow_exact_matches) — point-in-time feature lookups, price
+    snapshots, config-at-event-time.
+
+    Implemented as the union-tag + running-last window, NOT a join:
+    both sides union on the key columns, sort within each key by
+    (time, side) — right rows sort before left at equal timestamps,
+    making the match inclusive — and `last(ignorenulls)` over an
+    unbounded-preceding frame carries the most recent right payload
+    forward onto every left row.
+
+    Scale: ONE shuffle on the key columns and zero join explosion —
+    the naive formulation (equi-join on keys + max-time dedup) ships
+    |left| x |right-per-key| intermediate rows; this ships
+    |left| + |right|. The frame is running-last, so window state is
+    O(1) per row. Ties among right rows at identical (key, time) are
+    resolved by the window order's final tiebreak on the payload
+    columns; give right rows unique timestamps per key when the
+    distinction matters.
+    """
+    on = list(on)
+    lcols = [c for c in left.columns]
+    rtyped = {f.name: f.dataType for f in right.schema.fields}
+    ltyped = {f.name: f.dataType for f in left.schema.fields}
+    l2 = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(rtyped[c]).alias(f"__r_{c}") for c in value_cols],
+    )
+    r2 = right.select(
+        *[F.col(k) for k in on],
+        *[F.lit(None).cast(ltyped[c]).alias(c) for c in lcols if c not in on],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__side", *[f"__r_{c}" for c in value_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__v_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -196,3 +196,44 @@ def test_interval_join_property_random_corpora(spark):
         g = sorted((r.pid, r.iv_id) for r in got.collect())
         w = sorted((r.pid, r.iv_id) for r in want.collect())
         assert g == w, f"trial={trial} bw={bw}"
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from goconnect_spark.operators.joins import asof_join
+
+    import random
+    rng = random.Random(17)
+    trades = [
+        (f"k{rng.randrange(3)}", rng.randrange(1000), i) for i in range(120)
+    ]
+    quotes = [
+        (f"k{rng.randrange(3)}", rng.randrange(1000), 100 + i) for i in range(40)
+    ]
+    # unique times per key on the right (documented tie contract)
+    seen = set()
+    quotes = [q for q in quotes if (q[0], q[1]) not in seen and not seen.add((q[0], q[1]))]
+
+    left = spark.createDataFrame(trades, "key: string, t: long, trade_id: long")
+    right = spark.createDataFrame(quotes, "key: string, qt: long, quote_id: long")
+    got = {
+        (r.key, r.t, r.trade_id): r.quote_id_asof
+        for r in asof_join(
+            left, right, on=["key"], left_time="t", right_time="qt",
+            value_cols=["quote_id"],
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(trades, columns=["key", "t", "trade_id"]).sort_values("t")
+    rpd = pd.DataFrame(quotes, columns=["key", "qt", "quote_id"]).sort_values("qt")
+    m = pd.merge_asof(
+        lpd, rpd, left_on="t", right_on="qt", by="key",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = {
+        (r.key, int(r.t), int(r.trade_id)): (None if pd.isna(r.quote_id) else int(r.quote_id))
+        for r in m.itertuples()
+    }
+    assert got == want
+    assert len(got) == len(trades)
