@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = (
     "events_hourly_anomalies",
     "word_communities_lpa",
     "source_length_quantiles",
+    "event_hour_contingency",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

@@ -355,7 +355,83 @@ LIMIT 100
 """
 
 
+def event_hour_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for event_type x hour-of-day: per
+    cell the observed count, the independence-expected count and the
+    (o-e)^2/e contribution — the seasonality/affinity diagnostic
+    behind "is traffic shape independent of event type".
+
+    The result is the CELL TABLE, not the summed statistic: a global
+    chi-square would sum ~120 doubles in engine-dependent order, while
+    per-cell values are each derived from identical integers (marginal
+    sums are exact integer window aggregates over the tiny cell
+    table), so every row is bit-reproducible. Scale: one keyed
+    aggregation over events; the windows run over the
+    |types| x 24-row cell table, bounded at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    cells = (
+        ev.select(
+            "event_type",
+            ((F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint") % 24).alias(
+                "hour"
+            ),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("hour")
+    wall = Window.partitionBy()
+    tot = cells.select(
+        "event_type",
+        "hour",
+        "observed",
+        F.sum("observed").over(wr).cast("long").alias("row_total"),
+        F.sum("observed").over(wc).cast("long").alias("col_total"),
+        F.sum("observed").over(wall).cast("long").alias("n"),
+    )
+    e = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n").cast("double")
+    )
+    o = F.col("observed").cast("double")
+    return tot.select(
+        "event_type",
+        "hour",
+        "observed",
+        e.alias("expected"),
+        ((o - e) * (o - e) / e).alias("contribution"),
+    ).orderBy("event_type", "hour")
+
+
+_CONTINGENCY_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, hour, observed,
+         CAST(SUM(observed) OVER (PARTITION BY event_type) AS BIGINT) AS row_total,
+         CAST(SUM(observed) OVER (PARTITION BY hour) AS BIGINT) AS col_total,
+         CAST(SUM(observed) OVER () AS BIGINT) AS n
+  FROM cells
+)
+SELECT event_type, hour, observed,
+       CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+       (CAST(observed AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(observed AS DOUBLE) - CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE) / CAST(n AS DOUBLE)) AS contribution
+FROM tot ORDER BY event_type, hour
+"""
+
 QUERIES = {
+    "event_hour_contingency": event_hour_contingency,
     "q11_important_stock": q11_important_stock,
     "q12_shipmode_priority": q12_shipmode_priority,
     "q16_parts_supplier_counts": q16_parts_supplier_counts,
@@ -364,6 +440,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "event_hour_contingency": _CONTINGENCY_SQL,
     "q11_important_stock": _Q11_SQL,
     "q12_shipmode_priority": _Q12_SQL,
     "q16_parts_supplier_counts": _Q16_SQL,
