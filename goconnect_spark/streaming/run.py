@@ -218,3 +218,44 @@ class TriggerEachFold:
         if trigger:
             w = w.trigger(**trigger)
         return w.start()
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: Sequence[str], how: str = "left") -> DataFrame:
+    """Stream-static dimension enrichment: the static side is
+    broadcast and RE-RESOLVED every micro-batch (Structured Streaming
+    re-plans the batch side per trigger), so a dimension table
+    rewritten in place — slowly-changing user attributes, feature
+    snapshots — is picked up without restarting the query. The 100 TB
+    pattern: keep dims broadcast-sized or pre-bucket both sides."""
+    import pyspark.sql.functions as F
+
+    return stream.join(F.broadcast(dim), list(on), how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str = "event_time",
+    right_time: str = "event_time",
+    tolerance: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked inner stream-stream join: right rows match a left
+    row when keys are equal and right_time is within [left_time -
+    tolerance, left_time]. BOTH sides carry watermarks and the join
+    carries the explicit time-range predicate — that pair is what
+    lets Structured Streaming expire buffered state instead of
+    holding every row forever (the unbounded-state failure mode of a
+    naive stream-stream join at 100 TB)."""
+    import pyspark.sql.functions as F
+
+    lt, rt = f"__l_{left_time}", f"__r_{right_time}"
+    l2 = left.withColumnRenamed(left_time, lt).withWatermark(lt, watermark)
+    r2 = right.withColumnRenamed(right_time, rt).withWatermark(rt, watermark)
+    cond = (
+        (l2[on] == r2[on])
+        & (F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {tolerance}"))
+        & (F.col(rt) <= F.col(lt))
+    )
+    return l2.join(r2, cond, "inner").drop(r2[on])

@@ -470,3 +470,70 @@ def test_heavy_hitters_bounded_state_guarantee(spark, tmp_path):
     assert n_trig >= 2
     all_rows = spark.sql("select * from t_heavy_hitters").collect()
     assert len(all_rows) <= n_trig * 2 * 5  # triggers * shards * k
+
+
+def test_enrich_with_dim_stream_static(spark, tmp_path):
+    from goconnect_spark.streaming.run import enrich_with_dim
+
+    d = str(tmp_path / "evts")
+    spark.createDataFrame(
+        [(1, "u1"), (2, "u2"), (3, "u9")], ["event_id", "user"]
+    ).coalesce(1).write.parquet(d)
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver")], ["user", "tier"]
+    )
+    stream = spark.readStream.schema("event_id bigint, user string").parquet(d)
+    q = (
+        enrich_with_dim(stream, dim, on=["user"])
+        .writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.tier for r in spark.sql("select * from t_enrich").collect()}
+    assert got == {1: "gold", 2: "silver", 3: None}
+
+
+def test_stream_stream_join_within_tolerance(spark, tmp_path):
+    # impressions joined to clicks within 10 minutes; the late click
+    # (25 min) must NOT match. Both sides are file streams.
+    import datetime as dt
+
+    from goconnect_spark.streaming.run import stream_stream_join
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    imp_d, clk_d = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(
+        [("a", base, 1), ("b", base, 2)], ["ad", "event_time", "imp_id"]
+    ).coalesce(1).write.parquet(imp_d)
+    spark.createDataFrame(
+        [
+            ("a", base + dt.timedelta(minutes=-5), 10),   # within tolerance
+            ("b", base + dt.timedelta(minutes=-25), 20),  # too early
+        ],
+        ["ad", "event_time", "click_id"],
+    ).coalesce(1).write.parquet(clk_d)
+
+    # NOTE the direction: the CLICK stream is the left (its time is the
+    # later bound), impressions the right within [t-10m, t]
+    clicks = spark.readStream.schema(
+        "ad string, event_time timestamp, click_id bigint"
+    ).parquet(clk_d)
+    imps = spark.readStream.schema(
+        "ad string, event_time timestamp, imp_id bigint"
+    ).parquet(imp_d)
+    joined = stream_stream_join(
+        imps, clicks, on="ad", tolerance="10 minutes", watermark="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from t_ssj").collect()
+    assert {(r.imp_id, r.click_id) for r in rows} == {(1, 10)}
