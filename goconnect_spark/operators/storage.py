@@ -76,3 +76,32 @@ def compact_parquet(
     out.write.mode("overwrite").parquet(out_dir)
     written = spark.read.parquet(out_dir)
     return len([u for u in written.inputFiles()])
+
+
+def merge_aggregate(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental maintenance of a keyed sum/count aggregate: merge a
+    small delta batch's PARTIAL aggregate into the existing
+    materialized aggregate instead of re-scanning the full fact table
+    — the pattern that turns an O(100 TB) nightly rebuild into an
+    O(delta) upsert. Works for any commutative-monoid measures (sums,
+    counts; min/max merge the same way); averages must be stored as
+    (sum, count) pairs and divided at read time.
+
+    Both inputs must already be aggregates at the same key grain; the
+    merge is a full-outer union-style groupBy so keys present in only
+    one side pass through. One shuffle on the keys, delta-sized when
+    the planner broadcasts the delta side.
+    """
+    import pyspark.sql.functions as F
+
+    keys = list(keys)
+    cols = list(sum_cols)
+    u = base.select(*keys, *cols).unionByName(delta.select(*keys, *cols))
+    return u.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in cols]
+    )

@@ -48,3 +48,26 @@ def test_compact_sorted_rewrite_gives_disjoint_zone_maps(spark, sf_dir, tmp_path
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_merge_aggregate_equals_full_recompute(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.operators.storage import merge_aggregate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    old = li.where("l_orderkey % 5 != 0")
+    new = li.where("l_orderkey % 5 = 0")
+    grain = ["l_returnflag", "l_linestatus"]
+    aggd = lambda df: df.groupBy(*grain).agg(
+        F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    merged = {
+        (r.l_returnflag, r.l_linestatus): (round(r.qty, 6), r.n)
+        for r in merge_aggregate(aggd(old), aggd(new), grain, ["qty", "n"]).collect()
+    }
+    full = {
+        (r.l_returnflag, r.l_linestatus): (round(r.qty, 6), r.n)
+        for r in aggd(li).collect()
+    }
+    assert merged == full
