@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = (
     "word_communities_lpa",
     "source_length_quantiles",
     "event_hour_contingency",
+    "doc_lexical_gini",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

@@ -515,6 +515,62 @@ ORDER BY o.doc_id, o.pos
 """
 
 
+def doc_lexical_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and Gini
+    impurity of the token distribution, (n^2 - sum(c_w^2)) / n^2 — the
+    log-free diversity measure (Shannon entropy needs ln, whose last
+    ulp is not portable across engines; Gini is integers until one
+    final division). Low diversity flags template/boilerplate docs the
+    way repetition-ratio does, but at whole-distribution rather than
+    top-gram granularity.
+
+    Plan: (doc, word) count aggregate, then per-doc rollup — the
+    gopher_quality_rules two-shuffle shape, both keyed by doc_id with
+    map-side partials.
+    """
+    docs = load(spark, "documents", sf_dir)
+    per_word = (
+        _tokens(docs)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / nd).alias("type_token_ratio"),
+        (
+            (nd * nd - F.col("sum_c2").cast("double")) / (nd * nd)
+        ).alias("gini_diversity"),
+    ).orderBy("doc_id")
+
+
+_GINI_SQL = """
+WITH per_word AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM per_word GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+       (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE) - CAST(sum_c2 AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS gini_diversity
+FROM per_doc ORDER BY doc_id
+"""
+
 QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "phrase_search_top_trigram": phrase_search_top_trigram,
@@ -524,9 +580,11 @@ QUERIES = {
     "bigram_cond_prob": bigram_cond_prob,
     "source_mix_weights": source_mix_weights,
     "source_divergence_tv": source_divergence_tv,
+    "doc_lexical_gini": doc_lexical_gini,
 }
 
 ORACLE = {
+    "doc_lexical_gini": _GINI_SQL,
     "phrase_search_top_trigram": _PHRASE_SQL,
     "source_divergence_tv": _SOURCE_TV_SQL,
     "word_cooccurrence": _COOC_SQL,
