@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = (
     "source_length_quantiles",
     "event_hour_contingency",
     "doc_lexical_gini",
+    "customer_rfm_segments",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

@@ -430,7 +430,88 @@ SELECT event_type, hour, observed,
 FROM tot ORDER BY event_type, hour
 """
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer the recency (latest order day),
+    frequency (order count) and monetary (exact DECIMAL spend)
+    metrics, each quartiled with NTILE(4) — the classic marketing
+    segmentation, and the quantile-bucketing shape feature stores run
+    at scale.
+
+    Determinism: every NTILE ordering carries o_custkey as the final
+    tiebreak, making each a total order — NTILE is then a pure
+    function of rank and group size (identical definition in both
+    engines: equal buckets, remainder to the leading buckets).
+    Recency is an integer epoch-day; monetary is DECIMAL-summed
+    (order-independent) and cast last.
+
+    Scale: one aggregation over orders keyed by customer; the three
+    window passes run over the customer-dim aggregate. Unpartitioned
+    NTILE windows are the documented cost here — at a 100x customer
+    dimension each becomes the two-phase range-partition rank
+    (customer_spend_ranks pattern); the query keeps the plain form
+    because the input is the aggregate, never the fact table.
+    """
+    from pyspark.sql import Window
+
+    orders = load(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86_400_000_000))
+            .cast("bigint")
+        ).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"),
+    )
+    wr = Window.orderBy(F.desc("last_day"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("spend_dec"), F.asc("o_custkey"))
+    return (
+        per_cust.select(
+            "o_custkey",
+            "last_day",
+            "frequency",
+            F.col("spend_dec").cast("string").cast("double").alias("monetary"),
+            F.ntile(4).over(wr).alias("r_quartile"),
+            F.ntile(4).over(wf).alias("f_quartile"),
+            F.ntile(4).over(wm).alias("m_quartile"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "-",
+                F.col("r_quartile").cast("string"),
+                F.col("f_quartile").cast("string"),
+                F.col("m_quartile").cast("string"),
+            ),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(MAX(FLOOR(epoch_us(o_orderdate) / 86400000000)) AS BIGINT) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, last_day, frequency,
+         CAST(CAST(spend_dec AS VARCHAR) AS DOUBLE) AS monetary,
+         NTILE(4) OVER (ORDER BY last_day DESC, o_custkey ASC) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quartile,
+         NTILE(4) OVER (ORDER BY spend_dec DESC, o_custkey ASC) AS m_quartile
+  FROM per_cust
+)
+SELECT o_custkey, last_day, frequency, monetary, r_quartile, f_quartile, m_quartile,
+       concat_ws('-', CAST(r_quartile AS VARCHAR), CAST(f_quartile AS VARCHAR),
+                 CAST(m_quartile AS VARCHAR)) AS segment
+FROM tiled ORDER BY o_custkey
+"""
+
 QUERIES = {
+    "customer_rfm_segments": customer_rfm_segments,
     "event_hour_contingency": event_hour_contingency,
     "q11_important_stock": q11_important_stock,
     "q12_shipmode_priority": q12_shipmode_priority,
@@ -440,6 +521,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "customer_rfm_segments": _RFM_SQL,
     "event_hour_contingency": _CONTINGENCY_SQL,
     "q11_important_stock": _Q11_SQL,
     "q12_shipmode_priority": _Q12_SQL,
