@@ -60,6 +60,8 @@ _DRIVER_PRIORITY = (
     "event_hour_contingency",
     "doc_lexical_gini",
     "customer_rfm_segments",
+    "order_fulfillment_latency",
+    "daily_new_users_cumulative",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

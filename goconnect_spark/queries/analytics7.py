@@ -510,7 +510,133 @@ SELECT o_custkey, last_day, frequency, monetary, r_quartile, f_quartile, m_quart
 FROM tiled ORDER BY o_custkey
 """
 
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment latency percentiles per order priority:
+    per order the days from o_orderdate to its LAST lineitem shipment,
+    then exact p50/p90/p99 per priority via the nearest-rank rule —
+    the fulfillment-SLA report shape.
+
+    All latencies are integer epoch-day differences; the percentile
+    pick is rank arithmetic over a total order (latency, orderkey), so
+    no interpolation and no floats anywhere until none are needed.
+    Scale: the per-order max is one keyed aggregation on the fact
+    join key; the percentile windows run per priority over the order
+    dimension.
+    """
+    from pyspark.sql import Window
+
+    orders = load(spark, "orders", sf_dir)
+    li = load(spark, "lineitem", sf_dir)
+    day = lambda c: (
+        F.unix_micros(F.col(c).cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("bigint")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max(day("l_shipdate")).alias("ship_day")
+    )
+    lat = (
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            (F.col("ship_day") - day("o_orderdate")).alias("latency_days"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("latency_days", "o_orderkey")
+    ranked = lat.select(
+        "o_orderpriority",
+        "latency_days",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    picks = None
+    for q in (50, 90, 99):
+        hit = ranked.where(
+            F.col("rk") == F.ceil(F.lit(q) / F.lit(100.0) * F.col("n")).cast("int")
+        ).select(
+            "o_orderpriority",
+            F.lit(q).cast("int").alias("q"),
+            F.col("latency_days").alias("latency"),
+            "n",
+        )
+        picks = hit if picks is None else picks.unionAll(hit)
+    return picks.orderBy("o_orderpriority", "q")
+
+
+_FULFILL_SQL = """
+WITH last_ship AS (
+  SELECT l_orderkey,
+         CAST(MAX(FLOOR(epoch_us(l_shipdate) / 86400000000)) AS BIGINT) AS ship_day
+  FROM lineitem GROUP BY l_orderkey
+),
+lat AS (
+  SELECT o_orderpriority, o_orderkey,
+         ship_day - CAST(FLOOR(epoch_us(o_orderdate) / 86400000000) AS BIGINT) AS latency_days
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+),
+ranked AS (
+  SELECT o_orderpriority, latency_days,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY latency_days, o_orderkey) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM lat
+),
+qs AS (SELECT unnest([50, 90, 99]) AS q)
+SELECT r.o_orderpriority, CAST(qs.q AS INT) AS q,
+       r.latency_days AS latency, r.n
+FROM ranked r JOIN qs ON r.rk = CAST(CEIL(qs.q / 100.0 * r.n) AS INT)
+ORDER BY r.o_orderpriority, q
+"""
+
+
+def daily_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth curve: per HOUR the count of first-ever-seen users and
+    the cumulative unique-user total — computed WITHOUT a running
+    distinct (which would hold every id in window state): each user
+    reduces to a first-seen hour (one keyed min), hours aggregate to
+    new-user counts, and the cumulative total is a running sum over
+    the tiny hourly series. The state cliff this sidesteps is the
+    classic one: cumulative COUNT(DISTINCT) over 100 TB of events.
+    (Hour granularity because the synthetic event window spans days,
+    not months — the shape is identical at any bucket width.)
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(
+            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint")
+        ).alias("hour")
+    )
+    hourly = first_seen.groupBy("hour").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        "hour",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("hour")
+
+
+_NEWUSERS_SQL = """
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(MIN(FLOOR(epoch_us(ts) / 3600000000)) AS BIGINT) AS hour
+  FROM events GROUP BY user_id
+),
+hourly AS (
+  SELECT hour, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY hour
+)
+SELECT hour, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM hourly ORDER BY hour
+"""
+
 QUERIES = {
+    "order_fulfillment_latency": order_fulfillment_latency,
+    "daily_new_users_cumulative": daily_new_users_cumulative,
     "customer_rfm_segments": customer_rfm_segments,
     "event_hour_contingency": event_hour_contingency,
     "q11_important_stock": q11_important_stock,
@@ -521,6 +647,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "order_fulfillment_latency": _FULFILL_SQL,
+    "daily_new_users_cumulative": _NEWUSERS_SQL,
     "customer_rfm_segments": _RFM_SQL,
     "event_hour_contingency": _CONTINGENCY_SQL,
     "q11_important_stock": _Q11_SQL,
