@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = (
     "customer_rfm_segments",
     "order_fulfillment_latency",
     "daily_new_users_cumulative",
+    "brand_basket_lift",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

@@ -634,7 +634,91 @@ SELECT hour, new_users,
 FROM hourly ORDER BY hour
 """
 
+_BASKET_MIN_PAIR = 5
+
+
+def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association between part brands: for brand pairs
+    co-occurring in >= 5 orders, the lift
+    pair_orders * n_orders / (orders_a * orders_b) — the relational
+    twin of word_cooccurrence's PMI-ratio (same all-integer inputs,
+    one double division, no logs).
+
+    Scale: the basket self-join is bounded the same way as the word
+    pair join — baskets reduce to DISTINCT (order, brand) first (the
+    brand dimension is small, so per-order fanout is bounded by
+    |brands|), pairs shuffle once on (b1, b2), and the per-brand
+    order counts are a broadcast dim. The part lookup is a broadcast
+    join on partkey.
+    """
+    li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders_row = ob.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    per_brand = ob.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("brand_orders")
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("b1"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("b2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+        .where(F.col("pair_orders") >= _BASKET_MIN_PAIR)
+    )
+    v1 = per_brand.select(F.col("p_brand").alias("b1"), F.col("brand_orders").alias("o1"))
+    v2 = per_brand.select(F.col("p_brand").alias("b2"), F.col("brand_orders").alias("o2"))
+    return (
+        pairs.join(F.broadcast(v1), "b1")
+        .join(F.broadcast(v2), "b2")
+        .crossJoin(F.broadcast(n_orders_row))
+        .select(
+            "b1",
+            "b2",
+            "pair_orders",
+            (
+                F.col("pair_orders").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("o1").cast("double") * F.col("o2").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy("b1", "b2")
+    )
+
+
+_BASKET_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob),
+per_brand AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS brand_orders FROM ob GROUP BY p_brand
+),
+pairs AS (
+  SELECT a.p_brand AS b1, b.p_brand AS b2, CAST(COUNT(*) AS BIGINT) AS pair_orders
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_BASKET_MIN_PAIR}
+)
+SELECT b1, b2, pair_orders,
+       CAST(pair_orders AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+         / (CAST(v1.brand_orders AS DOUBLE) * CAST(v2.brand_orders AS DOUBLE)) AS lift
+FROM pairs
+JOIN per_brand v1 ON v1.p_brand = b1
+JOIN per_brand v2 ON v2.p_brand = b2
+CROSS JOIN n
+ORDER BY b1, b2
+"""
+
 QUERIES = {
+    "brand_basket_lift": brand_basket_lift,
     "order_fulfillment_latency": order_fulfillment_latency,
     "daily_new_users_cumulative": daily_new_users_cumulative,
     "customer_rfm_segments": customer_rfm_segments,
@@ -647,6 +731,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "brand_basket_lift": _BASKET_SQL,
     "order_fulfillment_latency": _FULFILL_SQL,
     "daily_new_users_cumulative": _NEWUSERS_SQL,
     "customer_rfm_segments": _RFM_SQL,
