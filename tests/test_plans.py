@@ -240,6 +240,7 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "bloom_prune_join": {"BroadcastNestedLoopJoin"},     # 1-row 128-word filter + 1-row key count
         "priority_sample": {"BroadcastNestedLoopJoin"},      # 1-row tau threshold
         "source_divergence_tv": {"BroadcastNestedLoopJoin"}, # 1-row corpus token total
+        "brand_basket_lift": {"BroadcastNestedLoopJoin"},    # 1-row basket count
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
