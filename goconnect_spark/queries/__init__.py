@@ -63,6 +63,8 @@ _DRIVER_PRIORITY = (
     "order_fulfillment_latency",
     "daily_new_users_cumulative",
     "brand_basket_lift",
+    "events_user_lifecycle",
+    "label_centroid_shift",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

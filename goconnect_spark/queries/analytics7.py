@@ -717,7 +717,70 @@ CROSS JOIN n
 ORDER BY b1, b2
 """
 
+_LIFECYCLE_CHURN_DAYS = 7
+
+
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifecycle segmentation: first/last activity, active
+    hours, event count, and a status — new (first seen within the
+    churn horizon of corpus end), active (seen within it), or churned.
+    The horizon anchors on MAX(ts) over the corpus (a broadcast
+    scalar), so the report is reproducible on a frozen snapshot
+    rather than wall-clock-dependent.
+
+    Scale: one keyed aggregation over events plus a 1-row bound —
+    the same shape at any corpus size. All comparisons are integer
+    epoch-hours.
+    """
+    ev = load(spark, "events", sf_dir)
+    hour = (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint")
+    per_user = ev.select("user_id", hour.alias("h")).groupBy("user_id").agg(
+        F.min("h").alias("first_hour"),
+        F.max("h").alias("last_hour"),
+        F.countDistinct("h").cast("long").alias("active_hours"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    bound = per_user.agg(F.max("last_hour").alias("end_hour"))
+    horizon = _LIFECYCLE_CHURN_DAYS * 24
+    status = (
+        F.when(F.col("first_hour") > F.col("end_hour") - horizon, F.lit("new"))
+        .when(F.col("last_hour") > F.col("end_hour") - horizon, F.lit("active"))
+        .otherwise(F.lit("churned"))
+    )
+    return (
+        per_user.crossJoin(F.broadcast(bound))
+        .select(
+            "user_id",
+            "first_hour",
+            "last_hour",
+            "active_hours",
+            "n_events",
+            status.alias("status"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_LIFECYCLE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MIN(FLOOR(epoch_us(ts) / 3600000000)) AS BIGINT) AS first_hour,
+         CAST(MAX(FLOOR(epoch_us(ts) / 3600000000)) AS BIGINT) AS last_hour,
+         CAST(COUNT(DISTINCT FLOOR(epoch_us(ts) / 3600000000)) AS BIGINT) AS active_hours,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+bound AS (SELECT MAX(last_hour) AS end_hour FROM per_user)
+SELECT user_id, first_hour, last_hour, active_hours, n_events,
+       CASE WHEN first_hour > end_hour - {_LIFECYCLE_CHURN_DAYS * 24} THEN 'new'
+            WHEN last_hour > end_hour - {_LIFECYCLE_CHURN_DAYS * 24} THEN 'active'
+            ELSE 'churned' END AS status
+FROM per_user CROSS JOIN bound
+ORDER BY user_id
+"""
+
 QUERIES = {
+    "events_user_lifecycle": events_user_lifecycle,
     "brand_basket_lift": brand_basket_lift,
     "order_fulfillment_latency": order_fulfillment_latency,
     "daily_new_users_cumulative": daily_new_users_cumulative,
@@ -731,6 +794,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_user_lifecycle": _LIFECYCLE_SQL,
     "brand_basket_lift": _BASKET_SQL,
     "order_fulfillment_latency": _FULFILL_SQL,
     "daily_new_users_cumulative": _NEWUSERS_SQL,

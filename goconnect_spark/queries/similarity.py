@@ -865,3 +865,83 @@ FROM scored GROUP BY true_label ORDER BY label
 
 QUERIES["knn_label_accuracy"] = knn_label_accuracy
 ORACLE["knn_label_accuracy"] = _KNN_ACC_SQL
+
+
+# --------------------------------------------------------------------
+# Per-label centroid drift: how far each label's embedding centroid
+# sits from the global centroid — the per-class companion to
+# embedding_outliers (re-embedding QA: a class whose centroid walks
+# away from the corpus signals labeler or encoder drift).
+# --------------------------------------------------------------------
+def label_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance between each label centroid and the global centroid,
+    computed EXACTLY in scaled integers until the final sqrt: with
+    per-(label, dim) quantized sums S_Ld, global sums S_d, label count
+    n_L and corpus count n, the difference per dim is
+    (S_Ld*n - S_d*n_L) / (n_L*n) — numerators are DECIMAL(38)/HUGEINT
+    cross products (no float accumulation), and only the final
+    sqrt/normalize touches doubles, identically in both engines.
+
+    Scale: one (label, dim) aggregation of the shared quantized
+    table, a dim-level rollup of that aggregate, and label-dim-sized
+    joins — nothing grows with corpus size after the first shuffle.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    quant = _quant_cached(spark, sf_dir)
+    pld = quant.groupBy("label", "d").agg(
+        F.sum("q").cast("long").alias("s_ld")
+    )
+    glob = pld.groupBy("d").agg(F.sum("s_ld").cast("long").alias("s_d"))
+    n_l = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    n_row = emb.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    dec = "decimal(38,0)"
+    num = (
+        F.col("s_ld").cast(dec) * F.col("n_total").cast(dec)
+        - F.col("s_d").cast(dec) * F.col("n_vecs").cast(dec)
+    )
+    per_label = (
+        pld.join(glob, "d")
+        .join(F.broadcast(n_l), "label")
+        .crossJoin(F.broadcast(n_row))
+        .groupBy("label")
+        .agg(
+            F.min("n_vecs").alias("n_vecs"),
+            F.min("n_total").alias("n_total"),
+            F.sum(num * num).cast(dec).alias("num_sq"),
+        )
+    )
+    denom = F.col("n_vecs").cast("double") * F.col("n_total").cast("double") * F.lit(float(_Q))
+    return per_label.select(
+        "label",
+        "n_vecs",
+        (F.sqrt(F.col("num_sq").cast("double")) / denom).alias("centroid_shift"),
+    ).orderBy("label")
+
+
+_CENTROID_SHIFT_SQL = f"""
+WITH {_QUANT_CTE},
+pld AS (
+  SELECT label, d, CAST(SUM(q) AS BIGINT) AS s_ld FROM quant GROUP BY label, d
+),
+gdim AS (SELECT d, CAST(SUM(s_ld) AS BIGINT) AS s_d FROM pld GROUP BY d),
+n_l AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label),
+n_row AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings),
+per_label AS (
+  SELECT pld.label,
+         MIN(n_l.n_vecs) AS n_vecs,
+         MIN(n_row.n_total) AS n_total,
+         SUM(
+           (CAST(s_ld AS HUGEINT) * n_row.n_total - CAST(s_d AS HUGEINT) * n_l.n_vecs)
+           * (CAST(s_ld AS HUGEINT) * n_row.n_total - CAST(s_d AS HUGEINT) * n_l.n_vecs)
+         ) AS num_sq
+  FROM pld JOIN gdim USING (d) JOIN n_l USING (label) CROSS JOIN n_row
+  GROUP BY pld.label
+)
+SELECT label, n_vecs,
+       SQRT(CAST(CAST(num_sq AS VARCHAR) AS DOUBLE))
+         / (CAST(n_vecs AS DOUBLE) * CAST(n_total AS DOUBLE) * {float(_Q)}) AS centroid_shift
+FROM per_label ORDER BY label
+"""
+
+QUERIES["label_centroid_shift"] = label_centroid_shift
+ORACLE["label_centroid_shift"] = _CENTROID_SHIFT_SQL

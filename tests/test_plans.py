@@ -241,6 +241,8 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "priority_sample": {"BroadcastNestedLoopJoin"},      # 1-row tau threshold
         "source_divergence_tv": {"BroadcastNestedLoopJoin"}, # 1-row corpus token total
         "brand_basket_lift": {"BroadcastNestedLoopJoin"},    # 1-row basket count
+        "events_user_lifecycle": {"BroadcastNestedLoopJoin"}, # 1-row corpus end bound
+        "label_centroid_shift": {"BroadcastNestedLoopJoin"}, # 1-row corpus vector count
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
