@@ -65,6 +65,8 @@ _DRIVER_PRIORITY = (
     "brand_basket_lift",
     "events_user_lifecycle",
     "label_centroid_shift",
+    "corpus_novelty_curve",
+    "supplier_concentration_hhi",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

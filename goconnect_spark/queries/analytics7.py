@@ -779,7 +779,58 @@ FROM per_user CROSS JOIN bound
 ORDER BY user_id
 """
 
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-base concentration per part type: the Herfindahl index
+    of supplier line-share, HHI = sum(c_s^2) / n^2 over integer
+    per-supplier line counts — 1/n_suppliers (diversified) up to 1.0
+    (single-sourced). Like the Gini diversity, the index is exact
+    integers until one final division, so no float accumulation
+    crosses an aggregation boundary.
+
+    Scale: one (type, supplier) aggregation of the fact join, then a
+    rollup bounded by |types| x |suppliers|.
+    """
+    li = load(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    part = load(spark, "part", sf_dir).select("p_partkey", "p_type")
+    ts = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_type = ts.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("c").cast("long").alias("n_lines"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    nd = F.col("n_lines").cast("double")
+    return per_type.select(
+        "p_type",
+        "n_suppliers",
+        "n_lines",
+        (F.col("sum_c2").cast("double") / (nd * nd)).alias("hhi"),
+    ).orderBy("p_type")
+
+
+_HHI_SQL = """
+WITH ts AS (
+  SELECT p_type, l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, l_suppkey
+),
+per_type AS (
+  SELECT p_type,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM ts GROUP BY p_type
+)
+SELECT p_type, n_suppliers, n_lines,
+       CAST(sum_c2 AS DOUBLE) / (CAST(n_lines AS DOUBLE) * CAST(n_lines AS DOUBLE)) AS hhi
+FROM per_type ORDER BY p_type
+"""
+
 QUERIES = {
+    "supplier_concentration_hhi": supplier_concentration_hhi,
     "events_user_lifecycle": events_user_lifecycle,
     "brand_basket_lift": brand_basket_lift,
     "order_fulfillment_latency": order_fulfillment_latency,
@@ -794,6 +845,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "supplier_concentration_hhi": _HHI_SQL,
     "events_user_lifecycle": _LIFECYCLE_SQL,
     "brand_basket_lift": _BASKET_SQL,
     "order_fulfillment_latency": _FULFILL_SQL,

@@ -221,7 +221,85 @@ ORDER BY doc_id, rnk
 """
 
 
+_NOVELTY_BUCKET = 100  # docs per curve point
+
+
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation: in doc_id order, the fraction of each
+    100-doc bucket's word-bigram shingles never seen in any earlier
+    document — the diminishing-returns curve that tells a crawl when
+    more of the same source stops adding new content.
+
+    A running distinct over shingles would hold the full shingle set
+    in state; instead each shingle reduces to its FIRST document
+    (one keyed min over the shared shingle table — the first-seen
+    trick), so novelty per bucket is an integer count and the curve
+    is one small ordered aggregation. Ratios divide exact integers.
+    """
+    from goconnect_spark.queries.corpus import doc_shingle_arrays
+
+    sh = doc_shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shset").alias("shingle")
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    bucket = (F.col("first_doc") / F.lit(_NOVELTY_BUCKET)).cast("bigint")
+    novel = first.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("novel_shingles")
+    )
+    total = (
+        sh.groupBy((F.col("doc_id") / F.lit(_NOVELTY_BUCKET)).cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("total_shingles"))
+    )
+    return (
+        total.join(novel, "bucket", "left")
+        .select(
+            "bucket",
+            "total_shingles",
+            F.coalesce("novel_shingles", F.lit(0)).cast("long").alias("novel_shingles"),
+            (
+                F.coalesce("novel_shingles", F.lit(0)).cast("double")
+                / F.col("total_shingles").cast("double")
+            ).alias("novelty_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+sh AS (
+  SELECT DISTINCT doc_id, g.shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1])) AS shingle
+    FROM words
+  ) g
+),
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle),
+novel AS (
+  SELECT CAST(FLOOR(first_doc / {_NOVELTY_BUCKET}) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS novel_shingles
+  FROM first GROUP BY 1
+),
+total AS (
+  SELECT CAST(FLOOR(doc_id / {_NOVELTY_BUCKET}) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS total_shingles
+  FROM sh GROUP BY 1
+)
+SELECT t.bucket, t.total_shingles,
+       CAST(COALESCE(n.novel_shingles, 0) AS BIGINT) AS novel_shingles,
+       CAST(COALESCE(n.novel_shingles, 0) AS DOUBLE) / CAST(t.total_shingles AS DOUBLE)
+         AS novelty_rate
+FROM total t LEFT JOIN novel n USING (bucket)
+ORDER BY t.bucket
+"""
+
 QUERIES = {
+    "corpus_novelty_curve": corpus_novelty_curve,
     "doc_chunking": doc_chunking,
     "chunk_dedup_stats": chunk_dedup_stats,
     "train_val_test_split": train_val_test_split,
@@ -229,6 +307,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_novelty_curve": _NOVELTY_SQL,
     "doc_chunking": _CHUNKING_SQL,
     "chunk_dedup_stats": _CHUNK_DEDUP_SQL,
     "train_val_test_split": _SPLIT_SQL,
