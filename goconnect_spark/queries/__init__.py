@@ -67,6 +67,8 @@ _DRIVER_PRIORITY = (
     "label_centroid_shift",
     "corpus_novelty_curve",
     "supplier_concentration_hhi",
+    "source_overlap_jaccard",
+    "event_interarrival_gaps",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

@@ -615,7 +615,75 @@ WHERE k = {_ANOM_LOOKBACK}
 ORDER BY event_type, h
 """
 
+def event_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type the p50/p90 inter-arrival gap in microseconds —
+    the traffic-cadence fingerprint (burstiness shows as p90 >> p50).
+
+    Gaps come from one keyed lag over (ts, event_id) — a total order,
+    so every gap is well-defined — and the percentiles are the
+    nearest-rank picks over integer microsecond differences (no
+    interpolation, no floats). Scale: one shuffle on event_type; the
+    rank windows run over the per-type gap series.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    wl = Window.partitionBy("event_type").orderBy("t", "event_id")
+    gaps = (
+        base.select(
+            "event_type",
+            "event_id",
+            (F.col("t") - F.lag("t").over(wl)).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    picks = None
+    for q in (50, 90):
+        hit = ranked.where(
+            F.col("rk") == F.ceil(F.lit(q) / F.lit(100.0) * F.col("n")).cast("int")
+        ).select(
+            "event_type",
+            F.lit(q).cast("int").alias("q"),
+            F.col("gap_us").alias("gap"),
+            F.col("n").cast("long").alias("n_gaps"),
+        )
+        picks = hit if picks is None else picks.unionAll(hit)
+    return picks.orderBy("event_type", "q")
+
+
+_INTERARRIVAL_SQL = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id FROM events
+),
+gaps AS (
+  SELECT event_type, event_id,
+         t - LAG(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS gap_us
+  FROM base
+),
+ranked AS (
+  SELECT event_type, gap_us,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_us, event_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM gaps WHERE gap_us IS NOT NULL
+),
+qs AS (SELECT unnest([50, 90]) AS q)
+SELECT r.event_type, CAST(qs.q AS INT) AS q, r.gap_us AS gap, r.n AS n_gaps
+FROM ranked r JOIN qs ON r.rk = CAST(CEIL(qs.q / 100.0 * r.n) AS INT)
+ORDER BY r.event_type, q
+"""
+
 QUERIES = {
+    "event_interarrival_gaps": event_interarrival_gaps,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "events_distinct_kmv": events_distinct_kmv,
     "q13_order_count_distribution": q13_order_count_distribution,
@@ -627,6 +695,7 @@ QUERIES = {
     "events_hourly_anomalies": events_hourly_anomalies,
 }
 ORACLE = {
+    "event_interarrival_gaps": _INTERARRIVAL_SQL,
     "events_hourly_anomalies": _ANOM_SQL,
     "user_rolling_7d": _ROLLING_SQL,
     "value_histogram_quantiles": _HISTQ_SQL,

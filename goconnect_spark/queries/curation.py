@@ -40,6 +40,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from goconnect_spark.queries.corpus import doc_token_arrays, doc_tokens_distinct
+from goconnect_spark.tables import load
 
 # chunk geometry: 64-token chunks every 56 tokens (8-token overlap) —
 # small enough that sf0.01 docs (~100 tokens) produce 2-3 chunks each
@@ -298,7 +299,86 @@ FROM total t LEFT JOIN novel n USING (bucket)
 ORDER BY t.bucket
 """
 
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication: Jaccard similarity of the word-bigram
+    shingle SETS of every source pair — the report that catches two
+    crawls scraping the same sites before dedup wastes cluster time
+    re-discovering it pair by pair.
+
+    Shape: shingles reduce to their distinct source set via one
+    (shingle, source) distinct; pairs are enumerated per shingle
+    (bounded by |sources| per shingle, never doc x doc); per-source
+    set sizes are a broadcast dim; Jaccard = common / (a + b - common)
+    divides exact integers.
+    """
+    from goconnect_spark.queries.corpus import doc_shingle_arrays
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    sh = (
+        doc_shingle_arrays(spark, sf_dir)
+        .select("doc_id", F.explode("shset").alias("shingle"))
+        .join(F.broadcast(docs), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    a = sh.select("shingle", F.col("source").alias("s1"))
+    b = sh.select("shingle", F.col("source").alias("s2"))
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v1 = sizes.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    v2 = sizes.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    return (
+        common.join(F.broadcast(v1), "s1")
+        .join(F.broadcast(v2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+_SRC_OVERLAP_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+shd AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS shingle
+  FROM words
+),
+sh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shd s JOIN documents d USING (doc_id)
+),
+common AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source)
+SELECT c.s1, c.s2, c.n_common,
+       CAST(c.n_common AS DOUBLE) / CAST(v1.n + v2.n - c.n_common AS DOUBLE) AS jaccard
+FROM common c
+JOIN sizes v1 ON v1.source = c.s1
+JOIN sizes v2 ON v2.source = c.s2
+ORDER BY c.s1, c.s2
+"""
+
 QUERIES = {
+    "source_overlap_jaccard": source_overlap_jaccard,
     "corpus_novelty_curve": corpus_novelty_curve,
     "doc_chunking": doc_chunking,
     "chunk_dedup_stats": chunk_dedup_stats,
@@ -307,6 +387,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "source_overlap_jaccard": _SRC_OVERLAP_SQL,
     "corpus_novelty_curve": _NOVELTY_SQL,
     "doc_chunking": _CHUNKING_SQL,
     "chunk_dedup_stats": _CHUNK_DEDUP_SQL,
