@@ -657,6 +657,10 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        # feeds the order count, the per-brand counts AND both pair
+        # sides — materialize the basket reduction once instead of
+        # re-running the fact join 4x (the thresholded-edge-list move)
+        .localCheckpoint()
     )
     n_orders_row = ob.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")

@@ -320,6 +320,9 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(docs), "doc_id")
         .select("source", "shingle")
         .distinct()
+        # feeds both pair sides and the size dim — materialize the
+        # source-incidence reduction once, not 3x
+        .localCheckpoint()
     )
     a = sh.select("shingle", F.col("source").alias("s1"))
     b = sh.select("shingle", F.col("source").alias("s2"))
