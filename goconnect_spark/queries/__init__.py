@@ -69,6 +69,8 @@ _DRIVER_PRIORITY = (
     "supplier_concentration_hhi",
     "source_overlap_jaccard",
     "event_interarrival_gaps",
+    "price_size_regression",
+    "event_transition_matrix",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

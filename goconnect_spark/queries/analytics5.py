@@ -682,7 +682,71 @@ FROM ranked r JOIN qs ON r.rk = CAST(CEIL(qs.q / 100.0 * r.n) AS INT)
 ORDER BY r.event_type, q
 """
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: for each (from_type, to_type) the transition count and
+    row-normalized probability — the sequence model behind
+    next-action prediction and anomalous-flow detection.
+
+    Transitions come from one keyed lag over (ts, event_id) per user
+    (a total order); counts are integers and each probability divides
+    a cell count by its exact row total, so the matrix is
+    bit-reproducible. Scale: one shuffle on user_id for the lag, one
+    keyed count bounded by |types|^2 cells.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(wl).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        trans.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.sum("n").over(wrow).cast("long").alias("row_total"),
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total").cast("double")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_TRANSITION_SQL = """
+WITH trans AS (
+  SELECT from_type, event_type AS to_type FROM (
+    SELECT user_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+           event_type
+    FROM events
+  ) WHERE from_type IS NOT NULL
+),
+cells AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM trans GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+FROM cells ORDER BY from_type, to_type
+"""
+
 QUERIES = {
+    "event_transition_matrix": event_transition_matrix,
     "event_interarrival_gaps": event_interarrival_gaps,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "events_distinct_kmv": events_distinct_kmv,
@@ -695,6 +759,7 @@ QUERIES = {
     "events_hourly_anomalies": events_hourly_anomalies,
 }
 ORACLE = {
+    "event_transition_matrix": _TRANSITION_SQL,
     "event_interarrival_gaps": _INTERARRIVAL_SQL,
     "events_hourly_anomalies": _ANOM_SQL,
     "user_rolling_7d": _ROLLING_SQL,

@@ -833,7 +833,77 @@ SELECT p_type, n_suppliers, n_lines,
 FROM per_type ORDER BY p_type
 """
 
+def price_size_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS regression of part retail price on part size,
+    in AGGREGATION FORM: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),
+    intercept = (Sy - slope*Sx) / n — the one-pass distributed way to
+    fit a line (no gradient loop, no driver-side math).
+
+    Determinism: sizes are integers and prices are cast to
+    DECIMAL(18,2) before summing, so every S* is exact and
+    order-independent; slope/intercept are single divisions of
+    identically-derived doubles. Scale: one keyed aggregation over
+    part — regression over 100 TB is exactly this cheap when written
+    as moments.
+    """
+    part = load(spark, "part", sf_dir)
+    dec = "decimal(18,2)"
+    base = part.select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        F.col("p_retailprice").cast(dec).alias("y"),
+    )
+    agg = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("string").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("string").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return agg.select(
+        "p_brand",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd).alias("intercept"),
+    ).orderBy("p_brand")
+
+
+_REGRESSION_SQL = """
+WITH base AS (
+  SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS y
+  FROM part
+),
+agg AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(y) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(CAST(x AS DECIMAL(18,2)) * y) AS sxy
+  FROM base GROUP BY p_brand
+)
+SELECT p_brand, n,
+       (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope,
+       (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+          - (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM agg ORDER BY p_brand
+"""
+
 QUERIES = {
+    "price_size_regression": price_size_regression,
     "supplier_concentration_hhi": supplier_concentration_hhi,
     "events_user_lifecycle": events_user_lifecycle,
     "brand_basket_lift": brand_basket_lift,
@@ -849,6 +919,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "price_size_regression": _REGRESSION_SQL,
     "supplier_concentration_hhi": _HHI_SQL,
     "events_user_lifecycle": _LIFECYCLE_SQL,
     "brand_basket_lift": _BASKET_SQL,
