@@ -71,6 +71,8 @@ _DRIVER_PRIORITY = (
     "event_interarrival_gaps",
     "price_size_regression",
     "event_transition_matrix",
+    "order_value_pareto",
+    "weekly_active_users",
     "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",

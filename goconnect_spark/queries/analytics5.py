@@ -745,7 +745,68 @@ SELECT from_type, to_type, n,
 FROM cells ORDER BY from_type, to_type
 """
 
+_WAU_WINDOW_DAYS = 7
+
+
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the WAU series.
+    Rolling DISTINCT has no partial-aggregate form, so the classic
+    scalable rewrite: events reduce to distinct (user, day) cells
+    (one shuffle, the only corpus-sized step), then each cell expands
+    to the <= 7 report days it supports and a keyed distinct count
+    per day finishes the job. Work is cells x 7, never events x 7,
+    and no per-day state holds the full user set.
+    """
+    ev = load(spark, "events", sf_dir)
+    day = (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("bigint")
+    cells = ev.select("user_id", day.alias("d")).distinct()
+    span = cells.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    expanded = cells.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(_WAU_WINDOW_DAYS - 1))
+        ).alias("report_day"),
+    )
+    wau = expanded.groupBy("report_day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    # clip to days with a full observable window and within the corpus
+    return (
+        wau.crossJoin(F.broadcast(span))
+        .where(
+            (F.col("report_day") >= F.col("d0") + F.lit(_WAU_WINDOW_DAYS - 1))
+            & (F.col("report_day") <= F.col("d1"))
+        )
+        .select("report_day", "wau")
+        .orderBy("report_day")
+    )
+
+
+_WAU_SQL = f"""
+WITH cells AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+  FROM events
+),
+span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM cells),
+expanded AS (
+  SELECT user_id, d + i AS report_day
+  FROM cells, unnest(generate_series(0, {_WAU_WINDOW_DAYS - 1})) AS t(i)
+),
+wau AS (
+  SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM expanded GROUP BY report_day
+)
+SELECT report_day, wau
+FROM wau CROSS JOIN span
+WHERE report_day >= d0 + {_WAU_WINDOW_DAYS - 1} AND report_day <= d1
+ORDER BY report_day
+"""
+
 QUERIES = {
+    "weekly_active_users": weekly_active_users,
     "event_transition_matrix": event_transition_matrix,
     "event_interarrival_gaps": event_interarrival_gaps,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -759,6 +820,7 @@ QUERIES = {
     "events_hourly_anomalies": events_hourly_anomalies,
 }
 ORACLE = {
+    "weekly_active_users": _WAU_SQL,
     "event_transition_matrix": _TRANSITION_SQL,
     "event_interarrival_gaps": _INTERARRIVAL_SQL,
     "events_hourly_anomalies": _ANOM_SQL,

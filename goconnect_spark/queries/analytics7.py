@@ -902,7 +902,68 @@ SELECT p_brand, n,
 FROM agg ORDER BY p_brand
 """
 
+def order_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/Lorenz) by order-value decile:
+    orders NTILE(10)-bucketed by total price descending, each decile's
+    exact DECIMAL revenue and its share of the total — the 80/20
+    check behind value-tiering decisions.
+
+    Determinism: the tiling order carries o_orderkey, decimal sums
+    are exact, and each share divides identically-derived doubles.
+    The decile window runs over the orders dimension (documented
+    unpartitioned-window cost, same contract as the RFM tiling); the
+    1-row total is a broadcast scalar.
+    """
+    from pyspark.sql import Window
+
+    orders = load(spark, "orders", sf_dir)
+    dec = "decimal(18,2)"
+    w = Window.orderBy(F.desc(F.col("o_totalprice").cast(dec)), F.asc("o_orderkey"))
+    tiled = orders.select(
+        F.col("o_totalprice").cast(dec).alias("price"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    per_dec = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price").alias("rev_dec"),
+    )
+    total = per_dec.agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        per_dec.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_orders",
+            F.col("rev_dec").cast("string").cast("double").alias("revenue"),
+            (
+                F.col("rev_dec").cast("string").cast("double")
+                / F.col("total_dec").cast("string").cast("double")
+            ).alias("rev_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+_PARETO_SQL = """
+WITH tiled AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         NTILE(10) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                         o_orderkey ASC) AS decile
+  FROM orders
+),
+per_dec AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_orders, SUM(price) AS rev_dec
+  FROM tiled GROUP BY decile
+),
+total AS (SELECT SUM(rev_dec) AS total_dec FROM per_dec)
+SELECT decile, n_orders,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS rev_share
+FROM per_dec CROSS JOIN total ORDER BY decile
+"""
+
 QUERIES = {
+    "order_value_pareto": order_value_pareto,
     "price_size_regression": price_size_regression,
     "supplier_concentration_hhi": supplier_concentration_hhi,
     "events_user_lifecycle": events_user_lifecycle,
@@ -919,6 +980,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "order_value_pareto": _PARETO_SQL,
     "price_size_regression": _REGRESSION_SQL,
     "supplier_concentration_hhi": _HHI_SQL,
     "events_user_lifecycle": _LIFECYCLE_SQL,

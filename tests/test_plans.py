@@ -243,6 +243,8 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "brand_basket_lift": {"BroadcastNestedLoopJoin"},    # 1-row basket count
         "events_user_lifecycle": {"BroadcastNestedLoopJoin"}, # 1-row corpus end bound
         "label_centroid_shift": {"BroadcastNestedLoopJoin"}, # 1-row corpus vector count
+        "order_value_pareto": {"BroadcastNestedLoopJoin"},   # 1-row revenue total
+        "weekly_active_users": {"BroadcastNestedLoopJoin"},  # 1-row day-span bounds
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
