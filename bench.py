@@ -92,6 +92,13 @@ def main():
     headline_total = round(sum(times[n] for n in times if n in HEADLINE), 3)
     all_total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map (130 entries, ~4 KB) goes to STDERR: the driver
+    # keeps only a ~2 KB tail of stdout, and in round 4 the big map pushed
+    # the headline metric out of the retained window (BENCH_r04 parsed:null).
+    print("# all_query_times " + json.dumps(times), file=sys.stderr)
+    # Final stdout line stays compact (<1.5 KB): headline-only query map +
+    # both totals, so the driver's tail always contains the whole object.
     print(
         json.dumps(
             {
@@ -99,10 +106,10 @@ def main():
                 "value": headline_total,
                 "unit": "sec",
                 "n_queries": sum(1 for n in times if n in HEADLINE),
-                "queries": times,
+                "queries": {n: times[n] for n in HEADLINE if n in times},
                 "all_queries_total_wall": all_total,
                 "n_queries_all": len(times),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

@@ -150,8 +150,8 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q12_SQL = """
 SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
             THEN 'SLOW' ELSE 'FAST' END AS ship_speed,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -444,14 +444,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recency is an integer epoch-day; monetary is DECIMAL-summed
     (order-independent) and cast last.
 
-    Scale: one aggregation over orders keyed by customer; the three
-    window passes run over the customer-dim aggregate. Unpartitioned
-    NTILE windows are the documented cost here — at a 100x customer
-    dimension each becomes the two-phase range-partition rank
-    (customer_spend_ranks pattern); the query keeps the plain form
-    because the input is the aggregate, never the fact table.
+    Scale: one aggregation over orders keyed by customer; each of the
+    three quartile passes is the two-phase range-partition rank
+    (operators/ranking.py, the customer_spend_ranks pattern) — NTILE
+    is the closed-form function of the global row number, so at a
+    100x customer dimension there is no single-task window anywhere:
+    three range shuffles of the dim aggregate, all parallel.
     """
-    from pyspark.sql import Window
+    from goconnect_spark.operators.ranking import global_row_number, ntile_from_rn
 
     orders = load(spark, "orders", sf_dir)
     per_cust = orders.groupBy("o_custkey").agg(
@@ -462,18 +462,26 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"),
     )
-    wr = Window.orderBy(F.desc("last_day"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("spend_dec"), F.asc("o_custkey"))
+    tiled = per_cust
+    for tile_col, order in [
+        ("r_quartile", [F.desc("last_day"), F.asc("o_custkey")]),
+        ("f_quartile", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m_quartile", [F.desc("spend_dec"), F.asc("o_custkey")]),
+    ]:
+        tiled = (
+            global_row_number(tiled, order, rn_col="__rn", n_col="__n")
+            .withColumn(tile_col, ntile_from_rn(4, "__rn", "__n").cast("int"))
+            .drop("__rn", "__n")
+        )
     return (
-        per_cust.select(
+        tiled.select(
             "o_custkey",
             "last_day",
             "frequency",
             F.col("spend_dec").cast("string").cast("double").alias("monetary"),
-            F.ntile(4).over(wr).alias("r_quartile"),
-            F.ntile(4).over(wf).alias("f_quartile"),
-            F.ntile(4).over(wm).alias("m_quartile"),
+            "r_quartile",
+            "f_quartile",
+            "m_quartile",
         )
         .withColumn(
             "segment",
@@ -908,20 +916,26 @@ def order_value_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL revenue and its share of the total — the 80/20
     check behind value-tiering decisions.
 
-    Determinism: the tiling order carries o_orderkey, decimal sums
-    are exact, and each share divides identically-derived doubles.
-    The decile window runs over the orders dimension (documented
-    unpartitioned-window cost, same contract as the RFM tiling); the
-    1-row total is a broadcast scalar.
+    Determinism: the tiling order carries o_orderkey (total order),
+    decimal sums are exact, and each share divides identically-derived
+    doubles. Scale shape: NO unpartitioned data-sized window — the
+    decile of each ORDER row (this is the fact table, the worst place
+    for a single-task window) is the closed-form NTILE of the global
+    row number from the two-phase range-partition scan
+    (operators/ranking.py, the customer_spend_ranks pattern). One
+    range shuffle, all data-sized steps parallel; the 1-row total is
+    a broadcast scalar.
     """
-    from pyspark.sql import Window
+    from goconnect_spark.operators.ranking import global_row_number, ntile_from_rn
 
     orders = load(spark, "orders", sf_dir)
     dec = "decimal(18,2)"
-    w = Window.orderBy(F.desc(F.col("o_totalprice").cast(dec)), F.asc("o_orderkey"))
-    tiled = orders.select(
-        F.col("o_totalprice").cast(dec).alias("price"),
-        F.ntile(10).over(w).alias("decile"),
+    priced = orders.select(
+        F.col("o_totalprice").cast(dec).alias("price"), "o_orderkey"
+    )
+    numbered = global_row_number(priced, [F.desc("price"), F.asc("o_orderkey")])
+    tiled = numbered.select(
+        "price", ntile_from_rn(10).cast("int").alias("decile")
     )
     per_dec = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),

@@ -163,7 +163,7 @@ SELECT source,
             WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'valid'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS n_tokens
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM documents
 GROUP BY 1, 2
 ORDER BY source, split

