@@ -148,42 +148,46 @@ def asof_join(
     the naive formulation (equi-join on keys + max-time dedup) ships
     |left| x |right-per-key| intermediate rows; this ships
     |left| + |right|. The frame is running-last, so window state is
-    O(1) per row. Ties among right rows at identical (key, time) are
+    O(1) per row. The right payload is carried as ONE struct of all
+    `value_cols`, so the carried values always come from the SAME
+    right row even when some of its columns are NULL (pandas
+    merge_asof whole-row semantics — a per-column last() would mix
+    rows). Ties among right rows at identical (key, time) are
     resolved by the window order's final tiebreak on the payload
-    columns; give right rows unique timestamps per key when the
+    struct; give right rows unique timestamps per key when the
     distinction matters.
     """
+    from pyspark.sql.types import StructField, StructType
+
     on = list(on)
+    value_cols = list(value_cols)
     lcols = [c for c in left.columns]
     rtyped = {f.name: f.dataType for f in right.schema.fields}
     ltyped = {f.name: f.dataType for f in left.schema.fields}
+    payload_t = StructType([StructField(c, rtyped[c]) for c in value_cols])
     l2 = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(rtyped[c]).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(payload_t).alias("__r"),
     )
     r2 = right.select(
         *[F.col(k) for k in on],
         *[F.lit(None).cast(ltyped[c]).alias(c) for c in lcols if c not in on],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r"),
     )
     u = l2.unionByName(r2)
     w = (
         Window.partitionBy(*on)
-        .orderBy("__t", "__side", *[f"__r_{c}" for c in value_cols])
+        .orderBy("__t", "__side", "__r")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__v")
     )
     return carried.where(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__v_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"__v.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )

@@ -60,7 +60,19 @@ def compact_parquet(
     `repartitionByRange` samples the sort key to build balanced range
     bounds — one extra pass over the data, the standard price of a
     sorted rewrite.
+
+    `out_dir` must differ from `in_dir`: the overwrite mode deletes
+    the target before the (lazy) read of the same path executes, so an
+    in-place call would destroy the source. Compact to a sibling dir
+    and swap atomically at the catalog/metastore layer.
     """
+    if os.path.abspath(out_dir) == os.path.abspath(in_dir):
+        raise ValueError(
+            "compact_parquet: out_dir must differ from in_dir — "
+            "mode('overwrite') deletes the target before the lazy read "
+            "of the same path runs, destroying the source data. "
+            "Write to a sibling directory and swap."
+        )
     df = spark.read.parquet(in_dir)
     if n_files is None:
         total = _input_bytes(df)

@@ -875,12 +875,22 @@ ORACLE["knn_label_accuracy"] = _KNN_ACC_SQL
 # --------------------------------------------------------------------
 def label_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance between each label centroid and the global centroid,
-    computed EXACTLY in scaled integers until the final sqrt: with
+    computed in scaled integers until the final sqrt: with
     per-(label, dim) quantized sums S_Ld, global sums S_d, label count
     n_L and corpus count n, the difference per dim is
     (S_Ld*n - S_d*n_L) / (n_L*n) — numerators are DECIMAL(38)/HUGEINT
     cross products (no float accumulation), and only the final
     sqrt/normalize touches doubles, identically in both engines.
+
+    Exactness headroom: the squared cross product is bounded by
+    4*B^2*(n_L*n)^2 with per-coordinate quantized magnitude B (~1e4
+    here), so the DECIMAL(38,0)/HUGEINT accumulator holds while
+    n_L*n <~ 5e14 — i.e. corpora up to roughly 1e7-1e8 vectors
+    (smaller classes buy more room). Beyond that, both accumulators
+    overflow (Spark: silent NULL with ANSI off) — switch the
+    accumulation to doubles over the per-dim MEAN difference
+    ((s_ld/n_l - s_d/n)^2): the drift signal is unaffected, only the
+    bit-exact oracle-hash property is lost.
 
     Scale: one (label, dim) aggregation of the shared quantized
     table, a dim-level rollup of that aggregate, and label-dim-sized

@@ -222,11 +222,23 @@ class TriggerEachFold:
 
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: Sequence[str], how: str = "left") -> DataFrame:
     """Stream-static dimension enrichment: the static side is
-    broadcast and RE-RESOLVED every micro-batch (Structured Streaming
-    re-plans the batch side per trigger), so a dimension table
-    rewritten in place — slowly-changing user attributes, feature
-    snapshots — is picked up without restarting the query. The 100 TB
-    pattern: keep dims broadcast-sized or pre-bucket both sides."""
+    broadcast-joined onto every micro-batch. The 100 TB pattern: keep
+    dims broadcast-sized or pre-bucket both sides.
+
+    Refresh caveat: Structured Streaming re-plans the static side per
+    trigger, but a file-backed DataFrame PINS its file listing at
+    DataFrame-creation time (InMemoryFileIndex) — new or replaced
+    parquet files under the dim path are NOT picked up by re-planning
+    alone. For refresh-without-restart, re-create the dim DataFrame
+    from its path inside each batch via ``foreachBatch``::
+
+        def _sink(batch, bid):
+            d = spark.read.parquet(dim_path)     # fresh listing
+            enrich_with_dim(batch, d, on).write...(...)
+        stream.writeStream.foreachBatch(_sink)
+
+    or back the dim with a table format whose snapshot resolves at
+    query time. This function itself joins the dim AS CAPTURED."""
     import pyspark.sql.functions as F
 
     return stream.join(F.broadcast(dim), list(on), how)

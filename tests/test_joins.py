@@ -237,3 +237,45 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     }
     assert got == want
     assert len(got) == len(trades)
+
+
+def test_asof_join_carries_whole_right_rows(spark):
+    # a right row with NULL in ONE of several value_cols must still
+    # supply ALL carried values (pandas merge_asof whole-row
+    # semantics) — a per-column last(ignorenulls) would fill the NULL
+    # column from an OLDER right row, mixing rows
+    import pandas as pd
+
+    from goconnect_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("a", 30, 3)],
+        "key: string, t: long, trade_id: long",
+    )
+    right = spark.createDataFrame(
+        [("a", 5, "x", 100), ("a", 15, None, 200), ("a", 25, "z", None)],
+        "key: string, qt: long, v1: string, v2: long",
+    )
+    got = {
+        r.t: (r.v1_asof, r.v2_asof)
+        for r in asof_join(
+            left, right, on=["key"], left_time="t", right_time="qt",
+            value_cols=["v1", "v2"],
+        ).collect()
+    }
+    assert got == {10: ("x", 100), 20: (None, 200), 30: ("z", None)}
+
+    lpd = left.toPandas().sort_values("t")
+    rpd = right.toPandas().sort_values("qt")
+    m = pd.merge_asof(
+        lpd, rpd, left_on="t", right_on="qt", by="key",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = {
+        int(r.t): (
+            None if pd.isna(r.v1) else r.v1,
+            None if pd.isna(r.v2) else int(r.v2),
+        )
+        for r in m.itertuples()
+    }
+    assert got == want

@@ -71,3 +71,19 @@ def test_merge_aggregate_equals_full_recompute(spark, sf_dir):
         for r in aggd(li).collect()
     }
     assert merged == full
+
+
+def test_compact_parquet_refuses_in_place(spark, sf_dir, tmp_path):
+    # overwrite-into-source would delete the input before the lazy
+    # read runs; the guard must reject it (including a relative-path
+    # alias of the same dir) and leave the data untouched
+    import pytest
+
+    src = str(tmp_path / "inplace")
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.parquet(src)
+    before = spark.read.parquet(src).count()
+    with pytest.raises(ValueError, match="out_dir must differ"):
+        compact_parquet(spark, src, src)
+    with pytest.raises(ValueError, match="out_dir must differ"):
+        compact_parquet(spark, src, src + os.sep + "." + os.sep)
+    assert spark.read.parquet(src).count() == before
