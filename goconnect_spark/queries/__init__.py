@@ -50,7 +50,11 @@ ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5
 #   tier 2 — everything else, byte-identical to a driver-green round
 #            (r04 certified the 45 round-4 additions; r01∪r02∪r03 the rest).
 _DRIVER_PRIORITY = (
-    # tier 0: red in r04 (oracle CAST fixed in r5) or rewritten in r5
+    # tier 0: new in r5 (never driver-run), red in r04 (oracle CAST
+    # fixed in r5), or rewritten in r5
+    "dedup_incremental_new_batch",
+    "dedup_cluster_size_histogram",
+    "ann_recall_at_k",
     "q12_shipmode_priority",
     "train_val_test_split",
     "order_value_pareto",

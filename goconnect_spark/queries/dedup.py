@@ -87,51 +87,69 @@ GROUP BY 1 ORDER BY keeper_doc_id
 # --------------------------------------------------------------------
 # MinHash + LSH banding.
 # --------------------------------------------------------------------
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, band, band_key) LSH bucket table — the
+    'signature store' of a production dedup service: the full-corpus
+    self-dedup AND the incremental new-batch probe both read it, and
+    at 100 TB it is exactly the table a pipeline persists (bucketed by
+    band_key) so each ingest batch probes existing signatures instead
+    of resharding the corpus.
+
+    ONE md5 per distinct shingle; the 12 hash families come from
+    Kirsch-Mitzenmacher double hashing g_s = (h1 + s*h2) mod 2^48
+    (h1/h2 = independent 48-bit md5 halves, h2 forced odd) — all
+    values < 2^53 so the arithmetic is exact in both engines. All 12
+    mins ride ONE aggregation; band keys are md5 over each band's 3
+    signature columns, exploded in-row.
+    """
+    from goconnect_spark.queries.corpus import cached_table, doc_shingle_arrays
+
+    def build():
+        arrays = doc_shingle_arrays(spark, sf_dir)
+        sh = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
+        hashed = sh.selectExpr(
+            "doc_id",
+            "n",
+            "cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint) as h1",
+            "cast(conv(substr(md5(shingle), 13, 12), 16, 10) as bigint) * 2 + 1 as h2",
+        )
+        sig = hashed.groupBy("doc_id", "n").agg(
+            *[
+                F.expr(f"min((h1 + {s} * h2) % 281474976710656)").alias(f"mh{s}")
+                for s in range(_N_HASHES)
+            ],
+        )
+        n_bands = _N_HASHES // _BAND_SIZE
+        band_structs = ", ".join(
+            "named_struct('band', {k}, 'band_key', md5(concat_ws('|', {cols})))".format(
+                k=k,
+                cols=", ".join(
+                    f"mh{s}" for s in range(k * _BAND_SIZE, (k + 1) * _BAND_SIZE)
+                ),
+            )
+            for k in range(n_bands)
+        )
+        return sig.select(
+            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("e")
+        ).select(
+            "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+        )
+
+    return cached_table(spark, sf_dir, "minhash_bands", build)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE aggregation over the shared shingle-set table does
-    # everything heavy (12 minhashes in a single groupBy; the distinct
-    # count rides along as a grouping column — no countDistinct, no
-    # seed cross join). Band keys are md5 over each band's 3 signature
-    # columns; candidates come from the (band, key) equi-join; the
-    # Jaccard verify runs only on shingles of candidate docs
-    # (broadcast semi-join filter before the self-join).
-    # shared per-doc distinct shingle-set table (corpus.py cache):
-    # PPJoin and the minhash family both start from it, and MIN over
-    # the raw multiset equals MIN over the set, so the signature loses
-    # nothing by hashing the deduped sets — while the md5 work drops
-    # from per-occurrence to per-distinct-shingle and the distinct
-    # count is a free column instead of a countDistinct aggregate.
+    # All the heavy lifting lives in the two session-cached shared
+    # tables: doc_shingle_arrays (one shuffle builds the distinct
+    # shingle sets — MIN over the multiset equals MIN over the set,
+    # so signatures lose nothing) and _minhash_bands (12 minhashes in
+    # ONE aggregation, band keys in-row). Candidates come from the
+    # (band, key) equi-join; the Jaccard verify runs in-row over the
+    # candidate docs' shingle arrays only.
     from goconnect_spark.queries.corpus import doc_shingle_arrays
 
     arrays = doc_shingle_arrays(spark, sf_dir)
-    sh = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
-
-    # ONE md5 per shingle; the 12 hash families come from
-    # Kirsch-Mitzenmacher double hashing g_s = (h1 + s*h2) mod 2^48
-    # (h1/h2 = independent 48-bit md5 halves, h2 forced odd) — all
-    # values < 2^53 so the arithmetic is exact in both engines.
-    hashed = sh.selectExpr(
-        "doc_id",
-        "n",
-        "cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint) as h1",
-        "cast(conv(substr(md5(shingle), 13, 12), 16, 10) as bigint) * 2 + 1 as h2",
-    )
-    sig = hashed.groupBy("doc_id", "n").agg(
-        *[
-            F.expr(f"min((h1 + {s} * h2) % 281474976710656)").alias(f"mh{s}")
-            for s in range(_N_HASHES)
-        ],
-    )
-    n_bands = _N_HASHES // _BAND_SIZE
-    band_structs = ", ".join(
-        "named_struct('band', {k}, 'band_key', md5(concat_ws('|', {cols})))".format(
-            k=k, cols=", ".join(f"mh{s}" for s in range(k * _BAND_SIZE, (k + 1) * _BAND_SIZE))
-        )
-        for k in range(n_bands)
-    )
-    bands = sig.select("doc_id", F.explode(F.expr(f"array({band_structs})")).alias("e")).select(
-        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
-    )
+    bands = _minhash_bands(spark, sf_dir)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])
@@ -663,3 +681,168 @@ GROUP BY d.lang ORDER BY d.lang
 
 QUERIES["dedup_filtered_corpus"] = dedup_filtered_corpus
 ORACLE["dedup_filtered_corpus"] = _filtered_corpus_sql()
+
+
+# --------------------------------------------------------------------
+# Incremental ingest dedup: probe a NEW batch against the EXISTING
+# corpus — the shape every production pipeline actually runs (nobody
+# re-dedups 100 TB per ingest). The newest 5% of the doc_id space
+# stands in for the arriving batch; the persisted band table
+# (_minhash_bands — the signature store) is probed by an equi-join on
+# (band, band_key), so cost scales with the BATCH, not the corpus.
+# --------------------------------------------------------------------
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per new-batch doc: how many existing docs it duplicates
+    (Jaccard >= t via minhash-LSH candidates + exact verify) and the
+    first (lowest-id) duplicate — the keep/drop decision an ingest
+    worker emits.
+
+    Scale: old-side band rows come from the persisted signature
+    store; the probe join touches only band keys present in the NEW
+    batch, verification touches only candidate pairs, and the final
+    left join is batch-sized. The 1-row id-threshold scalar is a
+    broadcast. New docs too short to shingle (< 2 words) can collide
+    with nothing and surface as non-duplicates, matching the oracle
+    which recomputes everything from raw text.
+    """
+    from goconnect_spark.queries.corpus import doc_shingle_arrays
+
+    docs = load(spark, "documents", sf_dir)
+    cut = docs.agg(F.expr("(MAX(doc_id) * 19) DIV 20").alias("cut"))
+    bands = _minhash_bands(spark, sf_dir).crossJoin(F.broadcast(cut))
+    new_b = bands.where(F.col("doc_id") >= F.col("cut")).drop("cut")
+    old_b = bands.where(F.col("doc_id") < F.col("cut")).drop("cut")
+    cand = (
+        new_b.alias("nw")
+        .join(old_b.alias("od"), ["band", "band_key"])
+        .select(
+            F.col("nw.doc_id").alias("new_id"), F.col("od.doc_id").alias("old_id")
+        )
+        .distinct()
+    )
+    arrays = doc_shingle_arrays(spark, sf_dir)
+    na = arrays.select(
+        F.col("doc_id").alias("new_id"), F.col("shset").alias("sa"), F.col("n").alias("na")
+    )
+    ob = arrays.select(
+        F.col("doc_id").alias("old_id"), F.col("shset").alias("sb"), F.col("n").alias("nb")
+    )
+    dups = (
+        cand.join(na, "new_id")
+        .join(ob, "old_id")
+        .withColumn("inter", F.expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)"))
+        .where(
+            F.col("inter")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            >= _JACCARD_T
+        )
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_matches"),
+            F.min("old_id").alias("first_dup_doc_id"),
+        )
+    )
+    return (
+        docs.crossJoin(F.broadcast(cut))
+        .where(F.col("doc_id") >= F.col("cut"))
+        .select("doc_id", "source")
+        .join(dups, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_dup_matches", F.lit(0)).cast("long").alias("n_dup_matches"),
+            "first_dup_doc_id",
+            F.col("new_id").isNotNull().cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_sql() -> str:
+    inner = _MINHASH_SQL.strip()
+    # reuse the full minhash CTE stack (shingles/hashed/sig/bands) by
+    # slicing the shared prefix off _MINHASH_SQL up to the bands CTE
+    prefix_end = inner.index("cand AS (")
+    cte_prefix = inner[:prefix_end].rstrip().rstrip(",")
+    return f"""
+{cte_prefix},
+thr AS (SELECT (MAX(doc_id) * 19) // 20 AS cut FROM documents),
+cand AS (
+  SELECT DISTINCT nw.doc_id AS new_id, od.doc_id AS old_id
+  FROM bands nw
+  JOIN bands od ON nw.band = od.band AND nw.band_key = od.band_key
+  CROSS JOIN thr
+  WHERE nw.doc_id >= thr.cut AND od.doc_id < thr.cut
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.old_id, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.new_id
+  JOIN shingles sb ON sb.doc_id = c.old_id AND sb.shingle = sa.shingle
+  GROUP BY c.new_id, c.old_id
+),
+dups AS (
+  SELECT i.new_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_matches,
+         MIN(i.old_id) AS first_dup_doc_id
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.new_id
+  JOIN sizes nb ON nb.doc_id = i.old_id
+  WHERE i.inter / CAST(na.n + nb.n - i.inter AS DOUBLE) >= {_JACCARD_T}
+  GROUP BY i.new_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(u.n_dup_matches, 0) AS BIGINT) AS n_dup_matches,
+       u.first_dup_doc_id,
+       CAST(CASE WHEN u.new_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+FROM documents d CROSS JOIN thr
+LEFT JOIN dups u ON u.new_id = d.doc_id
+WHERE d.doc_id >= thr.cut
+ORDER BY d.doc_id
+"""
+
+
+QUERIES["dedup_incremental_new_batch"] = dedup_incremental_new_batch
+ORACLE["dedup_incremental_new_batch"] = _incremental_sql()
+
+
+# --------------------------------------------------------------------
+# Duplicate-cluster size histogram: the corpus-health summary a
+# pipeline reviews before committing a dedup pass (a heavy tail of
+# giant clusters usually means boilerplate, not true duplication).
+# --------------------------------------------------------------------
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of duplicate-cluster sizes from the cached
+    connected-components map: clusters per size and docs absorbed per
+    size. Cluster-count-sized input (one row per cluster after the
+    distinct), so every step is trivially parallel."""
+    cc = dedup_connected_components(spark, sf_dir)
+    clusters = cc.select("keeper_doc_id", "component_size").distinct()
+    return (
+        clusters.groupBy("component_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "component_size",
+            "n_clusters",
+            (F.col("component_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("component_size")
+    )
+
+
+def _cluster_histogram_sql() -> str:
+    return f"""
+WITH cc AS ({_cc_oracle_sql()}),
+clusters AS (SELECT DISTINCT keeper_doc_id, component_size FROM cc)
+SELECT component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(component_size * COUNT(*) AS BIGINT) AS n_docs
+FROM clusters GROUP BY component_size ORDER BY component_size
+"""
+
+
+QUERIES["dedup_cluster_size_histogram"] = dedup_cluster_size_histogram
+ORACLE["dedup_cluster_size_histogram"] = _cluster_histogram_sql()

@@ -955,3 +955,58 @@ FROM per_label ORDER BY label
 
 QUERIES["label_centroid_shift"] = label_centroid_shift
 ORACLE["label_centroid_shift"] = _CENTROID_SHIFT_SQL
+
+
+# --------------------------------------------------------------------
+# ANN quality evaluation: recall@3 of the IVF search against the
+# brute-force ground truth — the metric that decides whether an
+# approximate index is good enough to replace the exact scan. At
+# 100 TB this is THE gate run on a probe sample before switching the
+# retrieval path to the index.
+# --------------------------------------------------------------------
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per probe: |ivf_top3 ∩ brute_top3| / 3. Both sides reuse the
+    session-cached quantized tables; the intersection and the final
+    join are probe-sized (tiny). Recall divides identical integers in
+    both engines — bit-exact doubles."""
+    truth = cosine_topk(spark, sf_dir).where(F.col("rk") <= 3).select(
+        "probe_id", "vec_id"
+    )
+    approx = ann_ivf_topk(spark, sf_dir).select("probe_id", "vec_id")
+    hits = (
+        truth.join(approx, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    nt = truth.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        nt.join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_truth").cast("double")
+            ).alias("recall_at_3"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH truth AS (SELECT probe_id, vec_id FROM ({_COSINE_TOPK_SQL}) t WHERE rk <= 3),
+approx AS (SELECT probe_id, vec_id FROM ({_ANN_IVF_SQL}) a),
+hits AS (
+  SELECT t.probe_id, COUNT(*) AS n_hits
+  FROM truth t JOIN approx x ON x.probe_id = t.probe_id AND x.vec_id = t.vec_id
+  GROUP BY t.probe_id
+),
+nt AS (SELECT probe_id, COUNT(*) AS n_truth FROM truth GROUP BY probe_id)
+SELECT nt.probe_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) / CAST(nt.n_truth AS DOUBLE) AS recall_at_3
+FROM nt LEFT JOIN hits h ON h.probe_id = nt.probe_id
+ORDER BY nt.probe_id
+"""
+
+QUERIES["ann_recall_at_k"] = ann_recall_at_k
+ORACLE["ann_recall_at_k"] = _ANN_RECALL_SQL

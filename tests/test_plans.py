@@ -245,6 +245,7 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "label_centroid_shift": {"BroadcastNestedLoopJoin"}, # 1-row corpus vector count
         "order_value_pareto": {"BroadcastNestedLoopJoin"},   # 1-row revenue total + two-phase global count
         "customer_rfm_segments": {"BroadcastNestedLoopJoin"},  # 1-row global counts (two-phase rank x3)
+        "dedup_incremental_new_batch": {"BroadcastNestedLoopJoin"},  # 1-row id-cut scalar
         "weekly_active_users": {"BroadcastNestedLoopJoin"},  # 1-row day-span bounds
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
