@@ -55,6 +55,8 @@ _DRIVER_PRIORITY = (
     "dedup_incremental_new_batch",
     "dedup_cluster_size_histogram",
     "ann_recall_at_k",
+    "dedup_method_agreement",
+    "boilerplate_top_shingles",
     "q12_shipmode_priority",
     "train_val_test_split",
     "order_value_pareto",

@@ -846,3 +846,66 @@ FROM clusters GROUP BY component_size ORDER BY component_size
 
 QUERIES["dedup_cluster_size_histogram"] = dedup_cluster_size_histogram
 ORACLE["dedup_cluster_size_histogram"] = _cluster_histogram_sql()
+
+
+# --------------------------------------------------------------------
+# Method-comparison eval: how much do the two near-dup detectors
+# agree? The calibration readout a pipeline owner checks before
+# picking thresholds (minhash catches set-overlap dups, simhash
+# catches low-Hamming weighted-profile dups; divergence is signal,
+# not error).
+# --------------------------------------------------------------------
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: pair counts from minhash-LSH and simhash, their
+    intersection, and the Jaccard of the two PAIR SETS. Union-tag +
+    one groupBy on the pair key (pair-set-sized input, no scalar
+    cross joins); the ratio divides identical integers in both
+    engines."""
+    mh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_mh"), F.lit(0).alias("in_sh")
+    )
+    sh = dedup_simhash(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(0).alias("in_mh"), F.lit(1).alias("in_sh")
+    )
+    per_pair = (
+        mh.unionByName(sh)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("in_mh").alias("mh"), F.max("in_sh").alias("sh"))
+    )
+    return per_pair.agg(
+        F.sum("mh").cast("long").alias("n_minhash"),
+        F.sum("sh").cast("long").alias("n_simhash"),
+        F.sum(F.col("mh") * F.col("sh")).cast("long").alias("n_both"),
+        (
+            F.sum(F.col("mh") * F.col("sh"))
+            / (
+                F.sum("mh") + F.sum("sh") - F.sum(F.col("mh") * F.col("sh"))
+            ).cast("double")
+        ).alias("pairset_jaccard"),
+    )
+
+
+def _agreement_sql() -> str:
+    return f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({_MINHASH_SQL.strip()}) m),
+sh AS (SELECT doc_a, doc_b FROM ({_SIMHASH_SQL.strip()}) s),
+tagged AS (
+  SELECT doc_a, doc_b, 1 AS in_mh, 0 AS in_sh FROM mh
+  UNION ALL
+  SELECT doc_a, doc_b, 0 AS in_mh, 1 AS in_sh FROM sh
+),
+per_pair AS (
+  SELECT doc_a, doc_b, MAX(in_mh) AS mh, MAX(in_sh) AS sh
+  FROM tagged GROUP BY doc_a, doc_b
+)
+SELECT CAST(SUM(mh) AS BIGINT) AS n_minhash,
+       CAST(SUM(sh) AS BIGINT) AS n_simhash,
+       CAST(SUM(mh * sh) AS BIGINT) AS n_both,
+       SUM(mh * sh) / CAST(SUM(mh) + SUM(sh) - SUM(mh * sh) AS DOUBLE)
+         AS pairset_jaccard
+FROM per_pair
+"""
+
+
+QUERIES["dedup_method_agreement"] = dedup_method_agreement
+ORACLE["dedup_method_agreement"] = _agreement_sql()

@@ -41,7 +41,7 @@ round-vs-truncate is avoided via explicit FLOOR (memory cookbook).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from goconnect_spark.tables import load
 
@@ -497,3 +497,91 @@ ORACLE = {
     "embedding_outliers": _EMB_OUTLIER_SQL,
 }
 ORACLE["curated_corpus_stats"] = _curated_sql()
+
+
+# --------------------------------------------------------------------
+# Boilerplate detection: per source, the shingles present in the
+# largest share of that source's documents. A shingle in >x% of a
+# crawl source is template chrome (headers, footers, cookie banners),
+# not content — the signal behind boilerplate-stripping rules.
+# --------------------------------------------------------------------
+def boilerplate_top_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most document-frequent shingles per source with their
+    doc-share. Reads the shared per-doc shingle-set table (one
+    incidence explode, distinct by construction), joins the doc->
+    source dim once, aggregates on (source, shingle), and ranks with
+    a per-source window — every data-sized step is keyed. The share
+    denominator is the source's shingled-doc count (docs with >= 2
+    words), identical in the oracle."""
+    from goconnect_spark.queries.corpus import doc_shingle_arrays
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    arrays = doc_shingle_arrays(spark, sf_dir)
+    incidence = (
+        arrays.select("doc_id", F.explode("shset").alias("shingle"))
+        .join(docs, "doc_id")
+    )
+    n_docs = (
+        arrays.select("doc_id")
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    per = incidence.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_with")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_docs_with"), F.asc("shingle")
+    )
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .join(F.broadcast(n_docs), "source")
+        .select(
+            "source",
+            F.col("rnk").cast("int").alias("rnk"),
+            "shingle",
+            "n_docs_with",
+            (F.col("n_docs_with") / F.col("n_docs").cast("double")).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+def _boilerplate_sql() -> str:
+    from goconnect_spark.queries.dedup import _SHINGLES_CTE
+
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+incidence AS (
+  SELECT s.doc_id, s.shingle, d.source
+  FROM shingles s JOIN documents d ON d.doc_id = s.doc_id
+),
+n_docs AS (
+  SELECT d.source, COUNT(DISTINCT s.doc_id) AS n_docs
+  FROM (SELECT DISTINCT doc_id FROM shingles) s
+  JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY d.source
+),
+per AS (
+  SELECT source, shingle, CAST(COUNT(*) AS BIGINT) AS n_docs_with
+  FROM incidence GROUP BY source, shingle
+),
+ranked AS (
+  SELECT source, shingle, n_docs_with,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_docs_with DESC, shingle ASC) AS rnk
+  FROM per
+)
+SELECT r.source, CAST(r.rnk AS INT) AS rnk, r.shingle, r.n_docs_with,
+       r.n_docs_with / CAST(n.n_docs AS DOUBLE) AS doc_share
+FROM ranked r JOIN n_docs n ON n.source = r.source
+WHERE r.rnk <= 3
+ORDER BY r.source, r.rnk
+"""
+
+
+QUERIES["boilerplate_top_shingles"] = boilerplate_top_shingles
+ORACLE["boilerplate_top_shingles"] = _boilerplate_sql()
