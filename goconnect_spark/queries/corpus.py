@@ -71,6 +71,26 @@ def doc_tokens_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_arrays_for(toks: DataFrame) -> DataFrame:
+    """(doc_id, shset, n) from any (doc_id, toks array<string>)
+    DataFrame — the pure transformation behind `doc_shingle_arrays`,
+    reusable on a streaming micro-batch or an ad-hoc corpus."""
+    raw = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-2),"
+                " i -> concat(toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("shingle"),
+    )
+    return (
+        raw.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("shset"))
+        .withColumn("n", F.size("shset"))
+    )
+
+
 def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shset: sorted distinct word-bigram array, n: set size)
     for docs with >= 2 words — the shared base of the whole dedup
@@ -79,24 +99,12 @@ def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the set), and connected components consume minhash. One
     shuffle builds it (collect_set dedups in the partial aggregate);
     every consumer after the first reads the persisted copy."""
-    def build():
-        toks = doc_token_arrays(spark, sf_dir).where(F.size("toks") >= 2)
-        raw = toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks)-2),"
-                    " i -> concat(toks[i], ' ', toks[i+1]))"
-                )
-            ).alias("shingle"),
-        )
-        return (
-            raw.groupBy("doc_id")
-            .agg(F.sort_array(F.collect_set("shingle")).alias("shset"))
-            .withColumn("n", F.size("shset"))
-        )
-
-    return cached_table(spark, sf_dir, "shingles", build)
+    return cached_table(
+        spark,
+        sf_dir,
+        "shingles",
+        lambda: shingle_arrays_for(doc_token_arrays(spark, sf_dir)),
+    )
 
 
 def cooccurrence_edges(spark: SparkSession, sf_dir: str, min_support: int) -> DataFrame:

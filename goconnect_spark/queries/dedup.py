@@ -104,38 +104,47 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from goconnect_spark.queries.corpus import cached_table, doc_shingle_arrays
 
-    def build():
-        arrays = doc_shingle_arrays(spark, sf_dir)
-        sh = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
-        hashed = sh.selectExpr(
-            "doc_id",
-            "n",
-            "cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint) as h1",
-            "cast(conv(substr(md5(shingle), 13, 12), 16, 10) as bigint) * 2 + 1 as h2",
-        )
-        sig = hashed.groupBy("doc_id", "n").agg(
-            *[
-                F.expr(f"min((h1 + {s} * h2) % 281474976710656)").alias(f"mh{s}")
-                for s in range(_N_HASHES)
-            ],
-        )
-        n_bands = _N_HASHES // _BAND_SIZE
-        band_structs = ", ".join(
-            "named_struct('band', {k}, 'band_key', md5(concat_ws('|', {cols})))".format(
-                k=k,
-                cols=", ".join(
-                    f"mh{s}" for s in range(k * _BAND_SIZE, (k + 1) * _BAND_SIZE)
-                ),
-            )
-            for k in range(n_bands)
-        )
-        return sig.select(
-            "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("e")
-        ).select(
-            "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
-        )
+    return cached_table(
+        spark,
+        sf_dir,
+        "minhash_bands",
+        lambda: minhash_bands_for(doc_shingle_arrays(spark, sf_dir)),
+    )
 
-    return cached_table(spark, sf_dir, "minhash_bands", build)
+
+def minhash_bands_for(arrays: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from any (doc_id, shset, n) shingle
+    table — the pure transformation behind `_minhash_bands`, reusable
+    on a streaming micro-batch (examples/streaming_incremental_dedup)
+    or an ad-hoc corpus."""
+    sh = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
+    hashed = sh.selectExpr(
+        "doc_id",
+        "n",
+        "cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint) as h1",
+        "cast(conv(substr(md5(shingle), 13, 12), 16, 10) as bigint) * 2 + 1 as h2",
+    )
+    sig = hashed.groupBy("doc_id", "n").agg(
+        *[
+            F.expr(f"min((h1 + {s} * h2) % 281474976710656)").alias(f"mh{s}")
+            for s in range(_N_HASHES)
+        ],
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_structs = ", ".join(
+        "named_struct('band', {k}, 'band_key', md5(concat_ws('|', {cols})))".format(
+            k=k,
+            cols=", ".join(
+                f"mh{s}" for s in range(k * _BAND_SIZE, (k + 1) * _BAND_SIZE)
+            ),
+        )
+        for k in range(n_bands)
+    )
+    return sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("e")
+    ).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

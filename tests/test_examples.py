@@ -24,6 +24,7 @@ EXAMPLES = [
     "kafka_sr_avro_json_queue",
     "localfs_subflow_localfs",
     "streaming_llm_ingest",
+    "streaming_incremental_dedup",
 ]
 
 _RUNNER = r"""

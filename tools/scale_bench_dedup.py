@@ -63,6 +63,17 @@ QUERIES = [
     # the epoch plan is #sources-sized aggregation throughout.
     "token_budget_sample",
     "source_epoch_plan",
+    # round-5 additions (documents-only inputs): the incremental
+    # probe's cost must track the NEW-BATCH size (top 5% of the id
+    # space = half of the last replica's ids — constant-ish per m on
+    # replicated ids, so wall should grow with the store build, not
+    # m^2); agreement and histogram are pair-set / cluster-count
+    # sized on top of the cached family tables; boilerplate is one
+    # keyed aggregation over the shared shingle incidence.
+    "dedup_incremental_new_batch",
+    "dedup_cluster_size_histogram",
+    "dedup_method_agreement",
+    "boilerplate_top_shingles",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles
