@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = (
     "ann_recall_at_k",
     "dedup_method_agreement",
     "boilerplate_top_shingles",
+    "lm_score_deciles",
     "q12_shipmode_priority",
     "train_val_test_split",
     "order_value_pareto",

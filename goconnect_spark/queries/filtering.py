@@ -585,3 +585,57 @@ ORDER BY r.source, r.rnk
 
 QUERIES["boilerplate_top_shingles"] = boilerplate_top_shingles
 ORACLE["boilerplate_top_shingles"] = _boilerplate_sql()
+
+
+# --------------------------------------------------------------------
+# Perplexity-style corpus bucketing: decile report over the LM score
+# — the table a pipeline owner reads to pick the drop threshold
+# ("cut the bottom two deciles"). Runs the two-phase global ranking
+# (operators/ranking.py), so bucketing the WHOLE corpus by model
+# score — the classic quality-filter sweep — has no single-task
+# window even at full fact scale.
+# --------------------------------------------------------------------
+def lm_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs ranked by ascending LM score (worst first), NTILE(10) via
+    the closed-form two-phase rank; per decile: doc count, total
+    bigram mass, and the score range. Scores are ratios of identical
+    integers in both engines, so the sort order and min/max are
+    bit-identical; sums are integer-only (no float accumulation)."""
+    from goconnect_spark.operators.ranking import global_row_number, ntile_from_rn
+
+    scored = doc_lm_score(spark, sf_dir)
+    numbered = global_row_number(scored, [F.asc("lm_score"), F.asc("doc_id")])
+    tiled = numbered.select(
+        "lm_score", "n_bigrams", ntile_from_rn(10).cast("int").alias("decile")
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            F.min("lm_score").alias("lo_score"),
+            F.max("lm_score").alias("hi_score"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _lm_deciles_sql() -> str:
+    return f"""
+WITH scored AS ({_LM_SCORE_SQL.strip()}),
+tiled AS (
+  SELECT lm_score, n_bigrams,
+         NTILE(10) OVER (ORDER BY lm_score ASC, doc_id ASC) AS decile
+  FROM scored
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+       MIN(lm_score) AS lo_score,
+       MAX(lm_score) AS hi_score
+FROM tiled GROUP BY decile ORDER BY decile
+"""
+
+
+QUERIES["lm_score_deciles"] = lm_score_deciles
+ORACLE["lm_score_deciles"] = _lm_deciles_sql()

@@ -246,6 +246,7 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "order_value_pareto": {"BroadcastNestedLoopJoin"},   # 1-row revenue total + two-phase global count
         "customer_rfm_segments": {"BroadcastNestedLoopJoin"},  # 1-row global counts (two-phase rank x3)
         "dedup_incremental_new_batch": {"BroadcastNestedLoopJoin"},  # 1-row id-cut scalar
+        "lm_score_deciles": {"BroadcastNestedLoopJoin"},     # 1-row global count (two-phase rank)
         "weekly_active_users": {"BroadcastNestedLoopJoin"},  # 1-row day-span bounds
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
