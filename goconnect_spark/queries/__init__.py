@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = (
     "dedup_method_agreement",
     "boilerplate_top_shingles",
     "lm_score_deciles",
+    "source_dedup_matrix",
     "q12_shipmode_priority",
     "train_val_test_split",
     "order_value_pareto",

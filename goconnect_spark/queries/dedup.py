@@ -918,3 +918,49 @@ FROM per_pair
 
 QUERIES["dedup_method_agreement"] = dedup_method_agreement
 ORACLE["dedup_method_agreement"] = _agreement_sql()
+
+
+# --------------------------------------------------------------------
+# Cross-source duplication matrix: near-dup PAIR counts per source
+# pair — which crawl sources copy from each other (mirror detection),
+# vs within-source duplication (template detection). The pair-level
+# complement of curation.source_overlap_jaccard's shingle-level view.
+# --------------------------------------------------------------------
+def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash near-dup pairs joined to the doc->source dim on both
+    ends, aggregated per unordered source pair (sorted so (a,b) and
+    (b,a) merge). Pair-set-sized input after the dedup family's
+    cached tables; two dim joins + one aggregation."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_1"),
+            F.greatest("src_a", "src_b").alias("source_2"),
+        )
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+        .orderBy("source_1", "source_2")
+    )
+
+
+def _source_matrix_sql() -> str:
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_SQL.strip()}) m)
+SELECT LEAST(da.source, db.source) AS source_1,
+       GREATEST(da.source, db.source) AS source_2,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY source_1, source_2
+"""
+
+
+QUERIES["source_dedup_matrix"] = source_dedup_matrix
+ORACLE["source_dedup_matrix"] = _source_matrix_sql()

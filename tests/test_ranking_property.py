@@ -66,3 +66,43 @@ def test_global_row_number_plan_has_no_unpartitioned_data_window(spark):
     # per-partition counts), never on the data itself
     for s in _unpartitioned_window_sorts(plan):
         assert "pid" in s.split("#")[0].lower(), s
+
+
+def test_ntile_closed_form_matches_sql_definition():
+    # pure-arithmetic check (no Spark): with n = q*k + r, tiles 1..r
+    # hold q+1 rows and tiles r+1..k hold q rows — the SQL NTILE
+    # definition — for every (n, k) in a dense sweep plus random draws
+    from hypothesis import given, settings, strategies as st
+
+    def closed_form(rn, n, k):
+        q, r = divmod(n, k)
+        if rn <= r * (q + 1):
+            return (rn + q) // (q + 1)
+        return r + (rn - r * (q + 1) + q - 1) // q
+
+    def reference(n, k):
+        q, r = divmod(n, k)
+        out = []
+        for tile in range(1, k + 1):
+            out.extend([tile] * ((q + 1) if tile <= r else q))
+        return out
+
+    for n in range(1, 60):
+        for k in range(1, 15):
+            want = reference(n, k)
+            got = [closed_form(rn, n, k) for rn in range(1, n + 1)]
+            assert got == want, (n, k)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(1, 10_000_000), st.integers(1, 1000), st.data())
+    def fuzz(n, k, data):
+        rn = data.draw(st.integers(1, n))
+        q, r = divmod(n, k)
+        tile = closed_form(rn, n, k)
+        # row rn lands in tile t iff the cumulative size of tiles 1..t-1
+        # is < rn <= cumulative size of tiles 1..t
+        def cum(t):
+            return min(t, r) * (q + 1) + max(0, t - r) * q
+        assert cum(tile - 1) < rn <= cum(tile), (n, k, rn, tile)
+
+    fuzz()
