@@ -235,43 +235,54 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: bigrams come from the in-row token-array zip (no
     self-join); c12/c1 are two map-side-combining aggregations; the
     probability lookup joins the bigram table on (w1, w2) — the
-    count table is vocab^2-bounded, far smaller than the corpus.
+    count table is vocab^2-bounded, far smaller than the corpus. The
+    scored table is session-cached (corpus.cached_table): the decile
+    report (lm_score_deciles) consumes the same scores, the canonical
+    two-consumer shared intermediate.
     """
-    from goconnect_spark.queries.corpus import doc_token_arrays
+    return _lm_scored(spark, sf_dir).orderBy("doc_id")
 
-    toks = doc_token_arrays(spark, sf_dir)
-    bg = toks.where(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(slice(toks, 1, size(toks) - 1),"
-                " (w, i) -> struct(w as w1, element_at(toks, i + 2) as w2))"
-            )
-        ).alias("g"),
-    ).select("doc_id", "g.w1", "g.w2")
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    probs = c12.join(c1, "w1").select(
-        "w1",
-        "w2",
-        F.floor(
-            F.lit(float(_LM_SCALE)) * (F.col("c12").cast("double") / F.col("c1").cast("double"))
-        ).cast("long").alias("p_fp"),
-    )
-    return (
-        bg.join(probs, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum("p_fp").cast("long").alias("sum_p_fp"),
-        )
-        .select(
+
+def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached (doc_id, n_bigrams, lm_score) — the corpus LM
+    scoring pass shared by doc_lm_score and lm_score_deciles."""
+    from goconnect_spark.queries.corpus import cached_table, doc_token_arrays
+
+    def build():
+        toks = doc_token_arrays(spark, sf_dir)
+        bg = toks.where(F.size("toks") >= 2).select(
             "doc_id",
-            "n_bigrams",
-            (F.col("sum_p_fp").cast("double") / F.col("n_bigrams").cast("double")).alias("lm_score"),
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (w, i) -> struct(w as w1, element_at(toks, i + 2) as w2))"
+                )
+            ).alias("g"),
+        ).select("doc_id", "g.w1", "g.w2")
+        c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        probs = c12.join(c1, "w1").select(
+            "w1",
+            "w2",
+            F.floor(
+                F.lit(float(_LM_SCALE)) * (F.col("c12").cast("double") / F.col("c1").cast("double"))
+            ).cast("long").alias("p_fp"),
         )
-        .orderBy("doc_id")
-    )
+        return (
+            bg.join(probs, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                F.sum("p_fp").cast("long").alias("sum_p_fp"),
+            )
+            .select(
+                "doc_id",
+                "n_bigrams",
+                (F.col("sum_p_fp").cast("double") / F.col("n_bigrams").cast("double")).alias("lm_score"),
+            )
+        )
+
+    return cached_table(spark, sf_dir, "lm_scores", build)
 
 
 _LM_SCORE_SQL = f"""
@@ -603,7 +614,7 @@ def lm_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical; sums are integer-only (no float accumulation)."""
     from goconnect_spark.operators.ranking import global_row_number, ntile_from_rn
 
-    scored = doc_lm_score(spark, sf_dir)
+    scored = _lm_scored(spark, sf_dir)
     numbered = global_row_number(scored, [F.asc("lm_score"), F.asc("doc_id")])
     tiled = numbered.select(
         "lm_score", "n_bigrams", ntile_from_rn(10).cast("int").alias("decile")
