@@ -24,18 +24,20 @@ from goconnect_spark.queries import (
     analytics7,
     curation,
     dedup,
+    dedup2,
     filtering,
     packing,
     parity,
     quality,
     sampling,
     similarity,
+    similarity2,
     sketches,
     text,
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, curation, dedup, filtering, sampling, similarity, sketches, text, text2, packing, quality)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, curation, dedup, dedup2, filtering, sampling, similarity, similarity2, sketches, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
@@ -52,6 +54,10 @@ ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5
 _DRIVER_PRIORITY = (
     # tier 0: new in r5 (never driver-run), red in r04 (oracle CAST
     # fixed in r5), or rewritten in r5
+    "containment_dedup",
+    "minhash_jaccard_calibration",
+    "ann_sq8_rerank",
+    "embedding_quantization_error",
     "dedup_incremental_new_batch",
     "dedup_cluster_size_histogram",
     "ann_recall_at_k",

@@ -102,21 +102,35 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins ride ONE aggregation; band keys are md5 over each band's 3
     signature columns, exploded in-row.
     """
-    from goconnect_spark.queries.corpus import cached_table, doc_shingle_arrays
+    from goconnect_spark.queries.corpus import cached_table
 
     return cached_table(
         spark,
         sf_dir,
         "minhash_bands",
-        lambda: minhash_bands_for(doc_shingle_arrays(spark, sf_dir)),
+        lambda: bands_from_sigs(_minhash_sigs(spark, sf_dir)),
     )
 
 
-def minhash_bands_for(arrays: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) from any (doc_id, shset, n) shingle
-    table — the pure transformation behind `_minhash_bands`, reusable
-    on a streaming micro-batch (examples/streaming_incremental_dedup)
-    or an ad-hoc corpus."""
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached raw signature table (doc_id, n, mh0..mh11) — the
+    layer UNDER the band table: the calibration query (dedup2) reads
+    per-hash signature agreement, the band table derives from it
+    in-row, and both share the one heavy aggregation."""
+    from goconnect_spark.queries.corpus import cached_table, doc_shingle_arrays
+
+    return cached_table(
+        spark,
+        sf_dir,
+        "minhash_sigs",
+        lambda: minhash_sigs_for(doc_shingle_arrays(spark, sf_dir)),
+    )
+
+
+def minhash_sigs_for(arrays: DataFrame) -> DataFrame:
+    """(doc_id, n, mh0..mh11) from any (doc_id, shset, n) shingle
+    table: ONE md5 per distinct shingle, 12 Kirsch-Mitzenmacher
+    families, all mins in a single aggregation."""
     sh = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
     hashed = sh.selectExpr(
         "doc_id",
@@ -124,12 +138,17 @@ def minhash_bands_for(arrays: DataFrame) -> DataFrame:
         "cast(conv(substr(md5(shingle), 1, 12), 16, 10) as bigint) as h1",
         "cast(conv(substr(md5(shingle), 13, 12), 16, 10) as bigint) * 2 + 1 as h2",
     )
-    sig = hashed.groupBy("doc_id", "n").agg(
+    return hashed.groupBy("doc_id", "n").agg(
         *[
             F.expr(f"min((h1 + {s} * h2) % 281474976710656)").alias(f"mh{s}")
             for s in range(_N_HASHES)
         ],
     )
+
+
+def bands_from_sigs(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from a signature table — band keys are
+    md5 over each band's 3 signature columns, exploded in-row."""
     n_bands = _N_HASHES // _BAND_SIZE
     band_structs = ", ".join(
         "named_struct('band', {k}, 'band_key', md5(concat_ws('|', {cols})))".format(
@@ -145,6 +164,14 @@ def minhash_bands_for(arrays: DataFrame) -> DataFrame:
     ).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
     )
+
+
+def minhash_bands_for(arrays: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from any (doc_id, shset, n) shingle
+    table — the pure transformation behind `_minhash_bands`, reusable
+    on a streaming micro-batch (examples/streaming_incremental_dedup)
+    or an ad-hoc corpus."""
+    return bands_from_sigs(minhash_sigs_for(arrays))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,6 +329,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ranked_prefix_for(arrays: DataFrame, t: float) -> DataFrame:
+    """(doc_id, n, rn, shingle) — each doc's shingles ranked by global
+    rarity (df asc, shingle asc: one consistent total order), sliced
+    to the first n - ceil(t*n) + 1 entries (the lossless prefix
+    bound). That bound serves both the symmetric Jaccard prefix
+    filter (ngram_jaccard) and the asymmetric containment filter at
+    the same threshold (dedup2.containment_dedup), so the session
+    cache key is shared. The slice length is computed in EXACT
+    integer arithmetic from the rational threshold (t = num/den):
+    floor((1-t)*n)+1 in floating point under-counts by one whenever
+    t*n is an integer (1-0.8 = 0.19999... in binary), silently
+    dropping the last prefix entry — a recall bug caught by the
+    containment brute-force property test. The rank is computed
+    in-row (sort_array on struct(df, shingle) inside the groupBy the
+    data already needs) — no row_number window."""
+    from fractions import Fraction
+
+    frac = Fraction(t).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    exploded = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # k = n - ceil(num*n/den) + 1, all-integer
+    k = F.expr(f"cast(n - ({num} * n + {den} - 1) DIV {den} + 1 as int)")
+    return (
+        exploded.join(dfreq, "shingle")
+        .groupBy("doc_id", "n")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("sarr"))
+        .select("doc_id", "n", F.slice("sarr", F.lit(1), k).alias("parr"))
+        .select("doc_id", "n", F.posexplode("parr").alias("pos", "s"))
+        .select("doc_id", "n", (F.col("pos") + 1).alias("rn"), F.col("s.shingle").alias("shingle"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, arrays: DataFrame = None, prefix_cache=None
 ) -> DataFrame:
@@ -331,24 +391,7 @@ def ngram_jaccard_pairs(
             .withColumn("n", F.size("shset"))
             .persist()
         )
-    exploded = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
-    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # rank each doc's shingles by global rarity in-row (sort_array on
-    # struct(df, shingle) = df asc, shingle asc) and slice the prefix —
-    # replaces a row_number window (shuffle + sort) with the groupBy
-    # the data already needs
-    k = (F.floor(F.lit(1.0 - _NGRAM_T) * F.col("n")) + 1).cast("int")
-
-    def _build_prefix():
-        return (
-            exploded.join(dfreq, "shingle")
-            .groupBy("doc_id", "n")
-            .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("sarr"))
-            .select("doc_id", "n", F.slice("sarr", F.lit(1), k).alias("parr"))
-            .select("doc_id", "n", F.posexplode("parr").alias("pos", "s"))
-            .select("doc_id", "n", (F.col("pos") + 1).alias("rn"), F.col("s.shingle").alias("shingle"))
-        )
-
+    _build_prefix = lambda: ranked_prefix_for(arrays, _NGRAM_T)  # noqa: E731
     prefix = (
         prefix_cache(_build_prefix) if prefix_cache else _build_prefix().persist()
     )
@@ -410,7 +453,7 @@ ranked AS (
 prefix AS (
   SELECT r.doc_id, r.shingle, z.n
   FROM ranked r JOIN sizes z ON z.doc_id = r.doc_id
-  WHERE r.rn <= FLOOR({1.0 - _NGRAM_T} * z.n) + 1
+  WHERE r.rn <= z.n - (4 * z.n + 4) // 5 + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

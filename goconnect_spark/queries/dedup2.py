@@ -1,0 +1,314 @@
+"""Second dedup family: asymmetric containment join + minhash
+estimator calibration.
+
+- containment_dedup: directional near-dup detection — doc A is
+  (near-)contained in doc B when |shingles(A) ∩ shingles(B)| >= t*|A|.
+  This catches the quote/excerpt/boilerplate-inclusion shape that the
+  symmetric Jaccard join misses (a 50-shingle doc embedded inside a
+  500-shingle doc has Jaccard ~0.1 but containment 1.0). Same prefix-
+  filter machinery as PPJoin, but one-sided: the CONTAINED side keeps
+  only its rarity-ranked prefix, the CONTAINER side is the full
+  inverted index.
+- minhash_jaccard_calibration: per-pair signature agreement (est =
+  matches/12) vs exact Jaccard on the LSH candidate set, bucketed by
+  absolute error — the quality dashboard a production dedup service
+  runs to validate its sketch parameters before trusting them at
+  100 TB. Reads the SAME session-cached signature/band/shingle tables
+  as dedup_minhash_lsh, so the marginal cost is candidate-bounded.
+
+Determinism: thresholds compare INTEGERS (inter >= ceil-div overlap),
+never floats; every division is double-div of identical integer
+operands in both engines; bucket = floor(|est-true|*12) over those
+identical doubles.
+
+Scale (100 TB): candidates come from equi-joins (prefix-shingle or
+band-key); verification is in-row array_intersect over candidate
+pairs only. The containment container-side index is the classic
+skew hazard — bounded here because the probe side only carries each
+doc's RAREST floor((1-t)n)+1 shingles (df asc), so hot shingles never
+enter the join key stream from the probe side; AQE skew-split covers
+the residue.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from goconnect_spark.queries.dedup import (
+    _N_HASHES,
+    _NGRAM_T,
+    _SHINGLES_CTE,
+    _minhash_bands,
+    _minhash_bands_sql,
+    _minhash_sig_sql,
+    _minhash_sigs,
+    ranked_prefix_for,
+)
+
+QUERIES = {}
+ORACLE = {}
+
+_CONTAIN_T = _NGRAM_T  # 0.8 — shares the ranked-prefix table's slice
+
+
+# --------------------------------------------------------------------
+# Asymmetric containment join: A contained in B at t=0.8.
+# --------------------------------------------------------------------
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs (doc_a contained in doc_b).
+
+    Overlap requirement O = ceil(t*n_a) = (4*n_a+4) DIV 5; the prefix
+    filter is lossless by pigeonhole: if none of A's first
+    n_a - O + 1 ranked shingles appear in B, the overlap is < O.
+    n - ceil(t*n) + 1 == floor((1-t)*n) + 1, so the slice in the
+    shared `ngram_prefix` cache (built for the symmetric Jaccard
+    filter at the same t) is exactly the containment prefix — one
+    table, two filters. The container side joins its FULL shingle
+    incidence (inverted index); the length filter n_b >= O prunes
+    containers too small to satisfy the overlap."""
+    from goconnect_spark.queries.corpus import cached_table, doc_shingle_arrays
+
+    arrays = doc_shingle_arrays(spark, sf_dir)
+    return containment_pairs(
+        arrays,
+        prefix_cache=lambda build: cached_table(spark, sf_dir, "ngram_prefix", build),
+    )
+
+
+def containment_pairs(arrays: DataFrame, prefix_cache=None) -> DataFrame:
+    """The containment pipeline over any (doc_id, shset, n) shingle
+    table — factored out so tests can compare against brute force on
+    randomized corpora (the one-sided prefix filter's losslessness is
+    the property under test)."""
+    _build = lambda: ranked_prefix_for(arrays, _NGRAM_T)  # noqa: E731
+    prefix = prefix_cache(_build) if prefix_cache else _build()
+    full = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
+    cand = (
+        prefix.alias("a")
+        .join(full.alias("b"), "shingle")
+        .where(
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.n") >= F.expr("(4 * a.n + 4) DIV 5"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            arrays.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shset").alias("sa"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shset").alias("sb"),
+                F.col("n").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.expr("CAST(size(array_intersect(sa, sb)) AS BIGINT)"))
+        .where(F.col("inter") >= F.expr("(4 * n_a + 4) DIV 5"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("inter") / F.col("n_a").cast("double")).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_CONTAIN_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+ranked AS (
+  SELECT s.doc_id, s.shingle,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df ASC, s.shingle ASC) AS rn
+  FROM shingles s JOIN dfreq d ON d.shingle = s.shingle
+),
+prefix AS (
+  SELECT r.doc_id, r.shingle, z.n
+  FROM ranked r JOIN sizes z ON z.doc_id = r.doc_id
+  WHERE r.rn <= z.n - (4 * z.n + 4) // 5 + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, s.doc_id AS doc_b
+  FROM prefix a
+  JOIN shingles s ON s.shingle = a.shingle AND s.doc_id <> a.doc_id
+  JOIN sizes zb ON zb.doc_id = s.doc_id
+  WHERE zb.n >= (4 * a.n + 4) // 5
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       (i.inter / CAST(na.n AS DOUBLE)) AS containment
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.inter >= (4 * na.n + 4) // 5
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["containment_dedup"] = containment_dedup
+ORACLE["containment_dedup"] = _CONTAIN_SQL
+
+
+# --------------------------------------------------------------------
+# MinHash estimator calibration on the LSH candidate set.
+# --------------------------------------------------------------------
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|est - true| error profile of the 12-hash minhash estimator.
+
+    est = (# agreeing signature slots)/12, true = exact Jaccard from
+    the shared shingle arrays; pairs are the LSH band-collision
+    candidates (the set the dedup service actually decides on). Rows
+    are error buckets floor(|est-true|*12) with integer evidence
+    columns (pair/slot/intersection sums) plus the two pooled ratios
+    — everything either integer-exact or a single division of
+    identical operands, so the DuckDB hash matches bit-for-bit."""
+    from goconnect_spark.queries.corpus import doc_shingle_arrays
+
+    arrays = doc_shingle_arrays(spark, sf_dir)
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    matches = " + ".join(
+        f"cast(sa.mh{s} = sb.mh{s} as int)" for s in range(_N_HASHES)
+    )
+    per_pair = (
+        cand.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.expr(f"cast({matches} as bigint)").alias("matches"))
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shset").alias("sha"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shset").alias("shb"),
+                F.col("n").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.expr("CAST(size(array_intersect(sha, shb)) AS BIGINT)"))
+        .withColumn("uni", (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("long"))
+        .withColumn("est", F.col("matches") / F.lit(12).cast("double"))
+        .withColumn("true_j", F.col("inter") / F.col("uni").cast("double"))
+    )
+    return (
+        per_pair.withColumn(
+            "err_bucket",
+            F.floor(F.abs(F.col("est") - F.col("true_j")) * 12).cast("int"),
+        )
+        .groupBy("err_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("matches").cast("long").alias("sum_matches"),
+            F.sum("inter").cast("long").alias("sum_inter"),
+            F.sum("uni").cast("long").alias("sum_union"),
+        )
+        .withColumn(
+            "mean_est",
+            F.col("sum_matches") / (F.lit(12) * F.col("n_pairs")).cast("double"),
+        )
+        .withColumn(
+            "pooled_true", F.col("sum_inter") / F.col("sum_union").cast("double")
+        )
+        .select(
+            "err_bucket",
+            "n_pairs",
+            "sum_matches",
+            "sum_inter",
+            "sum_union",
+            "mean_est",
+            "pooled_true",
+        )
+        .orderBy("err_bucket")
+    )
+
+
+_CALIB_SQL = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 13, 12))::BIGINT * 2 + 1 AS h2
+  FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         COUNT(*) AS n,
+         {_minhash_sig_sql()}
+  FROM hashed
+  GROUP BY doc_id
+),
+bands AS (
+{_minhash_bands_sql()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+per_pair AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST({" + ".join(f"CAST(sa.mh{s} = sb.mh{s} AS INT)" for s in range(_N_HASHES))} AS BIGINT) AS matches,
+         CAST(i.inter AS BIGINT) AS inter,
+         CAST(sa.n + sb.n - i.inter AS BIGINT) AS uni
+  FROM inter i
+  JOIN sig sa ON sa.doc_id = i.doc_a
+  JOIN sig sb ON sb.doc_id = i.doc_b
+),
+bucketed AS (
+  SELECT CAST(FLOOR(ABS(matches / CAST(12 AS DOUBLE) - inter / CAST(uni AS DOUBLE)) * 12) AS INT) AS err_bucket,
+         matches, inter, uni
+  FROM per_pair
+)
+SELECT err_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(matches) AS BIGINT) AS sum_matches,
+       CAST(SUM(inter) AS BIGINT) AS sum_inter,
+       CAST(SUM(uni) AS BIGINT) AS sum_union,
+       (CAST(SUM(matches) AS BIGINT) / CAST(12 * COUNT(*) AS DOUBLE)) AS mean_est,
+       (CAST(SUM(inter) AS BIGINT) / CAST(SUM(uni) AS DOUBLE)) AS pooled_true
+FROM bucketed
+GROUP BY err_bucket
+ORDER BY err_bucket
+"""
+
+QUERIES["minhash_jaccard_calibration"] = minhash_jaccard_calibration
+ORACLE["minhash_jaccard_calibration"] = _CALIB_SQL

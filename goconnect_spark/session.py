@@ -32,6 +32,14 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # Single-JVM local harness: the driver hosts every executor thread
+    # AND the session-lifetime shared-table cache (corpus.cached_table).
+    # 8g won an A/B against 16g/24g on the full-catalog bench (bigger
+    # heaps lose to GC/page-fault behavior in this VM; the cached
+    # tables total well under the storage pool at sf0.1). On a real
+    # cluster this is per-executor memory, and the shared tables would
+    # be first-class parquet datasets rather than block-manager
+    # residents.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
