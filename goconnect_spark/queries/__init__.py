@@ -22,6 +22,7 @@ from goconnect_spark.queries import (
     analytics5,
     analytics6,
     analytics7,
+    analytics8,
     curation,
     dedup,
     dedup2,
@@ -37,7 +38,7 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, curation, dedup, dedup2, filtering, sampling, similarity, similarity2, sketches, text, text2, packing, quality)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, analytics8, curation, dedup, dedup2, filtering, sampling, similarity, similarity2, sketches, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
@@ -56,6 +57,8 @@ _DRIVER_PRIORITY = (
     # fixed in r5), or rewritten in r5
     "containment_dedup",
     "minhash_jaccard_calibration",
+    "hourly_count_autocorr",
+    "embedding_dim_covariance",
     "ann_sq8_rerank",
     "embedding_quantization_error",
     "dedup_incremental_new_batch",

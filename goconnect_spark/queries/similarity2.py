@@ -247,3 +247,125 @@ ORDER BY label
 
 QUERIES["embedding_quantization_error"] = embedding_quantization_error
 ORACLE["embedding_quantization_error"] = _QERR_SQL
+
+
+# --------------------------------------------------------------------
+# Dimension covariance/correlation diagnostics.
+# --------------------------------------------------------------------
+_COV_TOP = 20
+
+
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-|corr| correlated dimension pairs of the embedding matrix —
+    the redundancy diagnostic behind whitening/PCA decisions (highly
+    correlated dims mean the effective dimensionality is lower than
+    the stored one, i.e. storage and ANN distance budgets are being
+    wasted).
+
+    Moments come from the quantized grid, so every sum is an exact
+    integer: per-dim (Σq, Σq²) in one aggregation, per-pair Σq_i·q_j
+    from an IN-ROW pair expansion of each vector (explode dims, then
+    explode the tail slice of the same row's array — no self-join
+    shuffle at (vec x dim) granularity; the only shuffle is the
+    groupBy on the 64·63/2 = 2016 pair keys). Pearson corr =
+    (nΣxy - ΣxΣy) / (sqrt(nΣxx-Σx²)·sqrt(nΣyy-Σy²)) over identical
+    integer operands in both engines. Ranking and ties are decided by
+    integer |cov_num| then (d_i, d_j) — no float ordering.
+
+    Scale: linear in vectors x dims² with map-side partial aggregation
+    into a constant-size (2016-key) state — the same shape as a
+    distributed covariance matrix build at 100 TB."""
+    emb = load(spark, "embeddings", sf_dir)
+    qarr = emb.select(
+        "vec_id",
+        F.expr(f"transform(embedding, x -> cast(floor(cast(x as double) * {_Q}) as bigint))").alias("qa"),
+    )
+    pairs = (
+        qarr.select("vec_id", F.posexplode("qa").alias("i", "qi"), F.col("qa"))
+        .select(
+            "i",
+            "qi",
+            F.posexplode(F.expr("slice(qa, i + 2, size(qa))")).alias("joff", "qj"),
+        )
+        .select(
+            F.col("i").alias("d_i"),
+            (F.col("i") + 1 + F.col("joff")).alias("d_j"),
+            "qi",
+            "qj",
+        )
+    )
+    pair_stats = pairs.groupBy("d_i", "d_j").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("qi") * F.col("qj")).cast("long").alias("sxy"),
+    )
+    quant = _quant_cached(spark, sf_dir)
+    dim_stats = quant.groupBy("d").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+    )
+    di = dim_stats.select(
+        F.col("d").alias("d_i"), F.col("s").alias("sx"), F.col("ss").alias("sxx")
+    )
+    dj = dim_stats.select(
+        F.col("d").alias("d_j"), F.col("s").alias("sy"), F.col("ss").alias("syy")
+    )
+    stats = (
+        pair_stats.join(F.broadcast(di), "d_i")
+        .join(F.broadcast(dj), "d_j")
+        .withColumn(
+            "cov_num",
+            (F.col("n_vecs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long"),
+        )
+        .withColumn(
+            "corr",
+            F.col("cov_num").cast("double")
+            / (
+                F.sqrt((F.col("n_vecs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n_vecs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            ),
+        )
+    )
+    return (
+        stats.orderBy(F.abs(F.col("cov_num")).desc(), "d_i", "d_j")
+        .limit(_COV_TOP)
+        .select("d_i", "d_j", "n_vecs", "cov_num", "corr")
+    )
+
+
+_DIMCOV_SQL = f"""
+WITH quant AS (
+  SELECT vec_id, d - 1 AS d,
+         CAST(FLOOR(CAST(x AS DOUBLE) * {_Q}) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)
+),
+pair_stats AS (
+  SELECT a.d AS d_i, b.d AS d_j,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS sxy
+  FROM quant a JOIN quant b ON a.vec_id = b.vec_id AND a.d < b.d
+  GROUP BY 1, 2
+),
+dim_stats AS (
+  SELECT d, CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS ss
+  FROM quant GROUP BY d
+),
+stats AS (
+  SELECT p.d_i, p.d_j, p.n_vecs,
+         CAST(p.n_vecs * p.sxy - di.s * dj.s AS BIGINT) AS cov_num,
+         CAST(p.n_vecs * p.sxy - di.s * dj.s AS DOUBLE)
+           / (SQRT(CAST(p.n_vecs * di.ss - di.s * di.s AS DOUBLE))
+              * SQRT(CAST(p.n_vecs * dj.ss - dj.s * dj.s AS DOUBLE))) AS corr
+  FROM pair_stats p
+  JOIN dim_stats di ON di.d = p.d_i
+  JOIN dim_stats dj ON dj.d = p.d_j
+)
+SELECT d_i, d_j, n_vecs, cov_num, corr
+FROM stats
+ORDER BY ABS(cov_num) DESC, d_i, d_j
+LIMIT {_COV_TOP}
+"""
+
+QUERIES["embedding_dim_covariance"] = embedding_dim_covariance
+ORACLE["embedding_dim_covariance"] = _DIMCOV_SQL

@@ -174,6 +174,83 @@ def test_ann_sq8_rerank_matches_python_two_stage(spark, tmp_path):
         assert abs(g[3] - w[3]) < 1e-12, (g, w)
 
 
+def test_hourly_autocorr_matches_python(spark, tmp_path):
+    """Synthetic events with a deliberate daily cycle plus gaps: the
+    lag-1/lag-24 Pearson r must equal a plain-Python recompute over
+    integer moments, and a constant sub-series must yield NULL (zero
+    variance), not a crash or a fake 1.0."""
+    import datetime
+
+    from goconnect_spark.queries.analytics8 import hourly_count_autocorr
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = []
+    counts = {}
+    eid = 0
+    rng = random.Random(7)
+    for h in range(120):
+        if h % 17 == 3:
+            continue  # gap hours
+        c = 5 + (h % 24) + rng.randrange(3)
+        counts[h] = c
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(hours=h, minutes=1), 1, "view", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r.lag_hours: r for r in hourly_count_autocorr(spark, str(tmp_path)).collect()}
+    for k in (1, 24):
+        xs = [(counts[h], counts[h + k]) for h in counts if h + k in counts]
+        n = len(xs)
+        sx = sum(x for x, _ in xs); sy = sum(y for _, y in xs)
+        sxx = sum(x * x for x, _ in xs); syy = sum(y * y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        num = n * sxy - sx * sy
+        r = got[k]
+        assert r.n_pairs == n and r.cov_num == num
+        want = num / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+        assert abs(r.autocorr - want) < 1e-12
+    assert got[24].autocorr > 0.5  # the planted daily cycle is detected
+
+
+def test_dim_covariance_matches_python(spark, tmp_path):
+    """Planted correlated dimension pair (dim1 = dim0 + small noise)
+    must rank first, with integer moments equal to a Python
+    recompute."""
+    from goconnect_spark.queries.similarity2 import embedding_dim_covariance
+
+    rng = np.random.RandomState(3)
+    n, dim = 60, 6
+    m = (rng.rand(n, dim) - 0.5).astype(np.float32)
+    m[:, 1] = (m[:, 0] + 0.01 * (rng.rand(n).astype(np.float32) - 0.5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in m[i]], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = embedding_dim_covariance(spark, str(tmp_path)).collect()
+    q = [[math.floor(float(np.float64(x)) * 10000) for x in row] for row in m]
+    want = {}
+    for i in range(dim):
+        for j in range(i + 1, dim):
+            sx = sum(r[i] for r in q); sy = sum(r[j] for r in q)
+            sxx = sum(r[i] ** 2 for r in q); syy = sum(r[j] ** 2 for r in q)
+            sxy = sum(r[i] * r[j] for r in q)
+            num = n * sxy - sx * sy
+            want[(i, j)] = (
+                num,
+                num / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)),
+            )
+    order = sorted(want, key=lambda p: (-abs(want[p][0]), p))
+    assert [(r.d_i, r.d_j) for r in got] == order[: len(got)]
+    assert (got[0].d_i, got[0].d_j) == (0, 1) and got[0].corr > 0.99
+    for r in got:
+        assert r.cov_num == want[(r.d_i, r.d_j)][0]
+        assert abs(r.corr - want[(r.d_i, r.d_j)][1]) < 1e-12
+
+
 def test_quantization_error_matches_python(spark, tmp_path):
     from goconnect_spark.queries.similarity2 import embedding_quantization_error
 
