@@ -661,26 +661,28 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
     part = load(spark, "part", sf_dir).select("p_partkey", "p_brand")
-    ob = (
+    # ONE shuffle does the basket dedup AND collection: groupBy
+    # orderkey with collect_set (dedups in the partial aggregate);
+    # brand pairs come from an IN-ROW expansion of each sorted basket
+    # (explode i, then the tail slice — b1 < b2 by construction), so
+    # the order-level self-join and the eager localCheckpoint both
+    # disappear. Per-brand counts and the order total re-read the
+    # persisted basket table.
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-        # feeds the order count, the per-brand counts AND both pair
-        # sides — materialize the basket reduction once instead of
-        # re-running the fact join 4x (the thresholded-edge-list move)
-        .localCheckpoint()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("barr"))
+        .persist()
     )
-    n_orders_row = ob.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
+    n_orders_row = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    per_brand = (
+        baskets.select(F.explode("barr").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("brand_orders"))
     )
-    per_brand = ob.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("long").alias("brand_orders")
-    )
-    a = ob.select("l_orderkey", F.col("p_brand").alias("b1"))
-    b = ob.select("l_orderkey", F.col("p_brand").alias("b2"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("b1") < F.col("b2"))
+        baskets.select(F.posexplode("barr").alias("i", "b1"), "barr")
+        .select("b1", F.explode(F.expr("slice(barr, i + 2, size(barr))")).alias("b2"))
         .groupBy("b1", "b2")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
         .where(F.col("pair_orders") >= _BASKET_MIN_PAIR)

@@ -116,12 +116,16 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str, min_support: int) -> Da
     corpus), so it is the textbook materialize-once intermediate."""
 
     def build():
-        dw = doc_tokens_distinct(spark, sf_dir)
-        a = dw.select("doc_id", F.col("tok").alias("w1"))
-        b = dw.select("doc_id", F.col("tok").alias("w2"))
+        # pairs come from an IN-ROW expansion of each doc's sorted
+        # distinct-token array (w1 < w2 by construction): no
+        # doc-incidence distinct shuffle, no doc-level self-join —
+        # the ONLY shuffle is the (w1, w2) support aggregation, with
+        # map-side partial combine into the vocab²-bounded key space.
+        toks = doc_token_arrays(spark, sf_dir)
         return (
-            a.join(b, "doc_id")
-            .where(F.col("w1") < F.col("w2"))
+            toks.select(F.expr("array_sort(array_distinct(toks))").alias("ws"))
+            .select(F.posexplode("ws").alias("i", "w1"), "ws")
+            .select("w1", F.explode(F.expr("slice(ws, i + 2, size(ws))")).alias("w2"))
             .groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).alias("support"))
             .where(F.col("support") >= min_support)

@@ -190,11 +190,16 @@ def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfc = dw.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     vocab = dfc.where(F.col("df") >= _COOC_MIN_DF)
     dwv = dw.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
-    a = dwv.select("doc_id", F.col("tok").alias("w1"))
-    b = dwv.select("doc_id", F.col("tok").alias("w2"))
+    # pair generation is an IN-ROW expansion of each doc's sorted
+    # pruned-token set (w1 < w2 by construction): the doc-level
+    # self-join disappears; one groupBy collects the per-doc sets and
+    # the only remaining shuffle is the (w1, w2) support aggregation
+    # with map-side combine into the vocab²-bounded key space.
     pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("w1") < F.col("w2"))
+        dwv.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("ws"))
+        .select(F.posexplode("ws").alias("i", "w1"), "ws")
+        .select("w1", F.explode(F.expr("slice(ws, i + 2, size(ws))")).alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_docs"))
         .where(F.col("pair_docs") >= _COOC_MIN_PAIR)
