@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = (
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",
     "embedding_dim_covariance",
+    "fingerprint_collision_dedup",
     "ann_sq8_rerank",
     "embedding_quantization_error",
     "dedup_incremental_new_batch",

@@ -45,6 +45,7 @@ from goconnect_spark.queries.dedup import (
     _minhash_sigs,
     ranked_prefix_for,
 )
+from goconnect_spark.tables import load
 
 QUERIES = {}
 ORACLE = {}
@@ -312,3 +313,123 @@ ORDER BY err_bucket
 
 QUERIES["minhash_jaccard_calibration"] = minhash_jaccard_calibration
 ORACLE["minhash_jaccard_calibration"] = _CALIB_SQL
+
+
+# --------------------------------------------------------------------
+# Winnowing-fingerprint collision pairs (MOSS-style, Schleimer et al.)
+# — the 5th dedup family: CHARACTER-level near-dup detection that
+# catches heavy local overlap (shared passages) the word-bigram
+# families dilute.
+# --------------------------------------------------------------------
+_FP_K, _FP_W = 8, 4  # same k-gram/window as text.doc_fingerprint
+_FP_MAX_DF = 20  # stop-fingerprint prune: df-capped inverted index
+_FP_TOP = 50  # report the top colliding pairs (MOSS-style ranking)
+
+
+def fingerprint_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top doc pairs ranked by shared winnowing fingerprints (the
+    MOSS report: rank by absolute match count, expose the
+    share-of-smaller-doc ratio alongside).
+    The fingerprint table is the SAME in-row winnowing
+    pipeline as text.doc_fingerprint (k=8 char shingles -> md5 ->
+    w=4 window-min -> distinct), session-cached; candidates come from
+    the fingerprint inverted index with stop-fingerprints pruned
+    (df > {cap} — ubiquitous k-grams pair everything with everything
+    and carry no discriminative signal; MOSS does the same). The
+    prune makes this a detector, not an exact join — the exact
+    contracts live in ngram_jaccard/containment; this one exists
+    because char-level fingerprints survive word-boundary edits and
+    the df cap bounds the inverted-index fanout at any corpus size
+    (each retained fingerprint contributes <= cap² pairs).
+
+    sim = shared / min(n_a, n_b) — one double division of exact
+    integers; ordering and thresholds never touch floats beyond it.
+    """
+    from goconnect_spark.queries.corpus import cached_table
+
+    def build_fps():
+        docs = load(spark, "documents", sf_dir)
+        hs = docs.select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, greatest(length(text)-{_FP_K - 1}, 1)),"
+                f" i -> md5(substr(text, i, {_FP_K})))"
+            ).alias("hs"),
+        )
+        return hs.select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(hs)),"
+                f" i -> array_min(slice(hs, i, {_FP_W}))))"
+            ).alias("fps"),
+        ).withColumn("nf", F.size("fps").cast("long"))
+
+    fps = cached_table(spark, sf_dir, "winnow_fps", build_fps)
+    exploded = fps.select("doc_id", F.explode("fps").alias("fp"))
+    keep = (
+        exploded.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _FP_MAX_DF))
+        .select("fp")
+    )
+    pruned = exploded.join(keep, "fp")
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    return (
+        pairs.join(
+            fps.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            fps.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "sim",
+            F.col("shared_fps") / F.least("n_a", "n_b").cast("double"),
+        )
+        .select("doc_a", "doc_b", "shared_fps", "n_a", "n_b", "sim")
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+        .limit(_FP_TOP)
+    )
+
+
+_FP_COLLISION_SQL = f"""
+WITH hashes AS (
+  SELECT doc_id, i, md5(substr(text, i, {_FP_K})) AS h
+  FROM documents, unnest(generate_series(1, GREATEST(LENGTH(text)-{_FP_K - 1}, 1))) AS t(i)
+),
+wins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND {_FP_W - 1} FOLLOWING) AS wmin
+  FROM hashes
+),
+fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM wins),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM fps GROUP BY doc_id),
+keep AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) >= 2 AND COUNT(*) <= {_FP_MAX_DF}
+),
+pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep k ON k.fp = f.fp),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.shared_fps, za.nf AS n_a, zb.nf AS n_b,
+       (p.shared_fps / CAST(LEAST(za.nf, zb.nf) AS DOUBLE)) AS sim
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+ORDER BY shared_fps DESC, doc_a, doc_b
+LIMIT {_FP_TOP}
+"""
+
+QUERIES["fingerprint_collision_dedup"] = fingerprint_collision_dedup
+ORACLE["fingerprint_collision_dedup"] = _FP_COLLISION_SQL

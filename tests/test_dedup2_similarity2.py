@@ -174,6 +174,31 @@ def test_ann_sq8_rerank_matches_python_two_stage(spark, tmp_path):
         assert abs(g[3] - w[3]) < 1e-12, (g, w)
 
 
+def test_fingerprint_collision_finds_planted_passage(spark, tmp_path):
+    """Two docs sharing a long verbatim passage (with different
+    surrounding text) must rank first in the collision report even
+    though word-level Jaccard between them is low — the char-level
+    detector's reason to exist."""
+    from goconnect_spark.queries.dedup2 import fingerprint_collision_dedup
+
+    rng = random.Random(21)
+    # distinct vocabularies so background docs share few fingerprints
+    voc = lambda p: [f"{p}{i}" for i in range(25)]  # noqa: E731
+    passage = " ".join(rng.choice(voc("shared")) for _ in range(30))
+    docs = [
+        (0, " ".join(rng.choice(voc("aa")) for _ in range(40)) + " " + passage),
+        (1, passage + " " + " ".join(rng.choice(voc("bb")) for _ in range(40))),
+    ]
+    for i in range(2, 20):
+        docs.append((i, " ".join(rng.choice(voc(f"x{i}")) for _ in range(60))))
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = fingerprint_collision_dedup(spark, sf).collect()
+    assert rows, "no collisions found at all"
+    top = rows[0]
+    assert (top.doc_a, top.doc_b) == (0, 1)
+    assert top.sim > 0.2 and top.shared_fps >= 10
+
+
 def test_hourly_autocorr_matches_python(spark, tmp_path):
     """Synthetic events with a deliberate daily cycle plus gaps: the
     lag-1/lag-24 Pearson r must equal a plain-Python recompute over
