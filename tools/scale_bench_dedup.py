@@ -74,6 +74,15 @@ QUERIES = [
     "dedup_cluster_size_histogram",
     "dedup_method_agreement",
     "boilerplate_top_shingles",
+    # round-5 session-2 additions (documents-only inputs): containment
+    # shares the ranked-prefix cache with ngram_jaccard (its wall
+    # should track the candidate join, linear under disjoint replica
+    # shingle spaces); calibration is candidate-set sized over the
+    # cached signature/band tables; the fingerprint report's df cap
+    # bounds inverted-index fanout per fingerprint regardless of m.
+    "containment_dedup",
+    "minhash_jaccard_calibration",
+    "fingerprint_collision_dedup",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles
