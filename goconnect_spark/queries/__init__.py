@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = (
     "hourly_count_autocorr",
     "embedding_dim_covariance",
     "fingerprint_collision_dedup",
+    "ann_sq8_recall",
     "ann_sq8_rerank",
     "embedding_quantization_error",
     "dedup_incremental_new_batch",
