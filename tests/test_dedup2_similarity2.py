@@ -174,6 +174,32 @@ def test_ann_sq8_rerank_matches_python_two_stage(spark, tmp_path):
         assert abs(g[3] - w[3]) < 1e-12, (g, w)
 
 
+def test_prefix_bound_integer_formula_property():
+    """The integer prefix bound n - ceil(t*n) + 1 (ranked_prefix_for)
+    must equal the exact rational formula for EVERY n, and the old
+    float formula floor((1-t)*n)+1 must never EXCEED it (it
+    under-counts at t*n integral — the round-5 recall bug). Pure
+    math, no Spark: hypothesis sweeps n."""
+    from fractions import Fraction
+
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    t = Fraction(4, 5)
+
+    @given(st.integers(min_value=1, max_value=10**9))
+    def check(n):
+        exact = n - (-(-t.numerator * n // t.denominator)) + 1
+        integer_impl = n - (t.numerator * n + t.denominator - 1) // t.denominator + 1
+        float_impl = int((1.0 - 0.8) * n) + 1
+        assert integer_impl == exact
+        assert float_impl <= exact  # old formula is the lossy one
+        if n % 5 == 0:
+            assert float_impl == exact - 1  # and exactly here it loses
+
+    check()
+
+
 def test_fingerprint_collision_finds_planted_passage(spark, tmp_path):
     """Two docs sharing a long verbatim passage (with different
     surrounding text) must rank first in the collision report even
