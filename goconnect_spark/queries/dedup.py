@@ -284,6 +284,10 @@ ORDER BY doc_a, doc_b
 # result for pairs sharing at least one non-stop shingle.
 # --------------------------------------------------------------------
 _NGRAM_T = 0.8
+# extra ranked entries kept in the shared prefix table beyond the
+# minimal lossless bound — containment's count filter demands
+# min(1+extra, ceil(t*n)) matches among the extended prefix
+_PREFIX_EXTRA = 7
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,7 +333,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ranked_prefix_for(arrays: DataFrame, t: float) -> DataFrame:
+def ranked_prefix_for(arrays: DataFrame, t: float, extra: int = 0) -> DataFrame:
     """(doc_id, n, rn, shingle) — each doc's shingles ranked by global
     rarity (df asc, shingle asc: one consistent total order), sliced
     to the first n - ceil(t*n) + 1 entries (the lossless prefix
@@ -343,15 +347,25 @@ def ranked_prefix_for(arrays: DataFrame, t: float) -> DataFrame:
     dropping the last prefix entry — a recall bug caught by the
     containment brute-force property test. The rank is computed
     in-row (sort_array on struct(df, shingle) inside the groupBy the
-    data already needs) — no row_number window."""
+    data already needs) — no row_number window.
+
+    ``extra`` extends the slice by that many entries past the minimal
+    lossless prefix: the count-filter consumers (containment) need
+    A's first n - ceil(t*n) + K ranked shingles to demand >=
+    min(K, ceil(t*n)) matches (pigeonhole: at most n - ceil(t*n) of
+    A's shingles can be absent from a qualifying B). Consumers of the
+    minimal prefix filter the shared table back down with
+    rn <= n - ceil(t*n) + 1."""
     from fractions import Fraction
 
     frac = Fraction(t).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
     exploded = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
     dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # k = n - ceil(num*n/den) + 1, all-integer
-    k = F.expr(f"cast(n - ({num} * n + {den} - 1) DIV {den} + 1 as int)")
+    # k = n - ceil(num*n/den) + 1 + extra, all-integer
+    k = F.expr(
+        f"cast(n - ({num} * n + {den} - 1) DIV {den} + 1 + {extra} as int)"
+    )
     return (
         exploded.join(dfreq, "shingle")
         .groupBy("doc_id", "n")
@@ -391,9 +405,18 @@ def ngram_jaccard_pairs(
             .withColumn("n", F.size("shset"))
             .persist()
         )
-    _build_prefix = lambda: ranked_prefix_for(arrays, _NGRAM_T)  # noqa: E731
-    prefix = (
+    # ONE shared table holds the EXTENDED prefix (minimal + the
+    # count-filter headroom containment_dedup needs); the symmetric
+    # Jaccard filter slices it back to the minimal lossless bound
+    # with a cheap rn predicate, so both consumers hit the same cache.
+    _build_prefix = lambda: ranked_prefix_for(  # noqa: E731
+        arrays, _NGRAM_T, extra=_PREFIX_EXTRA
+    )
+    extended = (
         prefix_cache(_build_prefix) if prefix_cache else _build_prefix().persist()
+    )
+    prefix = extended.where(
+        F.col("rn") <= F.expr("n - (4 * n + 4) DIV 5 + 1")
     )
     # candidate generation: prefix-shingle equi-join, then length +
     # per-token positional bound; a pair survives only if its TIGHTEST

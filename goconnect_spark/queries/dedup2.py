@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from goconnect_spark.queries.dedup import (
     _N_HASHES,
     _NGRAM_T,
+    _PREFIX_EXTRA,
     _SHINGLES_CTE,
     _minhash_bands,
     _minhash_bands_sql,
@@ -80,11 +81,26 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def containment_pairs(arrays: DataFrame, prefix_cache=None) -> DataFrame:
     """The containment pipeline over any (doc_id, shset, n) shingle
     table — factored out so tests can compare against brute force on
-    randomized corpora (the one-sided prefix filter's losslessness is
-    the property under test)."""
-    _build = lambda: ranked_prefix_for(arrays, _NGRAM_T)  # noqa: E731
+    randomized corpora (the one-sided filter stack's losslessness is
+    the property under test).
+
+    Candidate generation uses the COUNT filter (the multi-prefix
+    generalization of the prefix filter): a qualifying pair has
+    |A∩B| >= O = ceil(t*n_a), so at most n_a - O of A's shingles are
+    absent from B — among A's first n_a - O + K ranked shingles, at
+    least min(K, O) must be in B (pigeonhole, lossless for every K).
+    K=1 is the classic prefix filter; K = 1 + _PREFIX_EXTRA here.
+    On corpora where every pair shares SOME rare shingle (the
+    worst case for K=1 — measured 6.7M candidates for 512 true pairs
+    at sf0.1), demanding min(8, O) shared prefix entries collapses
+    the candidate set by ~2 orders of magnitude for +33% join input,
+    and the in-row verify then touches only plausible pairs."""
+    _build = lambda: ranked_prefix_for(  # noqa: E731
+        arrays, _NGRAM_T, extra=_PREFIX_EXTRA
+    )
     prefix = prefix_cache(_build) if prefix_cache else _build()
     full = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
+    req = F.least(F.lit(1 + _PREFIX_EXTRA).cast("long"), F.expr("min((4 * a.n + 4) DIV 5)"))
     cand = (
         prefix.alias("a")
         .join(full.alias("b"), "shingle")
@@ -92,10 +108,12 @@ def containment_pairs(arrays: DataFrame, prefix_cache=None) -> DataFrame:
             (F.col("a.doc_id") != F.col("b.doc_id"))
             & (F.col("b.n") >= F.expr("(4 * a.n + 4) DIV 5"))
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("pmatch"), req.alias("req"))
+        .where(F.col("pmatch") >= F.col("req"))
+        .select("doc_a", "doc_b")
     )
     return (
         cand.join(
@@ -139,14 +157,16 @@ ranked AS (
 prefix AS (
   SELECT r.doc_id, r.shingle, z.n
   FROM ranked r JOIN sizes z ON z.doc_id = r.doc_id
-  WHERE r.rn <= z.n - (4 * z.n + 4) // 5 + 1
+  WHERE r.rn <= z.n - (4 * z.n + 4) // 5 + 1 + {_PREFIX_EXTRA}
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, s.doc_id AS doc_b
+  SELECT a.doc_id AS doc_a, s.doc_id AS doc_b
   FROM prefix a
   JOIN shingles s ON s.shingle = a.shingle AND s.doc_id <> a.doc_id
   JOIN sizes zb ON zb.doc_id = s.doc_id
   WHERE zb.n >= (4 * a.n + 4) // 5
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= LEAST({1 + _PREFIX_EXTRA}, MIN((4 * a.n + 4) // 5))
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
