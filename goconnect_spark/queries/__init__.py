@@ -61,6 +61,7 @@ _DRIVER_PRIORITY = (
     "embedding_dim_covariance",
     "fingerprint_collision_dedup",
     "ann_sq8_recall",
+    "lang_id_confusion",
     "ann_sq8_rerank",
     "embedding_quantization_error",
     "dedup_incremental_new_batch",

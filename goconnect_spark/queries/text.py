@@ -331,3 +331,54 @@ FROM sub GROUP BY doc_id ORDER BY doc_id
 
 QUERIES["text_token_bpeish"] = text_token_bpeish
 ORACLE["text_token_bpeish"] = _BPEISH_SQL
+
+
+# --------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix of the trigram classifier.
+# --------------------------------------------------------------------
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(true_lang, pred_lang) confusion cells of text_lang_id's
+    held-out predictions, with per-true-language totals and the
+    recall rate — the evaluation report a pipeline runs before
+    trusting a classifier to route a 100 TB corpus. Reuses the
+    lang-id query wholesale (prediction is doc-level; this adds one
+    language²-bounded aggregation + a broadcast totals join); the
+    rate divides identical integers in both engines."""
+    preds = text_lang_id(spark, sf_dir)
+    cells = preds.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = preds.groupBy("true_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("true_total")
+    )
+    return (
+        cells.join(F.broadcast(totals), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            "true_total",
+            (F.col("n_docs") / F.col("true_total").cast("double")).alias("rate"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH preds AS ({_LANG_ID_SQL.replace("ORDER BY doc_id", "")}),
+cells AS (
+  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM preds GROUP BY 1, 2
+),
+totals AS (
+  SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS true_total
+  FROM preds GROUP BY 1
+)
+SELECT c.true_lang, c.pred_lang, c.n_docs, t.true_total,
+       (c.n_docs / CAST(t.true_total AS DOUBLE)) AS rate
+FROM cells c JOIN totals t ON t.true_lang = c.true_lang
+ORDER BY c.true_lang, c.pred_lang
+"""
+
+QUERIES["lang_id_confusion"] = lang_id_confusion
+ORACLE["lang_id_confusion"] = _LANG_CONFUSION_SQL
