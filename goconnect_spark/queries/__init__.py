@@ -62,6 +62,11 @@ _DRIVER_PRIORITY = (
     "fingerprint_collision_dedup",
     "ann_sq8_recall",
     "lang_id_confusion",
+    # changed in round-5 session 2 (in-row pair expansion / shared
+    # cooccurrence-edges build) — previous certifications are stale
+    "brand_basket_lift",
+    "word_pagerank",
+    "word_communities_lpa",
     "ann_sq8_rerank",
     "embedding_quantization_error",
     "dedup_incremental_new_batch",
@@ -117,12 +122,10 @@ _DRIVER_PRIORITY = (
     "q20_potential_promotion",
     "q21_late_suppliers",
     "label_centroid_shift",
-    "word_pagerank",
     "source_divergence_tv",
     "knn_label_accuracy",
     "phrase_search_top_trigram",
     "events_hourly_anomalies",
-    "word_communities_lpa",
     "source_length_quantiles",
     "event_hour_contingency",
     "doc_lexical_gini",
