@@ -130,11 +130,20 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two cheap map-side explodes beat one (doc, tri) pre-aggregation
     # here: trigram occurrences are mostly unique per doc, so the
     # pre-agg shuffles ~the full explode anyway (measured slower)
+    # guard: Spark's sequence(1, 0) is the DESCENDING [1, 0] (DuckDB's
+    # generate_series(1, 0) is empty), so a bare greatest(length-2, 0)
+    # bound manufactures phantom trigrams for docs shorter than 3
+    # chars — caught by the randomized oracle differential
+    # (tests/test_oracle_differential_random.py)
     tris = docs.select(
         "doc_id",
         "lang",
         F.explode(
-            F.expr("transform(sequence(1, greatest(length(text)-2, 0)), i -> substr(text, i, 3))")
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN"
+                " transform(sequence(1, length(text)-2), i -> substr(text, i, 3))"
+                " ELSE array() END"
+            )
         ).alias("tri"),
     )
     # Profile learning uses a bounded deterministic SAMPLE (1/5 of
@@ -156,8 +165,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("true_lang"),
             F.explode(
                 F.expr(
-                    "array_distinct(transform(sequence(1, greatest(length(text)-2, 0)),"
-                    " i -> substr(text, i, 3)))"
+                    "CASE WHEN length(text) >= 3 THEN"
+                    " array_distinct(transform(sequence(1, length(text)-2),"
+                    " i -> substr(text, i, 3))) ELSE array() END"
                 )
             ).alias("tri"),
         )
