@@ -67,6 +67,154 @@ def _random_corpus(seed: int, n: int = 60):
     return [(i, t, lang, src, len(t)) for (i, t, lang, src) in docs]
 
 
+EMB_QUERIES = [
+    "cosine_topk",
+    "ann_sq8_rerank",
+    "ann_sq8_recall",
+    "embedding_quantization_error",
+    "embedding_dim_covariance",
+    "embedding_near_dup",
+    "semantic_dedup",
+]
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_embeddings_queries_hash_match_on_random_vectors(spark, tmp_path, seed):
+    """Random 64-dim embeddings with planted hazards: exact duplicate
+    vectors (cosine ties), near-duplicates, and scaled copies. Every
+    embeddings-family query must hash-match its oracle."""
+    import numpy as np
+
+    import goconnect_spark.queries as Q
+
+    qs, oracles = {}, {}
+    for mod in Q.ALL_MODULES:
+        qs.update(mod.QUERIES)
+        oracles.update(mod.ORACLE)
+
+    rng = np.random.RandomState(seed)
+    n, dim = 50, 64
+    m = (rng.rand(n, dim).astype(np.float32) - 0.5).astype(np.float32)
+    m[7] = m[3]  # exact duplicate -> cosine tie with deterministic break
+    m[11] = (m[4] * 0.5).astype(np.float32)  # scaled copy -> cosine 1 tie
+    m[13] = (m[6] + 0.001 * rng.rand(dim).astype(np.float32)).astype(np.float32)
+    rows = [(i, [float(v) for v in m[i]], int(i % 10)) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+
+    failures = []
+    for name in EMB_QUERIES:
+        sdf = qs[name](spark, str(tmp_path))
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracles[name])
+        dcols, drows = [d[0] for d in res.description], res.fetchall()
+        if len(srows) != len(drows) or sorted(scols) != sorted(dcols):
+            failures.append((name, f"shape spark={len(srows)} duck={len(drows)}"))
+            continue
+        if _hash_rows(scols, srows) != _hash_rows(dcols, drows):
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            ls = sorted("|".join(_norm(r[i]) for i in order_s) for r in srows)
+            ld = sorted("|".join(_norm(r[i]) for i in order_d) for r in drows)
+            diff = next((a, b) for a, b in zip(ls, ld) if a != b)
+            failures.append((name, f"hash mismatch, first diff: {diff}"))
+    assert not failures, failures
+
+
+EVENT_QUERIES = [
+    "events_hourly",
+    "user_sessions",
+    "events_latest_per_user",
+    "funnel_view_click_purchase",
+    "event_transition_matrix",
+    "event_interarrival_gaps",
+    "weekly_active_users",
+    "events_user_lifecycle",
+    "hourly_count_autocorr",
+    "daily_new_users_cumulative",
+    "retention_cohorts",
+    "user_rolling_7d",
+    "events_json_buckets",
+    "events_value_stats",
+    "distinct_users_by_type",
+]
+
+
+@pytest.mark.parametrize("seed", [9, 31])
+def test_events_queries_hash_match_on_random_stream(spark, tmp_path, seed):
+    """Random event streams with planted hazards: same-timestamp
+    bursts (window tie-breaks), a single-user block, sparse hours,
+    negative values. Every events-family query must hash-match its
+    oracle on streams the shipped sf dirs never exercised."""
+    import datetime
+
+    import goconnect_spark.queries as Q
+
+    qs, oracles = {}, {}
+    for mod in Q.ALL_MODULES:
+        qs.update(mod.QUERIES)
+        oracles.update(mod.ORACLE)
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase", "signup", "error"]
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(30):
+        if day % 7 == 3:
+            continue  # dead days
+        n_ev = rng.randint(5, 60)
+        for _ in range(n_ev):
+            ts = base + datetime.timedelta(
+                days=day, hours=rng.randrange(24), minutes=rng.randrange(60),
+                seconds=rng.randrange(60), microseconds=rng.randrange(10**6),
+            )
+            # same-timestamp burst: a few events share ts exactly
+            burst = 3 if rng.random() < 0.05 else 1
+            for _ in range(burst):
+                rows.append(
+                    (eid, ts, rng.randrange(1, 12) if rng.random() < 0.9 else 1,
+                     rng.choice(types),
+                     round(rng.uniform(-50, 500), 2), f'{{"k": {rng.randrange(100)}}}')
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+
+    failures = []
+    for name in EVENT_QUERIES:
+        try:
+            sdf = qs[name](spark, str(tmp_path))
+            scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            res = con.execute(oracles[name])
+            dcols, drows = [d[0] for d in res.description], res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"error: {e}"))
+            continue
+        if len(srows) != len(drows) or sorted(scols) != sorted(dcols):
+            failures.append((name, f"shape spark={len(srows)} duck={len(drows)}"))
+            continue
+        if _hash_rows(scols, srows) != _hash_rows(dcols, drows):
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            ls = sorted("|".join(_norm(r[i]) for i in order_s) for r in srows)
+            ld = sorted("|".join(_norm(r[i]) for i in order_d) for r in drows)
+            diff = next((a, b) for a, b in zip(ls, ld) if a != b)
+            failures.append((name, f"hash mismatch, first diff: {diff}"))
+    assert not failures, failures
+
+
 @pytest.mark.parametrize("seed", [11, 77])
 def test_documents_queries_hash_match_on_random_corpus(spark, tmp_path, seed):
     import goconnect_spark.queries as Q
