@@ -126,6 +126,116 @@ def test_embeddings_queries_hash_match_on_random_vectors(spark, tmp_path, seed):
     assert not failures, failures
 
 
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "customers_without_orders",
+    "customers_with_open_orders",
+    "top_customers_per_segment",
+    "orders_rollup",
+    "order_value_pareto",
+    "brand_basket_lift",
+    "supplier_concentration_hhi",
+]
+
+
+def _write_star(spark, tmp_path, seed: int):
+    """Random star schema matching the driver tables' exact columns,
+    with referential degenerates: customers with no orders, orders
+    with no lineitems, single-line orders, quantity extremes, ties in
+    price/date."""
+    import datetime
+
+    rng = random.Random(seed)
+    region = [(i, n) for i, n in enumerate(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
+    nation = [(i, f"NATION{i}", i % 5) for i in range(15)]
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    customer = [
+        (i, f"Customer#{i}", rng.randrange(15), round(rng.uniform(-500, 5000), 2), rng.choice(segs))
+        for i in range(40)
+    ]
+    supplier = [(i, f"Supplier#{i}", rng.randrange(15), round(rng.uniform(-500, 5000), 2)) for i in range(8)]
+    types = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+    part = [
+        (i, f"part {i}", f"Brand#{rng.randrange(1, 20)}", rng.choice(types),
+         rng.randrange(1, 50), round(rng.uniform(100, 2000), 2))
+        for i in range(30)
+    ]
+    statuses = ["F", "O", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    base = datetime.datetime(1995, 1, 1)
+    orders, lineitem = [], []
+    for ok in range(120):
+        ck = rng.randrange(36)  # custkeys 36-39 never order
+        od = base + datetime.timedelta(days=rng.randrange(0, 2000))
+        orders.append((ok, ck, rng.choice(statuses), round(rng.uniform(100, 40000), 2), od, rng.choice(prios)))
+        n_lines = rng.choice([0, 1, 1, rng.randrange(2, 8)])  # some empty orders
+        for ln in range(1, n_lines + 1):
+            qty = float(rng.choice([1, 1, rng.randrange(1, 51), 50]))
+            lineitem.append(
+                (ok, rng.randrange(30), rng.randrange(8), ln, qty,
+                 round(rng.uniform(100, 5000), 2), round(rng.randrange(0, 11) / 100.0, 2),
+                 round(rng.randrange(0, 9) / 100.0, 2), rng.choice(["A", "N", "R"]),
+                 rng.choice(["F", "O"]), od + datetime.timedelta(days=rng.randrange(1, 120)))
+            )
+    specs = {
+        "region": (region, "r_regionkey int, r_name string"),
+        "nation": (nation, "n_nationkey int, n_name string, n_regionkey int"),
+        "customer": (customer, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"),
+        "supplier": (supplier, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"),
+        "part": (part, "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double"),
+        "orders": (orders, "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string"),
+        "lineitem": (lineitem, "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp"),
+    }
+    con = duckdb.connect()
+    for t, (rows, schema) in specs.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/{t}.parquet"
+        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet/*.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("seed", [2, 44])
+def test_relational_queries_hash_match_on_random_star(spark, tmp_path, seed):
+    import goconnect_spark.queries as Q
+
+    qs, oracles = {}, {}
+    for mod in Q.ALL_MODULES:
+        qs.update(mod.QUERIES)
+        oracles.update(mod.ORACLE)
+    con = _write_star(spark, tmp_path, seed)
+
+    failures = []
+    for name in RELATIONAL_QUERIES:
+        try:
+            sdf = qs[name](spark, str(tmp_path))
+            scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            res = con.execute(oracles[name])
+            dcols, drows = [d[0] for d in res.description], res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"error: {e}"))
+            continue
+        if len(srows) != len(drows) or sorted(scols) != sorted(dcols):
+            failures.append((name, f"shape spark={len(srows)} duck={len(drows)}"))
+            continue
+        if _hash_rows(scols, srows) != _hash_rows(dcols, drows):
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            ls = sorted("|".join(_norm(r[i]) for i in order_s) for r in srows)
+            ld = sorted("|".join(_norm(r[i]) for i in order_d) for r in drows)
+            diff = next((a, b) for a, b in zip(ls, ld) if a != b)
+            failures.append((name, f"hash mismatch, first diff: {diff}"))
+    assert not failures, failures
+
+
 EVENT_QUERIES = [
     "events_hourly",
     "user_sessions",
