@@ -875,12 +875,18 @@ def price_size_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.col("sy").cast("string").cast("double")
     sxx = F.col("sxx").cast("double")
     sxy = F.col("sxy").cast("string").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    # degenerate groups (single part, or every part the same size)
+    # have zero x-variance: the line is undefined, so slope/intercept
+    # are NULL — an integer-exact guard, and under ANSI mode (Spark 4
+    # default) the unguarded division would ERROR, not NULL (caught by
+    # the full-catalog randomized differential)
+    nonconst = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    slope = F.when(nonconst, (nd * sxy - sx * sy) / (nd * sxx - sx * sx))
     return agg.select(
         "p_brand",
         "n",
         slope.alias("slope"),
-        ((sy - slope * sx) / nd).alias("intercept"),
+        F.when(nonconst, (sy - slope * sx) / nd).alias("intercept"),
     ).orderBy("p_brand")
 
 
@@ -900,15 +906,18 @@ agg AS (
   FROM base GROUP BY p_brand
 )
 SELECT p_brand, n,
-       (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
-         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-         AS slope,
-       (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
-          - (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
-            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+            - (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+       END AS intercept
 FROM agg ORDER BY p_brand
 """
 

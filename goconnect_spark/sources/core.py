@@ -159,9 +159,17 @@ class ParquetSource(Source):
     def read(self, spark: SparkSession) -> DataFrame:
         if self.streaming:
             # the streaming file source requires a directory; point it
-            # at the parent with a glob when given a single file
+            # at the parent with a glob when given a single FILE. A
+            # DIRECTORY named *.parquet (Spark's own output layout)
+            # must NOT take this path: the glob would then filter the
+            # parent's leaf files against the directory's name and
+            # match nothing — a silently empty stream (caught by the
+            # full-catalog randomized differential, which writes its
+            # tables directory-style).
+            import os as _os
+
             path, glob = self.path, None
-            if path.endswith(".parquet"):
+            if path.endswith(".parquet") and not _os.path.isdir(path):
                 parent, _, fname = path.rpartition("/")
                 path, glob = parent, fname
             reader = spark.readStream.schema(self.schema or spark.read.parquet(self.path).schema)
