@@ -63,10 +63,13 @@ _DRIVER_PRIORITY = (
     "ann_sq8_recall",
     "lang_id_confusion",
     # changed in round-5 session 2 (in-row pair expansion / shared
-    # cooccurrence-edges build) — previous certifications are stale
+    # cooccurrence-edges build / degenerate-group guard / streaming
+    # source path fix) — previous certifications are stale
     "brand_basket_lift",
     "word_pagerank",
     "word_communities_lpa",
+    "price_size_regression",
+    "streaming_fold_count",
     "ann_sq8_rerank",
     "embedding_quantization_error",
     "dedup_incremental_new_batch",
