@@ -48,13 +48,23 @@ def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     skk = F.col("skk").cast("double")
     cov = (F.col("sxk") - F.col("sx") * sk / n) / (n - 1)
     vark = (skk - sk * sk / n) / (n - 1)
+    # degenerate guards (ANSI mode errors on the raw divisions):
+    # n=1 has no sample variance; constant x or k has no correlation.
+    # The predicates must themselves avoid the (n-1) division (WHEN
+    # conditions are evaluated even when false), so they test the
+    # variance NUMERATORS — same sign, divisor-free, and single
+    # double comparisons over identical operands in both engines.
+    var_num = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vark_num = skk - sk * sk / n
+    multi = F.col("n") > 1
+    has_corr = multi & (var_num * vark_num > 0)
     return sums.select(
         "event_type",
         "n",
         mean.alias("mean_value"),
-        var.alias("var_value"),
-        F.sqrt(var).alias("stddev_value"),
-        (cov / F.sqrt(var * vark)).alias("corr_value_k"),
+        F.when(multi, var).alias("var_value"),
+        F.when(multi, F.sqrt(var)).alias("stddev_value"),
+        F.when(has_corr, cov / F.sqrt(var * vark)).alias("corr_value_k"),
     ).orderBy("event_type")
 
 
@@ -75,11 +85,20 @@ WITH base AS (
 )
 SELECT event_type, n,
        sx / CAST(n AS DOUBLE) AS mean_value,
-       (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_value,
-       SQRT((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_value,
-       ((sxk - sx * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
-         / SQRT(((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
-                * ((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) AS corr_value_k
+       CASE WHEN n > 1 THEN
+         (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+       END AS var_value,
+       CASE WHEN n > 1 THEN
+         SQRT((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+       END AS stddev_value,
+       CASE WHEN n > 1 AND
+            (sxx - sx * sx / CAST(n AS DOUBLE))
+              * (CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+       THEN
+         ((sxk - sx * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+           / SQRT(((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                  * ((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)))
+       END AS corr_value_k
 FROM sums ORDER BY event_type
 """
 

@@ -318,10 +318,17 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "corr",
-            F.col("cov_num").cast("double")
-            / (
-                F.sqrt((F.col("n_vecs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-                * F.sqrt((F.col("n_vecs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            # constant dims have zero variance: corr undefined -> NULL
+            # (integer-exact predicate; unguarded the division ERRORS
+            # under ANSI mode — caught by the pathological differential)
+            F.when(
+                (F.col("n_vecs") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+                & (F.col("n_vecs") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+                F.col("cov_num").cast("double")
+                / (
+                    F.sqrt((F.col("n_vecs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                    * F.sqrt((F.col("n_vecs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+                ),
             ),
         )
     )
@@ -354,9 +361,12 @@ dim_stats AS (
 stats AS (
   SELECT p.d_i, p.d_j, p.n_vecs,
          CAST(p.n_vecs * p.sxy - di.s * dj.s AS BIGINT) AS cov_num,
-         CAST(p.n_vecs * p.sxy - di.s * dj.s AS DOUBLE)
-           / (SQRT(CAST(p.n_vecs * di.ss - di.s * di.s AS DOUBLE))
-              * SQRT(CAST(p.n_vecs * dj.ss - dj.s * dj.s AS DOUBLE))) AS corr
+         CASE WHEN p.n_vecs * di.ss - di.s * di.s > 0
+               AND p.n_vecs * dj.ss - dj.s * dj.s > 0 THEN
+           CAST(p.n_vecs * p.sxy - di.s * dj.s AS DOUBLE)
+             / (SQRT(CAST(p.n_vecs * di.ss - di.s * di.s AS DOUBLE))
+                * SQRT(CAST(p.n_vecs * dj.ss - dj.s * dj.s AS DOUBLE)))
+         END AS corr
   FROM pair_stats p
   JOIN dim_stats di ON di.d = p.d_i
   JOIN dim_stats dj ON dj.d = p.d_j

@@ -22,6 +22,61 @@ sys.path.insert(
 )
 
 
+def _write_pathological(spark, tmp: str) -> None:
+    """Degenerate everything: identical docs + empty/one-char docs,
+    constant-value same-timestamp events from one user, identical
+    embeddings, a star schema with one customer, childless orders,
+    constant part sizes and zero discounts. Queries may return empty
+    or NULL-bearing results but must not crash and must still match
+    their oracles."""
+    import datetime
+
+    docs = (
+        [(i, "alpha beta gamma alpha beta", "en", "src0", 27) for i in range(10)]
+        + [(10, "", "en", "src0", 0), (11, "x", "de", "src1", 1), (12, "ab", "fr", "src1", 2)]
+    )
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    vec = [0.1] * 64
+    spark.createDataFrame(
+        [(i, vec, 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(i, ts, 1, "view", 10.0, '{"k": 1}') for i in range(20)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    spark.createDataFrame(
+        [(0, "AFRICA")], "r_regionkey int, r_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/region.parquet")
+    spark.createDataFrame(
+        [(0, "NATION0", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/nation.parquet")
+    spark.createDataFrame(
+        [(0, "Customer#0", 0, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "Supplier#0", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/supplier.parquet")
+    spark.createDataFrame(
+        [(i, f"part {i}", "Brand#1", "PROMO", 7, 100.0) for i in range(3)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/part.parquet")
+    od = datetime.datetime(1995, 6, 1)
+    spark.createDataFrame(
+        [(0, 0, "O", 100.0, od, "1-URGENT"), (1, 0, "F", 100.0, od, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    spark.createDataFrame(
+        [(0, 0, 0, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", od + datetime.timedelta(days=10))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+
+
 def run_seed(spark, seed: int) -> list:
     import duckdb
     import test_oracle_differential_random as gen
@@ -35,6 +90,16 @@ def run_seed(spark, seed: int) -> list:
         oracles.update(mod.ORACLE)
 
     tmp = tempfile.mkdtemp(prefix=f"diffrand{seed}_")
+    if seed == 0:
+        _write_pathological(spark, tmp)
+    else:
+        _write_random(spark, gen, tmp, seed)
+
+    con = duckdb.connect()
+    return _compare_all(spark, con, tmp, qs, oracles)
+
+
+def _write_random(spark, gen, tmp: str, seed: int) -> None:
     # star schema (writes its own duckdb views we re-create below)
     gen._write_star(spark, tmp, seed)
     # documents
@@ -81,7 +146,9 @@ def run_seed(spark, seed: int) -> list:
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
 
-    con = duckdb.connect()
+
+def _compare_all(spark, con, tmp, qs, oracles) -> list:
+    from tools.verify_local import _hash_rows, _norm
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
