@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = (
     "word_communities_lpa",
     "price_size_regression",
     "streaming_fold_count",
+    "events_value_stats",
     "ann_sq8_rerank",
     "embedding_quantization_error",
     "dedup_incremental_new_batch",
