@@ -32,6 +32,7 @@ def global_row_number(
     order_cols,
     rn_col: str = "rn",
     n_col: str = "n_total",
+    with_total: bool = True,
 ) -> DataFrame:
     """Add the exact global row number `rn_col` (1-based) of each row
     under the total order `order_cols`, plus the global row count
@@ -40,6 +41,11 @@ def global_row_number(
     `order_cols` must define a TOTAL order (include a unique tiebreak
     column) — with duplicate sort keys the result is still a valid
     row_number but tie order follows the range partitioning.
+
+    ``with_total=False`` skips the 1-row global-count crossJoin
+    (and the `n_col` column) for consumers that only need the row
+    number — e.g. dictionary encoding — keeping their plans free of
+    even the benign 1-row BroadcastNestedLoopJoin.
 
     Cost: one range shuffle of `df`; the only unpartitioned window
     runs over the per-partition counts (== shuffle partitions, ~32
@@ -56,14 +62,14 @@ def global_row_number(
     offsets = counts.select(
         "__pid", F.coalesce(F.sum("__pcnt").over(w_off), F.lit(0)).alias("__poff")
     )
-    total = counts.agg(F.sum("__pcnt").alias(n_col))
     w_in = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
-        ranged.join(F.broadcast(offsets), "__pid")
-        .withColumn(rn_col, F.col("__poff") + F.row_number().over(w_in))
-        .crossJoin(F.broadcast(total))
-        .drop("__pid", "__poff")
+    out = ranged.join(F.broadcast(offsets), "__pid").withColumn(
+        rn_col, F.col("__poff") + F.row_number().over(w_in)
     )
+    if with_total:
+        total = counts.agg(F.sum("__pcnt").alias(n_col))
+        out = out.crossJoin(F.broadcast(total))
+    return out.drop("__pid", "__poff")
 
 
 def ntile_from_rn(k: int, rn_col: str = "rn", n_col: str = "n_total"):

@@ -107,6 +107,49 @@ def doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_ids_for(arrays: DataFrame) -> DataFrame:
+    """(doc_id, n, sids: array<bigint> ascending) — the per-doc shingle
+    sets of `arrays` dictionary-encoded to dense integer ids ordered by
+    global rarity (df asc, shingle asc: one consistent total order).
+
+    The dictionary is the vocab-sized (shingle -> sid) table a 100 TB
+    dedup pipeline materializes once: sid order IS the PPJoin rarity
+    rank, so every prefix becomes an in-row `slice` of the id array
+    (no per-consumer rank window), candidate joins shuffle 8-byte ints
+    instead of shingle strings, and verification intersects int arrays
+    — several times cheaper than string intersects at identical
+    results (the encoding is a bijection, so set sizes and overlaps
+    are preserved exactly; the DuckDB oracles keep verifying on raw
+    strings, and the hash-match proves the equivalence).
+
+    The global rank comes from the two-phase `global_row_number`
+    (operators/ranking.py) — one range shuffle of the vocab-sized
+    dictionary, never a single-task window."""
+    from goconnect_spark.operators.ranking import global_row_number
+
+    exploded = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sid = global_row_number(
+        dfreq, ["df", "shingle"], rn_col="sid", with_total=False
+    ).select("shingle", "sid")
+    return (
+        exploded.join(sid, "shingle")
+        .groupBy("doc_id", "n")
+        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+    )
+
+
+def doc_shingle_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached dictionary-encoded shingle-set table — the shared
+    candidate/verify base of the ngram-Jaccard and containment joins."""
+    return cached_table(
+        spark,
+        sf_dir,
+        "shingle_ids",
+        lambda: shingle_ids_for(doc_shingle_arrays(spark, sf_dir)),
+    )
+
+
 def cooccurrence_edges(spark: SparkSession, sf_dir: str, min_support: int) -> DataFrame:
     """Thresholded undirected word co-occurrence edges: (w1, w2) with
     w1 < w2 sharing >= min_support documents — the graph the triangle

@@ -5,7 +5,8 @@ Four families over `documents` (+ one over `embeddings`):
 - exact:        hash-groupBy on normalized text
 - minhash_lsh:  word-bigram shingles -> 12 minhashes -> 4 bands of 3
                 -> band-bucket join -> exact-Jaccard verify
-- ngram_jaccard: prefix-filtered candidate join -> exact Jaccard
+- ngram_jaccard: dictionary-encoded count-filtered candidate join
+                -> exact Jaccard (PPJoin generalized to K witnesses)
 - simhash:      48-bit simhash (one wide aggregation), 4x12-bit band
                 join, Hamming<=3 verify via bit_count(xor)
 
@@ -291,164 +292,101 @@ _PREFIX_EXTRA = 7
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs Jaccard >= t via the full PPJoin filter stack
-    (prefix + length + positional filtering, Xiao et al. 2008):
+    """Exact all-pairs Jaccard >= t via the PPJoin filter stack
+    (Xiao et al. 2008) generalized to the COUNT filter over an
+    extended prefix, on a dictionary-encoded corpus:
 
-    - prefix filter: order each doc's shingles by global rarity (df
-      asc, shingle asc — one consistent total order), keep the first
-      floor((1-t)*n)+1 as the doc's prefix. Any pair with Jaccard >= t
-      MUST share a prefix shingle, so the candidate join touches only
-      prefixes.
-    - length filter: J >= t forces t*max(n_a,n_b) <= min(n_a,n_b).
-    - positional filter: a shared prefix shingle at ranks (i, j)
-      bounds the overlap by min(i,j) + min(n_a-i, n_b-j) — the first
-      term bounds common shingles ranked before the match (both sides
-      are ranked by the SAME global order), the second bounds those
-      after. The pair needs overlap >= ceil(t/(1+t)*(n_a+n_b)); the
-      MIN bound over all shared prefix shingles must clear it. With
-      t=0.8 the requirement is ceil(4*(n_a+n_b)/9) — exact integer
-      arithmetic, no float thresholds.
+    - dictionary encoding: every shingle maps to a dense integer id
+      ordered by global rarity (df asc, shingle asc) — the shared
+      `doc_shingle_ids` table (corpus.py). Prefixes become in-row
+      `slice`s of the sorted id array and the candidate join shuffles
+      8-byte ints, not strings.
+    - count filter (prefix filter at K=1): a pair with J >= t needs
+      overlap o >= ceil(t/(1+t)*(n_a+n_b)), so at most n_a - o of A's
+      shingles are absent from B. Among A's first
+      L = n_a - ceil(t*n_a) + K ranked shingles, at least
+      R = o_req - ceil(t*n_a) + min(K, ceil(t*n_a)) must appear in B
+      (pigeonhole, recall-lossless for every K; min() is the
+      tiny-doc clamp where the slice covers the whole set). K = 8
+      here: on corpora where every pair shares SOME rare shingle (the
+      K=1 worst case — measured 1.35M verify pairs for 256 true pairs
+      at sf0.1), demanding 8+ witnessed matches collapses candidates
+      to ~the true pair set (268 for 256).
+    - length filter: J >= t forces 4*n_a <= 5*n_b and 4*n_b <= 5*n_a
+      (exact integers, t = 4/5).
 
-    All three filters are recall-lossless, so the result (and the
-    DuckDB oracle, which verifies without the positional filter) is
-    exact. Verification is an in-row array_intersect over per-doc
-    sorted shingle arrays — no pair-x-shingle explode; the arrays
-    table joins on doc_id (AQE broadcasts it when small). The
-    positional filter prunes rank-misaligned candidates (~10% on this
-    tiny-vocab corpus, far more on natural text where prefixes are
-    rare); the wall-clock win comes from the one-pass structure: the
-    per-doc shingle-set table is built ONCE (one shuffle on doc_id)
-    and persisted, everything else (doc frequencies, ranked prefixes,
-    verification arrays) derives from it — a production PPJoin at
-    100 TB materializes the tokenized+ranked records the same way
-    instead of recomputing the tokenize across its 3 consumers."""
-    from goconnect_spark.queries.corpus import cached_table, doc_shingle_arrays
+    The candidate join runs A's extended prefix against B's FULL id
+    incidence — the pigeonhole counts matches in B regardless of
+    whether they fall in B's prefix, so joining prefix-to-full keeps
+    the bound lossless while the a.doc_id < b.doc_id orientation
+    halves the work. Verification is an in-row array_intersect over
+    the int arrays (bijective encoding — set sizes and overlaps are
+    exactly those of the string sets, so the result equals the DuckDB
+    oracle, which verifies on raw strings). The whole stack derives
+    from ONE materialized table (shared with containment_dedup): the
+    100 TB pipeline shape — tokenize + dictionary-encode once,
+    bucket by id, every self-join consumer reads it."""
+    from goconnect_spark.queries.corpus import doc_shingle_ids
 
     return ngram_jaccard_pairs(
         load(spark, "documents", sf_dir),
-        arrays=doc_shingle_arrays(spark, sf_dir),
-        prefix_cache=lambda build: cached_table(
-            spark, sf_dir, "ngram_prefix", build
-        ),
-    )
-
-
-def ranked_prefix_for(arrays: DataFrame, t: float, extra: int = 0) -> DataFrame:
-    """(doc_id, n, rn, shingle) — each doc's shingles ranked by global
-    rarity (df asc, shingle asc: one consistent total order), sliced
-    to the first n - ceil(t*n) + 1 entries (the lossless prefix
-    bound). That bound serves both the symmetric Jaccard prefix
-    filter (ngram_jaccard) and the asymmetric containment filter at
-    the same threshold (dedup2.containment_dedup), so the session
-    cache key is shared. The slice length is computed in EXACT
-    integer arithmetic from the rational threshold (t = num/den):
-    floor((1-t)*n)+1 in floating point under-counts by one whenever
-    t*n is an integer (1-0.8 = 0.19999... in binary), silently
-    dropping the last prefix entry — a recall bug caught by the
-    containment brute-force property test. The rank is computed
-    in-row (sort_array on struct(df, shingle) inside the groupBy the
-    data already needs) — no row_number window.
-
-    ``extra`` extends the slice by that many entries past the minimal
-    lossless prefix: the count-filter consumers (containment) need
-    A's first n - ceil(t*n) + K ranked shingles to demand >=
-    min(K, ceil(t*n)) matches (pigeonhole: at most n - ceil(t*n) of
-    A's shingles can be absent from a qualifying B). Consumers of the
-    minimal prefix filter the shared table back down with
-    rn <= n - ceil(t*n) + 1."""
-    from fractions import Fraction
-
-    frac = Fraction(t).limit_denominator(10**6)
-    num, den = frac.numerator, frac.denominator
-    exploded = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
-    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # k = n - ceil(num*n/den) + 1 + extra, all-integer
-    k = F.expr(
-        f"cast(n - ({num} * n + {den} - 1) DIV {den} + 1 + {extra} as int)"
-    )
-    return (
-        exploded.join(dfreq, "shingle")
-        .groupBy("doc_id", "n")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("sarr"))
-        .select("doc_id", "n", F.slice("sarr", F.lit(1), k).alias("parr"))
-        .select("doc_id", "n", F.posexplode("parr").alias("pos", "s"))
-        .select("doc_id", "n", (F.col("pos") + 1).alias("rn"), F.col("s.shingle").alias("shingle"))
+        ids=doc_shingle_ids(spark, sf_dir),
     )
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, arrays: DataFrame = None, prefix_cache=None
+    docs: DataFrame, ids: DataFrame = None
 ) -> DataFrame:
     """The PPJoin pipeline over any (doc_id, text) DataFrame — factored
     out so tests can compare against brute force on randomized
-    corpora (losslessness of the three filters is a theorem; the test
-    checks the implementation honors it). `arrays` lets the sf-level
-    query inject the session-cached shared shingle-set table; absent,
-    it is built (and persisted) from `docs` directly. `prefix_cache`
-    (a ``build -> DataFrame`` memoizer) likewise lifts the ranked
-    prefix table into the session cache: the df-rank + slice pass is
-    the query's dominant repeat cost, and like the shingle sets it is
-    a deterministic derivative of the corpus — the 100 TB pipeline
-    materializes both once."""
-    if arrays is None:
-        words = docs.select("doc_id", F.split("text", " ").alias("w")).where(F.size("w") >= 2)
-        raw = words.select(
-            "doc_id",
-            F.explode(F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).alias("shingle"),
-        )
-        # ONE pass over the corpus: per-doc distinct shingle set (sorted
-        # for the verify's array_intersect) — collect_set dedups in the
-        # partial aggregate, so the shuffle carries set-sized rows
-        arrays = (
-            raw.groupBy("doc_id")
-            .agg(F.sort_array(F.collect_set("shingle")).alias("shset"))
-            .withColumn("n", F.size("shset"))
-            .persist()
-        )
-    # ONE shared table holds the EXTENDED prefix (minimal + the
-    # count-filter headroom containment_dedup needs); the symmetric
-    # Jaccard filter slices it back to the minimal lossless bound
-    # with a cheap rn predicate, so both consumers hit the same cache.
-    _build_prefix = lambda: ranked_prefix_for(  # noqa: E731
-        arrays, _NGRAM_T, extra=_PREFIX_EXTRA
+    corpora (losslessness of the filters is a theorem; the test
+    checks the implementation honors it). `ids` lets the sf-level
+    query inject the session-cached dictionary-encoded shingle table
+    (corpus.doc_shingle_ids); absent, it is built (and persisted)
+    from `docs` directly."""
+    if ids is None:
+        from goconnect_spark.queries.corpus import shingle_arrays_for, shingle_ids_for
+
+        toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+        ids = shingle_ids_for(shingle_arrays_for(toks)).persist()
+    K = 1 + _PREFIX_EXTRA
+    pref = ids.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(f"slice(sids, 1, cast(n - (4*n + 4) DIV 5 + {K} as int))")
+        ).alias("sid"),
     )
-    extended = (
-        prefix_cache(_build_prefix) if prefix_cache else _build_prefix().persist()
+    full = ids.select("doc_id", "n", F.explode("sids").alias("sid"))
+    # R = o_req - ceil(t*n_a) + min(K, ceil(t*n_a)), o_req = ceil(4(na+nb)/9)
+    required = F.expr(
+        f"(4*(a.n + b.n) + 8) DIV 9 - (4*a.n + 4) DIV 5"
+        f" + least({K}, (4*a.n + 4) DIV 5)"
     )
-    prefix = extended.where(
-        F.col("rn") <= F.expr("n - (4 * n + 4) DIV 5 + 1")
-    )
-    # candidate generation: prefix-shingle equi-join, then length +
-    # per-token positional bound; a pair survives only if its TIGHTEST
-    # bound (min over shared prefix tokens) clears the required overlap
-    bound = F.least(F.col("a.rn"), F.col("b.rn")) + F.least(
-        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
-    )
-    required = F.expr("(4 * (a.n + b.n) + 8) DIV 9")  # ceil(t/(1+t)*(na+nb)), t=4/5
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
+        pref.alias("a")
+        .join(full.alias("b"), "sid")
         .where(
             (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n") * _NGRAM_T <= F.col("b.n"))
-            & (F.col("b.n") * _NGRAM_T <= F.col("a.n"))
+            & (4 * F.col("a.n") <= 5 * F.col("b.n"))
+            & (4 * F.col("b.n") <= 5 * F.col("a.n"))
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.min(bound).alias("ubound"), F.min(required).alias("req"))
-        .where(F.col("ubound") >= F.col("req"))
+        .agg(F.count(F.lit(1)).alias("pmatch"), F.min(required).alias("req"))
+        .where(F.col("pmatch") >= F.col("req"))
         .select("doc_a", "doc_b")
     )
-    # verify: in-row intersection of the two docs' sorted shingle sets
+    # verify: in-row intersection of the two docs' sorted id arrays
     return (
-        cand.join(arrays.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
-        .join(arrays.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        cand.join(ids.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(ids.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("na.shset", "nb.shset")).alias("inter"),
+            F.size(F.array_intersect("na.sids", "nb.sids")).alias("inter"),
             F.col("na.n").alias("n_a"),
             F.col("nb.n").alias("n_b"),
         )

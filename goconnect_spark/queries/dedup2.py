@@ -25,9 +25,9 @@ Scale (100 TB): candidates come from equi-joins (prefix-shingle or
 band-key); verification is in-row array_intersect over candidate
 pairs only. The containment container-side index is the classic
 skew hazard — bounded here because the probe side only carries each
-doc's RAREST floor((1-t)n)+1 shingles (df asc), so hot shingles never
-enter the join key stream from the probe side; AQE skew-split covers
-the residue.
+doc's RAREST n - ceil(t*n) + K dictionary ids (df asc), so hot
+shingles never enter the join key stream from the probe side; AQE
+skew-split covers the residue.
 """
 
 from __future__ import annotations
@@ -44,14 +44,13 @@ from goconnect_spark.queries.dedup import (
     _minhash_bands_sql,
     _minhash_sig_sql,
     _minhash_sigs,
-    ranked_prefix_for,
 )
 from goconnect_spark.tables import load
 
 QUERIES = {}
 ORACLE = {}
 
-_CONTAIN_T = _NGRAM_T  # 0.8 — shares the ranked-prefix table's slice
+_CONTAIN_T = _NGRAM_T  # 0.8 — shares the dictionary-encoded id table's slice
 
 
 # --------------------------------------------------------------------
@@ -63,26 +62,25 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Overlap requirement O = ceil(t*n_a) = (4*n_a+4) DIV 5; the prefix
     filter is lossless by pigeonhole: if none of A's first
     n_a - O + 1 ranked shingles appear in B, the overlap is < O.
-    n - ceil(t*n) + 1 == floor((1-t)*n) + 1, so the slice in the
-    shared `ngram_prefix` cache (built for the symmetric Jaccard
-    filter at the same t) is exactly the containment prefix — one
-    table, two filters. The container side joins its FULL shingle
-    incidence (inverted index); the length filter n_b >= O prunes
-    containers too small to satisfy the overlap."""
-    from goconnect_spark.queries.corpus import cached_table, doc_shingle_arrays
+    Runs entirely on the shared dictionary-encoded id table
+    (corpus.doc_shingle_ids — same table the symmetric Jaccard join
+    reads): sid order is the rarity rank, so the contained side's
+    extended prefix is an in-row slice of its id array, and the
+    container side joins its FULL id incidence (inverted index); the
+    length filter n_b >= O prunes containers too small to satisfy
+    the overlap."""
+    from goconnect_spark.queries.corpus import doc_shingle_ids
 
-    arrays = doc_shingle_arrays(spark, sf_dir)
-    return containment_pairs(
-        arrays,
-        prefix_cache=lambda build: cached_table(spark, sf_dir, "ngram_prefix", build),
-    )
+    return containment_pairs(ids=doc_shingle_ids(spark, sf_dir))
 
 
-def containment_pairs(arrays: DataFrame, prefix_cache=None) -> DataFrame:
-    """The containment pipeline over any (doc_id, shset, n) shingle
-    table — factored out so tests can compare against brute force on
-    randomized corpora (the one-sided filter stack's losslessness is
-    the property under test).
+def containment_pairs(arrays: DataFrame = None, ids: DataFrame = None) -> DataFrame:
+    """The containment pipeline over any dictionary-encoded
+    (doc_id, n, sids) table — factored out so tests can compare
+    against brute force on randomized corpora (the one-sided filter
+    stack's losslessness is the property under test). Pass `ids`
+    directly, or `arrays` ((doc_id, shset, n) string shingle sets) to
+    have the dictionary built inline.
 
     Candidate generation uses the COUNT filter (the multi-prefix
     generalization of the prefix filter): a qualifying pair has
@@ -94,16 +92,26 @@ def containment_pairs(arrays: DataFrame, prefix_cache=None) -> DataFrame:
     worst case for K=1 — measured 6.7M candidates for 512 true pairs
     at sf0.1), demanding min(8, O) shared prefix entries collapses
     the candidate set by ~2 orders of magnitude for +33% join input,
-    and the in-row verify then touches only plausible pairs."""
-    _build = lambda: ranked_prefix_for(  # noqa: E731
-        arrays, _NGRAM_T, extra=_PREFIX_EXTRA
+    and the in-row int-array verify then touches only plausible
+    pairs. The bijective dictionary preserves set sizes and overlaps
+    exactly, so results equal the string-side DuckDB oracle."""
+    if ids is None:
+        from goconnect_spark.queries.corpus import shingle_ids_for
+
+        ids = shingle_ids_for(arrays)
+    K = 1 + _PREFIX_EXTRA
+    pref = ids.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(f"slice(sids, 1, cast(n - (4*n + 4) DIV 5 + {K} as int))")
+        ).alias("sid"),
     )
-    prefix = prefix_cache(_build) if prefix_cache else _build()
-    full = arrays.select("doc_id", "n", F.explode("shset").alias("shingle"))
-    req = F.least(F.lit(1 + _PREFIX_EXTRA).cast("long"), F.expr("min((4 * a.n + 4) DIV 5)"))
+    full = ids.select("doc_id", "n", F.explode("sids").alias("sid"))
+    req = F.least(F.lit(K).cast("long"), F.expr("min((4 * a.n + 4) DIV 5)"))
     cand = (
-        prefix.alias("a")
-        .join(full.alias("b"), "shingle")
+        pref.alias("a")
+        .join(full.alias("b"), "sid")
         .where(
             (F.col("a.doc_id") != F.col("b.doc_id"))
             & (F.col("b.n") >= F.expr("(4 * a.n + 4) DIV 5"))
@@ -117,17 +125,17 @@ def containment_pairs(arrays: DataFrame, prefix_cache=None) -> DataFrame:
     )
     return (
         cand.join(
-            arrays.select(
+            ids.select(
                 F.col("doc_id").alias("doc_a"),
-                F.col("shset").alias("sa"),
+                F.col("sids").alias("sa"),
                 F.col("n").alias("n_a"),
             ),
             "doc_a",
         )
         .join(
-            arrays.select(
+            ids.select(
                 F.col("doc_id").alias("doc_b"),
-                F.col("shset").alias("sb"),
+                F.col("sids").alias("sb"),
                 F.col("n").alias("n_b"),
             ),
             "doc_b",
