@@ -117,3 +117,74 @@ def merge_aggregate(
     return u.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in cols]
     )
+
+
+def zorder_sql(exprs: Sequence[str], bits: int = 8) -> str:
+    """Shared-dialect SQL for the Morton (Z-order) key of the given
+    already-scaled integer expressions: bit i of expression j lands at
+    interleaved position i*len(exprs)+j. Inputs must be non-negative
+    BIGINTs < 2**bits; the mask enforces the width so a caller bug
+    wraps instead of scrambling high bits.
+
+    Emitted as plain `>> << &` arithmetic so the IDENTICAL string runs
+    in Spark SQL and DuckDB — the query catalog's oracle pairs share
+    it, which is the cross-engine proof that the interleave is exact.
+    The expression is a constant-folded sum of bits*len(exprs) terms:
+    whole-stage codegen compiles it to straight-line long arithmetic,
+    no UDF.
+    """
+    d = len(exprs)
+    terms = []
+    for j, e in enumerate(exprs):
+        masked = f"(CAST(({e}) AS BIGINT) & {(1 << bits) - 1})"
+        for i in range(bits):
+            terms.append(f"((({masked} >> {i}) & 1) << {i * d + j})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    n_files: Optional[int] = None,
+) -> DataFrame:
+    """Multi-dimensionally cluster `df` by the Z-order of `cols` —
+    the OPTIMIZE ZORDER of lakehouse table formats, built from Spark
+    primitives: one aggregation computes each column's min/max (a
+    1-row broadcast), each value is scaled to a 2**bits-cell grid
+    with exact integer arithmetic, the Morton key interleaves the
+    grid coordinates, and a range repartition + in-partition sort on
+    that key places rows so every output file covers a small
+    HYPER-RECTANGLE of the key space instead of a thin full-width
+    slab. Parquet min/max footer stats on ALL of `cols` then prune
+    multi-dimensional predicates — a sort on one column can only ever
+    prune that column.
+
+    Scale: the bounds pass is a map-side min/max aggregate; the range
+    partitioner samples the z key (the standard sorted-write price);
+    nothing is driver-sized. Skewed dimensions degrade the grid (many
+    rows per cell) but never correctness; pass a larger `bits` for
+    high-cardinality keys.
+    """
+    import pyspark.sql.functions as F
+
+    cols = list(cols)
+    bounds = df.agg(
+        *[F.min(c).cast("bigint").alias(f"__min_{c}") for c in cols],
+        *[F.max(c).cast("bigint").alias(f"__max_{c}") for c in cols],
+    )
+    scaled_exprs = [
+        f"(CAST({c} AS BIGINT) - __min_{c}) * {1 << bits}"
+        f" DIV (__max_{c} - __min_{c} + 1)"
+        for c in cols
+    ]
+    with_z = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__z", F.expr(zorder_sql(scaled_exprs, bits)))
+        .drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+    )
+    if n_files:
+        ranged = with_z.repartitionByRange(n_files, "__z")
+    else:
+        ranged = with_z.repartitionByRange("__z")
+    return ranged.sortWithinPartitions("__z").drop("__z")

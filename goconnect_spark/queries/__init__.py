@@ -27,6 +27,7 @@ from goconnect_spark.queries import (
     dedup,
     dedup2,
     filtering,
+    layout,
     packing,
     parity,
     quality,
@@ -38,7 +39,7 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, analytics8, curation, dedup, dedup2, filtering, sampling, similarity, similarity2, sketches, text, text2, packing, quality)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, analytics8, curation, dedup, dedup2, filtering, layout, sampling, similarity, similarity2, sketches, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
@@ -55,6 +56,7 @@ ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5
 _DRIVER_PRIORITY = (
     # tier 0: new in r5 (never driver-run), red in r04 (oracle CAST
     # fixed in r5), or rewritten in r5
+    "zorder_pruning_stats",
     "containment_dedup",
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",

@@ -248,6 +248,7 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "dedup_incremental_new_batch": {"BroadcastNestedLoopJoin"},  # 1-row id-cut scalar
         "lm_score_deciles": {"BroadcastNestedLoopJoin"},     # 1-row global count (two-phase rank)
         "weekly_active_users": {"BroadcastNestedLoopJoin"},  # 1-row day-span bounds
+        "zorder_pruning_stats": {"BroadcastNestedLoopJoin"}, # 1-row grid bounds + 3-row predicate table
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics

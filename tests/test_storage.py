@@ -87,3 +87,68 @@ def test_compact_parquet_refuses_in_place(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="out_dir must differ"):
         compact_parquet(spark, src, src + os.sep + "." + os.sep)
     assert spark.read.parquet(src).count() == before
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    # Write the events table twice — Z-ordered on (user_id, hour) vs
+    # range-sorted on hour alone — then simulate parquet min/max file
+    # pruning for a 2-D box predicate. The Z layout must touch fewer
+    # files for a user-side predicate (the hour sort can never prune
+    # it) while preserving every row.
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.operators.storage import zorder_layout
+    from goconnect_spark.tables import load
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("hour"),
+    )
+    n_rows = ev.count()
+    z_dir, t_dir = str(tmp_path / "z"), str(tmp_path / "t")
+    zorder_layout(ev, ["user_id", "hour"], bits=8, n_files=16).write.parquet(z_dir)
+    ev.repartitionByRange(16, "hour").sortWithinPartitions("hour").write.parquet(t_dir)
+
+    lo_u, hi_u, lo_h, hi_h = ev.agg(
+        F.expr("min(user_id) + (max(user_id) - min(user_id)) * 4 DIV 8"),
+        F.expr("min(user_id) + (max(user_id) - min(user_id)) * 5 DIV 8"),
+        F.expr("min(hour) + (max(hour) - min(hour)) * 4 DIV 8"),
+        F.expr("min(hour) + (max(hour) - min(hour)) * 5 DIV 8"),
+    ).first()
+
+    def files_hit(path, ulo, uhi, hlo, hhi):
+        ext = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("user_id").alias("umin"),
+                F.max("user_id").alias("umax"),
+                F.min("hour").alias("hmin"),
+                F.max("hour").alias("hmax"),
+            )
+            .collect()
+        )
+        total = len(ext)
+        hit = sum(
+            1
+            for r in ext
+            if r.umax >= ulo and r.umin <= uhi and r.hmax >= hlo and r.hmin <= hhi
+        )
+        return hit, total
+
+    assert spark.read.parquet(z_dir).count() == n_rows
+
+    z_user, z_total = files_hit(z_dir, lo_u, hi_u, float("-inf"), float("inf"))
+    t_user, t_total = files_hit(t_dir, lo_u, hi_u, float("-inf"), float("inf"))
+    # hour-sorted files each span the full user range: zero pruning
+    assert t_user == t_total
+    assert z_user < t_user
+
+    # the Z layout also prunes the hour dimension (bounded loss on
+    # every clustered dim — the multi-dimensional tradeoff); the
+    # conjunction is at most the user-band cost
+    z_hour, _ = files_hit(z_dir, float("-inf"), float("inf"), lo_h, hi_h)
+    assert z_hour < z_total
+    z_both, _ = files_hit(z_dir, lo_u, hi_u, lo_h, hi_h)
+    assert z_both <= z_user
