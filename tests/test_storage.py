@@ -152,3 +152,35 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert z_hour < z_total
     z_both, _ = files_hit(z_dir, lo_u, hi_u, lo_h, hi_h)
     assert z_both <= z_user
+
+
+def test_zorder_sql_matches_python_interleave(spark):
+    # The SQL interleave must equal the reference Python Morton code
+    # for every dimension count it claims to support — and wrap (not
+    # scramble) out-of-range inputs via the mask.
+    import random
+
+    from goconnect_spark.operators.storage import zorder_sql
+
+    def morton(vals, bits, d):
+        z = 0
+        for j, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * d + j)
+        return z
+
+    rng = random.Random(42)
+    for d, bits in [(2, 8), (3, 5), (2, 16), (4, 4)]:
+        rows = [
+            tuple(rng.randrange(0, 1 << (bits + 2)) for _ in range(d))
+            for _ in range(50)
+        ]
+        cols = [f"c{j}" for j in range(d)]
+        df = spark.createDataFrame(rows, ", ".join(f"{c} long" for c in cols))
+        got = [
+            r.z
+            for r in df.selectExpr(f"{zorder_sql(cols, bits)} AS z").collect()
+        ]
+        want = [morton(vals, bits, d) for vals in rows]
+        assert got == want, (d, bits)
