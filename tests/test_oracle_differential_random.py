@@ -252,6 +252,7 @@ EVENT_QUERIES = [
     "events_json_buckets",
     "events_value_stats",
     "distinct_users_by_type",
+    "zorder_pruning_stats",
 ]
 
 
