@@ -20,6 +20,7 @@ EXAMPLES = [
     "list_amqp",
     "amqp_kafka",
     "kafka_count_stdout",
+    "list_kafka_loadgen",
     "kafka_sr1_avro_sr2_kafka",
     "kafka_sr_avro_json_queue",
     "localfs_subflow_localfs",
