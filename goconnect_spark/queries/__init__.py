@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = (
     # tier 0: new in r5 (never driver-run), red in r04 (oracle CAST
     # fixed in r5), or rewritten in r5
     "zorder_pruning_stats",
+    "dsir_importance_weights",
     "containment_dedup",
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",

@@ -353,11 +353,150 @@ ORDER BY priority DESC
 """
 
 
+
+
+_DSIR_B = 1024  # hashed-bigram feature buckets
+_DSIR_SCALE = 1_000_000  # fixed-point scale for the importance ratios
+_DSIR_TARGET = "src0"  # the "curated target domain" the raw corpus is scored against
+_DSIR_K = 20
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram importance weighting for data selection — the
+    DSIR recipe (importance resampling over bag-of-hashed-ngrams
+    features): score every raw document by how target-like its hashed
+    bigram distribution is, then keep the top of the ranking.
+
+    - features: word bigrams hashed into 1024 buckets (60-bit md5 ->
+      mod B, the repo's portable-hash convention);
+    - bucket models: Laplace-smoothed counts over the TARGET slice
+      (source = src0, the stand-in curated domain) and the RAW corpus;
+    - per-bucket importance ratio in fixed point:
+      ratio_fp[b] = floor(1e6 * (t[b]+1)*(R+B) / ((r[b]+1)*(T+B))),
+      computed in DECIMAL(38)/HUGEINT so the cross products never
+      overflow at corpus scale (T, R = total target/raw feature mass);
+    - doc score = sum of c_doc[b] * ratio_fp[b] over its buckets,
+      length-normalized by integer division — the rational fixed-point
+      variant of DSIR's log-likelihood-ratio sum: per-bucket monotone
+      in the same ratio, exact integer arithmetic end-to-end, so both
+      engines agree bit-for-bit (ln() is NOT IEEE-reproducible across
+      engines, so the log form would break the oracle contract).
+
+    Plan shape at 100 TB: bigrams expand in-row (no self-join); the
+    only data-sized shuffles are the (doc,bucket) count and the
+    doc-level source join; bucket models are B=1024-row aggregates;
+    the ratio table joins back as a broadcast; totals are a 1-row
+    broadcast (allowlisted BNLJ). Top-k is TakeOrdered, never a
+    global sort."""
+    from goconnect_spark.queries.corpus import doc_token_arrays
+
+    B, SCALE = _DSIR_B, _DSIR_SCALE
+    toks = doc_token_arrays(spark, sf_dir)
+    feats = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-2),"
+                " i -> concat(toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("bigram"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substr(md5(bigram), 1, 15), 16, 10) as bigint) % {B}"
+        ).alias("b"),
+    )
+    docb = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    src = load(spark, "documents", sf_dir).select("doc_id", "source")
+    rawb = docb.groupBy("b").agg(F.sum("c").alias("r"))
+    tgtb = (
+        docb.join(src, "doc_id")
+        .where(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("c").alias("t"))
+    )
+    bucket = rawb.join(tgtb, "b", "left").select(
+        "b", "r", F.coalesce("t", F.lit(0)).alias("t")
+    )
+    totals = bucket.agg(
+        F.sum("r").alias("rtot"), F.sum("t").alias("ttot")
+    )
+    ratio = bucket.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(
+            f"cast((cast(t + 1 as decimal(38,0)) * (rtot + {B}) * {SCALE})"
+            f" div (cast(r + 1 as decimal(38,0)) * (ttot + {B})) as bigint)"
+        ).alias("ratio_fp"),
+    )
+    scored = (
+        docb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("ratio_fp")).alias("score_fp"),
+        )
+        .join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_feats",
+            "score_fp",
+            F.expr("score_fp div n_feats").alias("avg_fp"),
+        )
+    )
+    return scored.orderBy(F.desc("avg_fp"), "doc_id").limit(_DSIR_K)
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT
+           % {_DSIR_B} AS b
+  FROM toks, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+docb AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM feats GROUP BY 1, 2
+),
+rawb AS (SELECT b, SUM(c) AS r FROM docb GROUP BY 1),
+tgtb AS (
+  SELECT db.b, SUM(db.c) AS t
+  FROM docb db JOIN documents d USING (doc_id)
+  WHERE d.source = '{_DSIR_TARGET}' GROUP BY 1
+),
+bucket AS (
+  SELECT rawb.b, r, COALESCE(t, 0) AS t FROM rawb LEFT JOIN tgtb USING (b)
+),
+tot AS (SELECT SUM(r) AS rr, SUM(t) AS tt FROM bucket),
+ratio AS (
+  SELECT b,
+         CAST(((t + 1)::HUGEINT * (rr + {_DSIR_B}) * {_DSIR_SCALE})
+              // ((r + 1)::HUGEINT * (tt + {_DSIR_B})) AS BIGINT) AS ratio_fp
+  FROM bucket, tot
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_feats,
+         CAST(SUM(c * ratio_fp) AS BIGINT) AS score_fp
+  FROM docb JOIN ratio USING (b) GROUP BY 1
+)
+SELECT s.doc_id, d.source, s.n_feats, s.score_fp,
+       s.score_fp // s.n_feats AS avg_fp
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY avg_fp DESC, s.doc_id
+LIMIT {_DSIR_K}
+"""
+
+
 QUERIES = {
     "token_budget_sample": token_budget_sample,
     "source_epoch_plan": source_epoch_plan,
     "key_skew_profile": key_skew_profile,
     "priority_sample": priority_sample,
+    "dsir_importance_weights": dsir_importance_weights,
 }
 
 ORACLE = {
@@ -365,4 +504,5 @@ ORACLE = {
     "source_epoch_plan": _EPOCH_PLAN_SQL,
     "key_skew_profile": _KEY_SKEW_SQL,
     "priority_sample": _PRIORITY_SQL,
+    "dsir_importance_weights": _DSIR_SQL,
 }

@@ -18,6 +18,7 @@ from tools.verify_local import _hash_rows, _norm  # reuse the driver mirror
 # documents-only catalog queries (no orders/events/embeddings input):
 # the families whose semantics depend most on corpus shape
 DOC_QUERIES = [
+    "dsir_importance_weights",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

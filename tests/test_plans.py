@@ -249,6 +249,7 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "lm_score_deciles": {"BroadcastNestedLoopJoin"},     # 1-row global count (two-phase rank)
         "weekly_active_users": {"BroadcastNestedLoopJoin"},  # 1-row day-span bounds
         "zorder_pruning_stats": {"BroadcastNestedLoopJoin"}, # 1-row grid bounds + 3-row predicate table
+        "dsir_importance_weights": {"BroadcastNestedLoopJoin"},  # 1-row corpus feature totals
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
