@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = (
     # fixed in r5), or rewritten in r5
     "zorder_pruning_stats",
     "dsir_importance_weights",
+    "corpus_snapshot_diff",
     "containment_dedup",
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",

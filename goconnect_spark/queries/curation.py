@@ -380,6 +380,104 @@ JOIN sizes v2 ON v2.source = c.s2
 ORDER BY c.s1, c.s2
 """
 
+
+
+# --------------------------------------------------------------------
+# Snapshot diff: the crawl-over-crawl delta accounting every refreshed
+# corpus needs — which documents were added, removed, changed, or
+# unchanged between snapshot A and snapshot B, and how much content
+# mass moved. Snapshot B is derived deterministically from A inside
+# the query (drops doc_id % 7 == 3, revises text for % 11 == 5,
+# synthesizes % 13 == 1 under shifted ids), so the oracle sees the
+# identical pair of corpora; on a real lake both sides are just two
+# partition paths of the same table.
+#
+# Scale (100 TB): ONE full-outer shuffle join on doc_id (the snapshot
+# key both sides are naturally bucketed by), content comparison is an
+# in-row md5 equality, and the output is a 4-row status aggregate —
+# the whole diff is join + map-side-combining count, no windows, no
+# driver state.
+# --------------------------------------------------------------------
+_DIFF_ADD_SHIFT = 1_000_000
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, "documents", sf_dir).select("doc_id", "text")
+    b = (
+        a.where(F.expr("doc_id % 7 != 3"))
+        .select(
+            "doc_id",
+            F.expr(
+                "case when doc_id % 11 = 5 then concat(text, ' rev2')"
+                " else text end"
+            ).alias("text"),
+        )
+        .unionByName(
+            a.where(F.expr("doc_id % 13 = 1")).select(
+                (F.col("doc_id") + _DIFF_ADD_SHIFT).alias("doc_id"), "text"
+            )
+        )
+    )
+    j = a.select(
+        "doc_id", F.md5("text").alias("ha"), F.length("text").alias("ca")
+    ).join(
+        b.select(
+            "doc_id", F.md5("text").alias("hb"), F.length("text").alias("cb")
+        ),
+        "doc_id",
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("ha").isNull(), F.lit("added"))
+        .when(F.col("hb").isNull(), F.lit("removed"))
+        .when(F.col("ha") != F.col("hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ca").cast("bigint").alias("chars_a"),
+            F.sum("cb").cast("bigint").alias("chars_b"),
+        )
+        .orderBy("status")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH a AS (SELECT doc_id, text FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 5 THEN text || ' rev2' ELSE text END AS text
+  FROM a WHERE doc_id % 7 != 3
+  UNION ALL
+  SELECT doc_id + {_DIFF_ADD_SHIFT} AS doc_id, text
+  FROM a WHERE doc_id % 13 = 1
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         md5(a.text) AS ha, md5(b.text) AS hb,
+         COALESCE(LENGTH(a.text), 0) AS ca, COALESCE(LENGTH(b.text), 0) AS cb
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT CASE WHEN ha IS NULL THEN 'added'
+            WHEN hb IS NULL THEN 'removed'
+            WHEN ha != hb THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ca) AS BIGINT) AS chars_a,
+       CAST(SUM(cb) AS BIGINT) AS chars_b
+FROM j
+GROUP BY 1
+ORDER BY status
+"""
+
+
 QUERIES = {
     "source_overlap_jaccard": source_overlap_jaccard,
     "corpus_novelty_curve": corpus_novelty_curve,
@@ -387,6 +485,7 @@ QUERIES = {
     "chunk_dedup_stats": chunk_dedup_stats,
     "train_val_test_split": train_val_test_split,
     "tfidf_top_terms": tfidf_top_terms,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
 }
 
 ORACLE = {
@@ -396,4 +495,5 @@ ORACLE = {
     "chunk_dedup_stats": _CHUNK_DEDUP_SQL,
     "train_val_test_split": _SPLIT_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
+    "corpus_snapshot_diff": _SNAPSHOT_DIFF_SQL,
 }
