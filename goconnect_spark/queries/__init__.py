@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = (
     "zorder_pruning_stats",
     "dsir_importance_weights",
     "corpus_snapshot_diff",
+    "dedup_quality_keepers",
     "containment_dedup",
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",

@@ -697,6 +697,81 @@ ORACLE["dedup_filtered_corpus"] = _filtered_corpus_sql()
 
 
 # --------------------------------------------------------------------
+# Quality-aware keeper election: real pipelines keep the BEST document
+# of each near-dup cluster (longest / highest type-token ratio), not
+# the smallest id. Quality here is the fixed-point type-token ratio
+# (distinct tokens * 1e6 DIV tokens) with token count then doc_id as
+# tie-breaks — exact integer arithmetic, identical in both engines.
+#
+# Scale: the election is ONE aggregation per cluster via max(struct)
+# — the associative arg-max that combines map-side, no per-cluster
+# window. The oracle's ROW_NUMBER window is oracle-only (DuckDB
+# recomputes clusters from scratch anyway).
+# --------------------------------------------------------------------
+def dedup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.queries.corpus import doc_token_arrays
+
+    cc = dedup_connected_components(spark, sf_dir)
+    q = doc_token_arrays(spark, sf_dir).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.expr(
+            "cast(size(array_distinct(toks)) * 1000000 DIV size(toks) as bigint)"
+        ).alias("ttr_fp"),
+    )
+    best = F.max(
+        F.struct("ttr_fp", "n_tokens", (-F.col("doc_id")).alias("negid"))
+    ).alias("b")
+    return (
+        cc.join(q, "doc_id")
+        .groupBy(F.col("keeper_doc_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("component_size"),
+            best,
+        )
+        .select(
+            "cluster_id",
+            "component_size",
+            (-F.col("b.negid")).cast("long").alias("quality_keeper"),
+            F.col("b.ttr_fp").alias("keeper_ttr_fp"),
+            F.col("b.n_tokens").alias("keeper_n_tokens"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _quality_keepers_sql() -> str:
+    return f"""
+WITH cc AS ({_cc_oracle_sql()}),
+q AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+              // len(string_split(text, ' ')) AS BIGINT) AS ttr_fp
+  FROM documents
+),
+ranked AS (
+  SELECT cc.keeper_doc_id AS cluster_id, cc.doc_id, q.ttr_fp, q.n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY cc.keeper_doc_id
+           ORDER BY q.ttr_fp DESC, q.n_tokens DESC, cc.doc_id ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY cc.keeper_doc_id) AS component_size
+  FROM cc JOIN q ON q.doc_id = cc.doc_id
+)
+SELECT cluster_id, CAST(component_size AS BIGINT) AS component_size,
+       doc_id AS quality_keeper, ttr_fp AS keeper_ttr_fp,
+       n_tokens AS keeper_n_tokens
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+QUERIES["dedup_quality_keepers"] = dedup_quality_keepers
+ORACLE["dedup_quality_keepers"] = _quality_keepers_sql()
+
+
+# --------------------------------------------------------------------
 # Incremental ingest dedup: probe a NEW batch against the EXISTING
 # corpus — the shape every production pipeline actually runs (nobody
 # re-dedups 100 TB per ingest). The newest 5% of the doc_id space

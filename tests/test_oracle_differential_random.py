@@ -20,6 +20,7 @@ from tools.verify_local import _hash_rows, _norm  # reuse the driver mirror
 DOC_QUERIES = [
     "dsir_importance_weights",
     "corpus_snapshot_diff",
+    "dedup_quality_keepers",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
