@@ -188,3 +188,31 @@ def zorder_layout(
     else:
         ranged = with_z.repartitionByRange("__z")
     return ranged.sortWithinPartitions("__z").drop("__z")
+
+
+def merge_join_view(
+    base_a: DataFrame,
+    base_b: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Incremental maintenance of an inner-join view: the NEW rows the
+    view gains when append-only deltas arrive on both sides,
+
+        delta(A join B) = dA join B  UNION ALL  A join dB
+                          UNION ALL  dA join dB
+
+    (A, B are the PRE-delta snapshots). Appending the returned rows to
+    the materialized view equals re-joining the updated tables — the
+    identity that turns an O(100 TB) view rebuild into O(delta) work:
+    each term joins a delta-sized side, so the planner broadcasts the
+    delta and the big snapshots are only probed, never re-joined
+    against each other. Append-only deltas only (updates/deletes need
+    retraction rows, a different contract).
+    """
+    on = list(on)
+    da_b = delta_a.join(base_b, on)
+    a_db = base_a.join(delta_b, on)
+    da_db = delta_a.join(delta_b, on)
+    return da_b.unionByName(a_db).unionByName(da_db)

@@ -184,3 +184,26 @@ def test_zorder_sql_matches_python_interleave(spark):
         ]
         want = [morton(vals, bits, d) for vals in rows]
         assert got == want, (d, bits)
+
+
+def test_merge_join_view_equals_full_rejoin(spark, sf_dir):
+    # the delta identity: old view + merge_join_view(deltas) must equal
+    # the join of the updated tables, row-for-row (multiset equality)
+    from collections import Counter
+
+    from goconnect_spark.operators.storage import merge_join_view
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    old_o, new_o = orders.where("o_orderkey % 4 != 0"), orders.where("o_orderkey % 4 = 0")
+    old_l, new_l = li.where("l_quantity <= 40"), li.where("l_quantity > 40")
+
+    old_view = old_o.join(old_l, "o_orderkey")
+    delta = merge_join_view(old_o, old_l, new_o, new_l, ["o_orderkey"])
+    merged = Counter(tuple(r) for r in old_view.unionByName(delta).collect())
+    full = Counter(tuple(r) for r in orders.join(li, "o_orderkey").collect())
+    assert merged == full
