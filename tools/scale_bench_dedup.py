@@ -83,6 +83,14 @@ QUERIES = [
     "containment_dedup",
     "minhash_jaccard_calibration",
     "fingerprint_collision_dedup",
+    # round-5 session-3 additions (documents-only inputs): DSIR's
+    # bucket models are B=1024-row aggregates regardless of m (wall
+    # should track the bigram expand, linear); the snapshot diff is
+    # one full-outer id join (linear); keeper election is one
+    # aggregation over the cached cluster map (pair-set sized).
+    "dsir_importance_weights",
+    "corpus_snapshot_diff",
+    "dedup_quality_keepers",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles
