@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = (
     "dsir_importance_weights",
     "corpus_snapshot_diff",
     "dedup_quality_keepers",
+    "streaming_windowed_hourly",
     "containment_dedup",
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",

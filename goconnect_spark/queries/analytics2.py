@@ -195,6 +195,50 @@ def streaming_fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"select * from {name} order by n_rows desc limit 1")
 
 
+# --------------------------------------------------------------------
+# Streaming windowed aggregation with a FULL value oracle: drain the
+# events table through a bounded stream (AvailableNow) into an
+# event-time tumbling-window count per type — the keyed WINDOWED state
+# path (window slicing + state store per (window, key)), a different
+# execution surface than streaming_fold_count's global fold. Complete
+# output mode emits every window at drain, and a tumbling 1-hour
+# window's start IS date_trunc('hour'), so the final state must equal
+# the batch GROUP BY — the batch/stream unification claim, verified by
+# hash not rows-only.
+# --------------------------------------------------------------------
+def streaming_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from goconnect_spark.sources.core import ParquetSource
+    from goconnect_spark.streaming.run import run_bounded, windowed_counts
+    from goconnect_spark.tables import load
+
+    # pins session TZ to UTC and nanosAsLong so the stream-side schema
+    # (inferred by a batch read) matches what the micro-batches decode
+    load(spark, "events", sf_dir)
+    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
+    ev = src.read(spark).select("value.*")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_counts(ev, "ts", "1 hour", "2 hours", keys=("event_type",))
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    run_bounded(agg, name, output_mode="complete")
+    return spark.sql(
+        f"""select date_format(window.start, 'yyyy-MM-dd HH:mm:ss') as hour,
+                   event_type, cast(n as bigint) as n_events
+            from {name} order by hour, event_type"""
+    )
+
+
+_STREAM_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
 QUERIES = {
     "events_json_buckets": events_json_buckets,
     "events_daily_pivot": events_daily_pivot,
@@ -202,6 +246,7 @@ QUERIES = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "streaming_fold_count": streaming_fold_count,
+    "streaming_windowed_hourly": streaming_windowed_hourly,
 }
 
 # the final streaming snapshot == the batch aggregate; decimal sums
@@ -220,4 +265,5 @@ ORACLE = {
     "q19_discounted_revenue": _Q19_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
     "streaming_fold_count": _STREAM_FOLD_SQL,
+    "streaming_windowed_hourly": _STREAM_HOURLY_SQL,
 }

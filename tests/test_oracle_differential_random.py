@@ -256,6 +256,7 @@ EVENT_QUERIES = [
     "events_value_stats",
     "distinct_users_by_type",
     "zorder_pruning_stats",
+    "streaming_windowed_hourly",
 ]
 
 
