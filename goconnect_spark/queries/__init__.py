@@ -61,6 +61,7 @@ _DRIVER_PRIORITY = (
     "corpus_snapshot_diff",
     "dedup_quality_keepers",
     "streaming_windowed_hourly",
+    "streaming_session_counts",
     "containment_dedup",
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",

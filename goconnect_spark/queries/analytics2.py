@@ -239,6 +239,63 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+# --------------------------------------------------------------------
+# Streaming SESSION windows with a full value oracle — the third
+# stateful streaming path (gap-merged variable windows) after the
+# global fold and tumbling windows. Boundary semantics: session_window
+# merges an event into the open session only when it lands STRICTLY
+# within the gap (the window is [start, last + gap)), so the lag-based
+# oracle breaks sessions on gap >= 30 min — note the batch
+# user_sessions query (analytics.py) breaks on gap > 30 min, the
+# reference semantics of ITS operator; the two agree everywhere except
+# exact-boundary gaps, which is why each carries its own oracle.
+# --------------------------------------------------------------------
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from goconnect_spark.sources.core import ParquetSource
+    from goconnect_spark.streaming.run import run_bounded, session_counts
+    from goconnect_spark.tables import load
+
+    load(spark, "events", sf_dir)  # pin UTC + nanosAsLong for the stream schema
+    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
+    ev = src.read(spark).select("value.*")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = session_counts(ev, "ts", "30 minutes", "2 hours", keys=("user_id",))
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    run_bounded(sess, name, output_mode="complete")
+    return spark.sql(
+        f"""select user_id, cast(count(*) as bigint) as n_sessions,
+                   cast(max(session_events) as bigint) as max_session_events
+            from {name} group by user_id order by user_id"""
+    )
+
+
+_STREAM_SESS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), per_sess AS (
+  SELECT user_id, session_id, COUNT(*) AS session_events
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(session_events) AS BIGINT) AS max_session_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_json_buckets": events_json_buckets,
     "events_daily_pivot": events_daily_pivot,
@@ -247,6 +304,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "streaming_fold_count": streaming_fold_count,
     "streaming_windowed_hourly": streaming_windowed_hourly,
+    "streaming_session_counts": streaming_session_counts,
 }
 
 # the final streaming snapshot == the batch aggregate; decimal sums
@@ -266,4 +324,5 @@ ORACLE = {
     "q17_small_quantity_revenue": _Q17_SQL,
     "streaming_fold_count": _STREAM_FOLD_SQL,
     "streaming_windowed_hourly": _STREAM_HOURLY_SQL,
+    "streaming_session_counts": _STREAM_SESS_SQL,
 }

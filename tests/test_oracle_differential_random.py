@@ -257,6 +257,7 @@ EVENT_QUERIES = [
     "distinct_users_by_type",
     "zorder_pruning_stats",
     "streaming_windowed_hourly",
+    "streaming_session_counts",
 ]
 
 
