@@ -45,8 +45,10 @@ ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5
 # catalog in registration order and may cap the run (~50 of the catalog).
 # Cumulative coverage through r04 is 128/130 (the 2 reds were oracle-side
 # HUGEINT casts, fixed in round 5), so priority tracks STALENESS at HEAD:
-#   tier 0 — red in r04 or implementation/oracle changed in round 5
-#            (CAST fixes, two-phase NTILE rewrites) — never certified at HEAD;
+#   tier 0 — added or rewritten in round 5 (sessions 1-3: oracle CAST
+#            fixes, two-phase NTILE rewrites, dictionary-encoded dedup,
+#            zorder/DSIR/snapshot-diff/quality-keepers/streaming-window
+#            additions) — never certified at HEAD;
 #   tier 1 — implementation changed in round 4 but driver-certified only
 #            through r03 (shared shingle/token tables, two-phase ranking,
 #            in-row winnowing, vocab-level CMS hashing, cached cluster map)
@@ -55,7 +57,8 @@ ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5
 #            (r04 certified the 45 round-4 additions; r01∪r02∪r03 the rest).
 _DRIVER_PRIORITY = (
     # tier 0: new in r5 (never driver-run), red in r04 (oracle CAST
-    # fixed in r5), or rewritten in r5
+    # fixed in r5), or rewritten in r5 (the round-5 session-3 additions
+    # and the dictionary-encoded ngram/containment stack lead)
     "zorder_pruning_stats",
     "dsir_importance_weights",
     "corpus_snapshot_diff",
