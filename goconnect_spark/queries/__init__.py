@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = (
     "dedup_quality_keepers",
     "streaming_windowed_hourly",
     "streaming_session_counts",
+    "streaming_dedup_keys",
     "containment_dedup",
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",

@@ -296,6 +296,46 @@ FROM per_sess GROUP BY user_id ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------
+# Streaming dedup state path, oracle-gated on the KEY SET: drain the
+# events stream through dropDuplicatesWithinWatermark (the bounded-
+# state streaming dedup primitive) and return the deduplicated key
+# set. Which physical row survives per key is arrival-order dependent
+# (shuffle order within a micro-batch), so the query projects ONLY
+# the key columns — that set is exactly DISTINCT(user_id, event_type)
+# and is value-verified against the batch oracle. Fourth stateful
+# streaming surface under oracle: global fold, tumbling windows,
+# session windows, dedup state.
+# --------------------------------------------------------------------
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from goconnect_spark.sources.core import ParquetSource
+    from goconnect_spark.streaming.run import run_bounded, streaming_dedup
+    from goconnect_spark.tables import load
+
+    load(spark, "events", sf_dir)  # pin UTC + nanosAsLong for the stream schema
+    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
+    ev = src.read(spark).select("value.*")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    # watermark wider than any test corpus span: state covers the whole
+    # drain, so the output is the exact global key set
+    dd = streaming_dedup(ev, ["user_id", "event_type"], "ts", watermark="8760 hours")
+    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    run_bounded(dd.select("user_id", "event_type"), name, output_mode="append")
+    return spark.sql(
+        f"select user_id, event_type from {name} order by user_id, event_type"
+    )
+
+
+_STREAM_DD_SQL = """
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+"""
+
+
 QUERIES = {
     "events_json_buckets": events_json_buckets,
     "events_daily_pivot": events_daily_pivot,
@@ -305,6 +345,7 @@ QUERIES = {
     "streaming_fold_count": streaming_fold_count,
     "streaming_windowed_hourly": streaming_windowed_hourly,
     "streaming_session_counts": streaming_session_counts,
+    "streaming_dedup_keys": streaming_dedup_keys,
 }
 
 # the final streaming snapshot == the batch aggregate; decimal sums
@@ -325,4 +366,5 @@ ORACLE = {
     "streaming_fold_count": _STREAM_FOLD_SQL,
     "streaming_windowed_hourly": _STREAM_HOURLY_SQL,
     "streaming_session_counts": _STREAM_SESS_SQL,
+    "streaming_dedup_keys": _STREAM_DD_SQL,
 }

@@ -258,6 +258,7 @@ EVENT_QUERIES = [
     "zorder_pruning_stats",
     "streaming_windowed_hourly",
     "streaming_session_counts",
+    "streaming_dedup_keys",
 ]
 
 
