@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = (
     "streaming_windowed_hourly",
     "streaming_session_counts",
     "streaming_dedup_keys",
+    "streaming_error_context_join",
     "containment_dedup",
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",

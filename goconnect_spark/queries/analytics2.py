@@ -336,6 +336,55 @@ SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
 """
 
 
+# --------------------------------------------------------------------
+# Stream-STREAM join under oracle — the fifth and last stateful
+# streaming surface: two branches of the events stream (errors vs the
+# views/clicks in the 2 hours before them) joined on user with an explicit
+# time-range predicate, drained bounded, then the emitted pairs are
+# counted per user in batch over the sink. The drain uses a
+# corpus-spanning watermark so no buffered state expires mid-drain
+# (emitted pairs == the exact batch interval join); production runs
+# the same operator with a tight watermark, trading completeness on
+# late data for bounded state — see stream_stream_join's docstring.
+# --------------------------------------------------------------------
+def streaming_error_context_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from goconnect_spark.sources.core import ParquetSource
+    from goconnect_spark.streaming.run import run_bounded, stream_stream_join
+    from goconnect_spark.tables import load
+
+    load(spark, "events", sf_dir)  # pin UTC + nanosAsLong for the stream schema
+    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
+    ev = src.read(spark).select("value.*")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    err = ev.where("event_type = 'error'").select("user_id", "ts")
+    ctx = ev.where("event_type IN ('view', 'click')").select("user_id", "ts")
+    joined = stream_stream_join(
+        err, ctx, on="user_id", left_time="ts", right_time="ts",
+        tolerance="2 hours", watermark="8760 hours",
+    )
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    run_bounded(joined.select("user_id"), name, output_mode="append")
+    return spark.sql(
+        f"""select user_id, cast(count(*) as bigint) as n_pairs
+            from {name} group by user_id order by user_id"""
+    )
+
+
+_STREAM_SSJ_SQL = """
+SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events e JOIN events v
+  ON v.user_id = e.user_id
+ AND v.ts >= e.ts - INTERVAL 2 HOUR AND v.ts <= e.ts
+WHERE e.event_type = 'error' AND v.event_type IN ('view', 'click')
+GROUP BY e.user_id ORDER BY e.user_id
+"""
+
+
 QUERIES = {
     "events_json_buckets": events_json_buckets,
     "events_daily_pivot": events_daily_pivot,
@@ -346,6 +395,7 @@ QUERIES = {
     "streaming_windowed_hourly": streaming_windowed_hourly,
     "streaming_session_counts": streaming_session_counts,
     "streaming_dedup_keys": streaming_dedup_keys,
+    "streaming_error_context_join": streaming_error_context_join,
 }
 
 # the final streaming snapshot == the batch aggregate; decimal sums
@@ -367,4 +417,5 @@ ORACLE = {
     "streaming_windowed_hourly": _STREAM_HOURLY_SQL,
     "streaming_session_counts": _STREAM_SESS_SQL,
     "streaming_dedup_keys": _STREAM_DD_SQL,
+    "streaming_error_context_join": _STREAM_SSJ_SQL,
 }

@@ -259,6 +259,7 @@ EVENT_QUERIES = [
     "streaming_windowed_hourly",
     "streaming_session_counts",
     "streaming_dedup_keys",
+    "streaming_error_context_join",
 ]
 
 
