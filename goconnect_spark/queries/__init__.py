@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = (
     "streaming_session_counts",
     "streaming_dedup_keys",
     "streaming_error_context_join",
+    "ann_mrr",
     "containment_dedup",
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",

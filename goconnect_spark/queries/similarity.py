@@ -1008,5 +1008,52 @@ FROM nt LEFT JOIN hits h ON h.probe_id = nt.probe_id
 ORDER BY nt.probe_id
 """
 
+
+def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank evidence for the IVF search: where does
+    each probe's TRUE nearest neighbor (brute-force top-1) land in
+    the IVF top-3 list? Reciprocal rank is kept in fixed point
+    (1e6 DIV rank, 0 when missed) so the per-probe rows are exact
+    integers — the reader averages rr_fp/1e6 for the headline MRR
+    without any cross-engine float-summation hazard. Probe-sized
+    joins over the session-cached quantized tables throughout."""
+    truth = cosine_topk(spark, sf_dir).where(F.col("rk") == 1).select(
+        "probe_id", "vec_id"
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        "probe_id", "vec_id", F.col("rk").alias("ivf_rk")
+    )
+    return (
+        truth.join(ivf, ["probe_id", "vec_id"], "left")
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("true_vec_id"),
+            F.coalesce("ivf_rk", F.lit(0)).cast("long").alias("ivf_rank"),
+            F.expr(
+                "cast(case when ivf_rk is null then 0"
+                " else 1000000 div ivf_rk end as bigint)"
+            ).alias("rr_fp"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+_ANN_MRR_SQL = f"""
+WITH truth AS (
+  SELECT probe_id, vec_id FROM ({_COSINE_TOPK_SQL}) t WHERE rk = 1
+),
+ivf AS (SELECT probe_id, vec_id, rk AS ivf_rk FROM ({_ANN_IVF_SQL}) a)
+SELECT t.probe_id, t.vec_id AS true_vec_id,
+       CAST(COALESCE(i.ivf_rk, 0) AS BIGINT) AS ivf_rank,
+       CAST(CASE WHEN i.ivf_rk IS NULL THEN 0
+                 ELSE 1000000 // i.ivf_rk END AS BIGINT) AS rr_fp
+FROM truth t LEFT JOIN ivf i
+  ON i.probe_id = t.probe_id AND i.vec_id = t.vec_id
+ORDER BY t.probe_id
+"""
+
+QUERIES["ann_mrr"] = ann_mrr
+ORACLE["ann_mrr"] = _ANN_MRR_SQL
+
 QUERIES["ann_recall_at_k"] = ann_recall_at_k
 ORACLE["ann_recall_at_k"] = _ANN_RECALL_SQL

@@ -78,6 +78,7 @@ EMB_QUERIES = [
     "embedding_dim_covariance",
     "embedding_near_dup",
     "semantic_dedup",
+    "ann_mrr",
 ]
 
 
