@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = (
     "streaming_dedup_keys",
     "streaming_error_context_join",
     "ann_mrr",
+    "streaming_enrich_cohort",
     "containment_dedup",
     "minhash_jaccard_calibration",
     "hourly_count_autocorr",

@@ -385,6 +385,54 @@ GROUP BY e.user_id ORDER BY e.user_id
 """
 
 
+# --------------------------------------------------------------------
+# Stream-STATIC dimension enrichment under oracle — the most common
+# production streaming join (facts stream, dims broadcast). The dim
+# here is derived in batch from the same corpus (each user's first-
+# event hour, a signup-cohort stand-in), broadcast onto every
+# micro-batch by enrich_with_dim, drained bounded, and the enriched
+# rows aggregate to per-(user, cohort-hour) counts that must equal
+# the pure-batch join — value-verified, completing the streaming
+# join matrix (stream-static here, stream-stream above).
+# --------------------------------------------------------------------
+def streaming_enrich_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from goconnect_spark.sources.core import ParquetSource
+    from goconnect_spark.streaming.run import enrich_with_dim, run_bounded
+    from goconnect_spark.tables import load
+
+    ev_batch = load(spark, "events", sf_dir)
+    dim = ev_batch.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("hour", F.min("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "signup_hour"
+        )
+    )
+    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
+    ev = src.read(spark).select("value.user_id")
+    enriched = enrich_with_dim(ev, dim, ["user_id"], how="inner")
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    run_bounded(enriched, name, output_mode="append")
+    return spark.sql(
+        f"""select user_id, signup_hour, cast(count(*) as bigint) as n_events
+            from {name} group by user_id, signup_hour
+            order by user_id"""
+    )
+
+
+_STREAM_ENRICH_SQL = """
+WITH d AS (
+  SELECT user_id,
+         strftime(date_trunc('hour', MIN(ts)), '%Y-%m-%d %H:%M:%S') AS signup_hour
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, d.signup_hour, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN d USING (user_id)
+GROUP BY e.user_id, d.signup_hour
+ORDER BY e.user_id
+"""
+
+
 QUERIES = {
     "events_json_buckets": events_json_buckets,
     "events_daily_pivot": events_daily_pivot,
@@ -396,6 +444,7 @@ QUERIES = {
     "streaming_session_counts": streaming_session_counts,
     "streaming_dedup_keys": streaming_dedup_keys,
     "streaming_error_context_join": streaming_error_context_join,
+    "streaming_enrich_cohort": streaming_enrich_cohort,
 }
 
 # the final streaming snapshot == the batch aggregate; decimal sums
@@ -418,4 +467,5 @@ ORACLE = {
     "streaming_session_counts": _STREAM_SESS_SQL,
     "streaming_dedup_keys": _STREAM_DD_SQL,
     "streaming_error_context_join": _STREAM_SSJ_SQL,
+    "streaming_enrich_cohort": _STREAM_ENRICH_SQL,
 }

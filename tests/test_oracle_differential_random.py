@@ -261,6 +261,7 @@ EVENT_QUERIES = [
     "streaming_session_counts",
     "streaming_dedup_keys",
     "streaming_error_context_join",
+    "streaming_enrich_cohort",
 ]
 
 
