@@ -195,6 +195,27 @@ def streaming_fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"select * from {name} order by n_rows desc limit 1")
 
 
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table with the SAME ts
+    normalization tables.load applies to the batch read (nanos-as-long
+    -> micros, NTZ -> session-UTC timestamp). The load() call pins the
+    session confs so the stream-side schema inference agrees with
+    what the micro-batches decode; every streaming catalog query
+    shares this one helper so the next ts-flavor fix lands in exactly
+    two places (here and tables.load)."""
+    from goconnect_spark.sources.core import ParquetSource
+    from goconnect_spark.tables import load
+
+    load(spark, "events", sf_dir)
+    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
+    ev = src.read(spark).select("value.*")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 # --------------------------------------------------------------------
 # Streaming windowed aggregation with a FULL value oracle: drain the
 # events table through a bounded stream (AvailableNow) into an
@@ -209,19 +230,9 @@ def streaming_fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from goconnect_spark.sources.core import ParquetSource
     from goconnect_spark.streaming.run import run_bounded, windowed_counts
-    from goconnect_spark.tables import load
 
-    # pins session TZ to UTC and nanosAsLong so the stream-side schema
-    # (inferred by a batch read) matches what the micro-batches decode
-    load(spark, "events", sf_dir)
-    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
-    ev = src.read(spark).select("value.*")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = _events_stream(spark, sf_dir)
     agg = windowed_counts(ev, "ts", "1 hour", "2 hours", keys=("event_type",))
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
     run_bounded(agg, name, output_mode="complete")
@@ -253,17 +264,9 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from goconnect_spark.sources.core import ParquetSource
     from goconnect_spark.streaming.run import run_bounded, session_counts
-    from goconnect_spark.tables import load
 
-    load(spark, "events", sf_dir)  # pin UTC + nanosAsLong for the stream schema
-    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
-    ev = src.read(spark).select("value.*")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = _events_stream(spark, sf_dir)
     sess = session_counts(ev, "ts", "30 minutes", "2 hours", keys=("user_id",))
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
     run_bounded(sess, name, output_mode="complete")
@@ -310,17 +313,9 @@ FROM per_sess GROUP BY user_id ORDER BY user_id
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from goconnect_spark.sources.core import ParquetSource
     from goconnect_spark.streaming.run import run_bounded, streaming_dedup
-    from goconnect_spark.tables import load
 
-    load(spark, "events", sf_dir)  # pin UTC + nanosAsLong for the stream schema
-    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
-    ev = src.read(spark).select("value.*")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = _events_stream(spark, sf_dir)
     # watermark wider than any test corpus span: state covers the whole
     # drain, so the output is the exact global key set
     dd = streaming_dedup(ev, ["user_id", "event_type"], "ts", watermark="8760 hours")
@@ -350,17 +345,9 @@ SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
 def streaming_error_context_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from goconnect_spark.sources.core import ParquetSource
     from goconnect_spark.streaming.run import run_bounded, stream_stream_join
-    from goconnect_spark.tables import load
 
-    load(spark, "events", sf_dir)  # pin UTC + nanosAsLong for the stream schema
-    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
-    ev = src.read(spark).select("value.*")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = _events_stream(spark, sf_dir)
     err = ev.where("event_type = 'error'").select("user_id", "ts")
     ctx = ev.where("event_type IN ('view', 'click')").select("user_id", "ts")
     joined = stream_stream_join(
@@ -398,18 +385,15 @@ GROUP BY e.user_id ORDER BY e.user_id
 def streaming_enrich_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from goconnect_spark.sources.core import ParquetSource
     from goconnect_spark.streaming.run import enrich_with_dim, run_bounded
     from goconnect_spark.tables import load
 
-    ev_batch = load(spark, "events", sf_dir)
-    dim = ev_batch.groupBy("user_id").agg(
+    dim = load(spark, "events", sf_dir).groupBy("user_id").agg(
         F.date_format(F.date_trunc("hour", F.min("ts")), "yyyy-MM-dd HH:mm:ss").alias(
             "signup_hour"
         )
     )
-    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
-    ev = src.read(spark).select("value.user_id")
+    ev = _events_stream(spark, sf_dir).select("user_id")
     enriched = enrich_with_dim(ev, dim, ["user_id"], how="inner")
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     run_bounded(enriched, name, output_mode="append")

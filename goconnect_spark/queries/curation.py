@@ -388,9 +388,11 @@ ORDER BY c.s1, c.s2
 # unchanged between snapshot A and snapshot B, and how much content
 # mass moved. Snapshot B is derived deterministically from A inside
 # the query (drops doc_id % 7 == 3, revises text for % 11 == 5,
-# synthesizes % 13 == 1 under shifted ids), so the oracle sees the
-# identical pair of corpora; on a real lake both sides are just two
-# partition paths of the same table.
+# synthesizes % 13 == 1 under NEGATED ids -(doc_id+1) — collision-free
+# against any non-negative id space, unlike a fixed offset that a big
+# enough corpus would wrap into), so the oracle sees the identical
+# pair of corpora; on a real lake both sides are just two partition
+# paths of the same table.
 #
 # Scale (100 TB): ONE full-outer shuffle join on doc_id (the snapshot
 # key both sides are naturally bucketed by), content comparison is an
@@ -398,9 +400,6 @@ ORDER BY c.s1, c.s2
 # the whole diff is join + map-side-combining count, no windows, no
 # driver state.
 # --------------------------------------------------------------------
-_DIFF_ADD_SHIFT = 1_000_000
-
-
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = load(spark, "documents", sf_dir).select("doc_id", "text")
     b = (
@@ -414,7 +413,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             a.where(F.expr("doc_id % 13 = 1")).select(
-                (F.col("doc_id") + _DIFF_ADD_SHIFT).alias("doc_id"), "text"
+                (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
             )
         )
     )
@@ -456,7 +455,7 @@ b AS (
          CASE WHEN doc_id % 11 = 5 THEN text || ' rev2' ELSE text END AS text
   FROM a WHERE doc_id % 7 != 3
   UNION ALL
-  SELECT doc_id + {_DIFF_ADD_SHIFT} AS doc_id, text
+  SELECT -(doc_id + 1) AS doc_id, text
   FROM a WHERE doc_id % 13 = 1
 ),
 j AS (

@@ -716,7 +716,8 @@ def dedup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
         F.expr(
-            "cast(size(array_distinct(toks)) * 1000000 DIV size(toks) as bigint)"
+            "cast(size(array_distinct(toks)) as bigint) * 1000000"
+            " DIV size(toks)"
         ).alias("ttr_fp"),
     )
     best = F.max(

@@ -74,13 +74,12 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(ids=doc_shingle_ids(spark, sf_dir))
 
 
-def containment_pairs(arrays: DataFrame = None, ids: DataFrame = None) -> DataFrame:
-    """The containment pipeline over any dictionary-encoded
+def containment_pairs(ids: DataFrame) -> DataFrame:
+    """The containment pipeline over a dictionary-encoded
     (doc_id, n, sids) table — factored out so tests can compare
     against brute force on randomized corpora (the one-sided filter
-    stack's losslessness is the property under test). Pass `ids`
-    directly, or `arrays` ((doc_id, shset, n) string shingle sets) to
-    have the dictionary built inline.
+    stack's losslessness is the property under test; the brute-force
+    test drives it through containment_dedup on a written corpus).
 
     Candidate generation uses the COUNT filter (the multi-prefix
     generalization of the prefix filter): a qualifying pair has
@@ -95,10 +94,6 @@ def containment_pairs(arrays: DataFrame = None, ids: DataFrame = None) -> DataFr
     and the in-row int-array verify then touches only plausible
     pairs. The bijective dictionary preserves set sizes and overlaps
     exactly, so results equal the string-side DuckDB oracle."""
-    if ids is None:
-        from goconnect_spark.queries.corpus import shingle_ids_for
-
-        ids = shingle_ids_for(arrays)
     K = 1 + _PREFIX_EXTRA
     pref = ids.select(
         "doc_id",

@@ -375,6 +375,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       ratio_fp[b] = floor(1e6 * (t[b]+1)*(R+B) / ((r[b]+1)*(T+B))),
       computed in DECIMAL(38)/HUGEINT so the cross products never
       overflow at corpus scale (T, R = total target/raw feature mass);
+      the doc-score sum accumulates in DECIMAL(38) too — with a target
+      slice at ~1e-6 of corpus mass ratio_fp reaches ~1e12 and a plain
+      BIGINT sum could overflow where DuckDB's HUGEINT would not;
     - doc score = sum of c_doc[b] * ratio_fp[b] over its buckets,
       length-normalized by integer division — the rational fixed-point
       variant of DSIR's log-likelihood-ratio sum: per-bucket monotone
@@ -433,7 +436,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_feats"),
-            F.sum(F.col("c") * F.col("ratio_fp")).alias("score_fp"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("ratio_fp"))
+            .cast("long")
+            .alias("score_fp"),
         )
         .join(src, "doc_id")
         .select(

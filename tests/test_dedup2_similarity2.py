@@ -323,3 +323,30 @@ def test_quantization_error_matches_python(spark, tmp_path):
         assert (r.n_vecs, r.total_sse, r.max_sse, r.total_dims) == (n, tot, mx, dims)
         assert abs(r.mean_sse - tot / n) < 1e-9
         assert abs(r.rms_residual - math.sqrt(tot / dims)) < 1e-12
+
+
+def test_quality_keepers_wide_vocab_no_int_overflow(spark, tmp_path):
+    # Regression: ttr_fp = distinct_tokens * 1e6 must widen to BIGINT
+    # BEFORE the multiply — size() is 32-bit, and a doc with >2147
+    # distinct tokens used to overflow (ANSI ArithmeticException; wrong
+    # keeper with ANSI off). Two near-dup docs with 3000-token vocab:
+    # the query must run and elect the higher-TTR doc.
+    from goconnect_spark.queries.dedup import dedup_quality_keepers
+
+    words = " ".join(f"tok{i}" for i in range(3000))
+    docs = [
+        (0, words, "en", "src0", len(words)),
+        # near-dup of doc 0 (one word mutated) with one REPEATED token
+        # appended -> strictly lower type-token ratio than doc 0
+        (1, words.replace("tok7 ", "tokX ") + " tok0 tok0", "en", "src0", 0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = dedup_quality_keepers(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.component_size == 2
+    assert r.quality_keeper == 0  # higher TTR wins
+    assert r.keeper_ttr_fp == 1_000_000  # 3000 distinct / 3000 tokens
