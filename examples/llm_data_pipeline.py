@@ -4,7 +4,8 @@ families composed the way a real corpus build uses them.
     documents (raw corpus)
       │ 1. exact dedup           (md5 keeper groups)
       │ 2. near-dup removal      (minhash-LSH pairs -> connected
-      │                           components -> drop non-keepers)
+      │                           components -> quality-aware keeper
+      │                           election, drop the rest)
       │ 3. quality filter        (token stats: length + stopword +
       │                           type/token thresholds)
       │ 4. language filter       (keep target langs by label)
@@ -48,9 +49,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     docs1 = docs.join(keepers, "doc_id", "left_semi")
     n1 = docs1.count()
 
-    # 2. near-dup clusters: drop everything but the cluster keeper
+    # 2. near-dup clusters: keep the BEST document of each cluster
+    # (quality-aware election — type-token ratio with length/id
+    # tie-breaks), the production choice over min-id keepers
+    from goconnect_spark.queries.dedup import dedup_quality_keepers
+
     clusters = dedup_connected_components(spark, sf_dir)
-    non_keepers = clusters.where(F.col("doc_id") != F.col("keeper_doc_id")).select("doc_id")
+    best = dedup_quality_keepers(spark, sf_dir).select(
+        F.col("quality_keeper").alias("doc_id"), F.lit(1).alias("is_best")
+    )
+    non_keepers = (
+        clusters.join(best, "doc_id", "left")
+        .where(F.col("is_best").isNull())
+        .select("doc_id")
+    )
     docs2 = docs1.join(non_keepers, "doc_id", "left_anti")
     n2 = docs2.count()
 
