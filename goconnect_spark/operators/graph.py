@@ -103,58 +103,134 @@ def pagerank_fixed_point_py(
     return ranks
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when an iterative graph operator exhausts its round
+    budget while the solution is still changing. A silent exit would
+    return a SPLIT component map — downstream dedup would double-keep
+    duplicates — so non-convergence must be loud, never quiet."""
+
+
+def _edge_fingerprint(e: DataFrame) -> tuple:
+    """Order-independent fingerprint of an edge set: (row count,
+    bit_xor of per-row 64-bit hashes). XOR is safe here because the
+    edge set is distinct (no cancelling duplicates) and, paired with
+    the count, collision odds are negligible; unlike SUM it cannot
+    overflow under ANSI mode. One aggregation, no collect of data."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, w))").alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond', SoCC'14): for each vertex u, connect every strictly
+    LARGER neighbor to m = min(Γ(u) ∪ {u}). One groupBy + one equi-join,
+    both shuffled on u; output edges are canonical (u > w)."""
+    both = e.union(e.select(F.col("w").alias("u"), F.col("u").alias("w")))
+    mins = (
+        both.groupBy("u")
+        .agg(F.min("w").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        both.join(mins, "u")
+        .where(F.col("w") > F.col("u"))
+        .select(F.col("w").alias("u"), F.col("m").alias("w"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: for each vertex u over its SMALLER neighbors
+    Γ⁻(u), connect every v ∈ Γ⁻(u) ∪ {u} to m = min(Γ⁻(u)). Input
+    edges are canonical (u > w), so Γ⁻ is exactly the edge list."""
+    mins = e.groupBy("u").agg(F.min("w").alias("m"))
+    children = (
+        e.join(mins, "u")
+        .where(F.col("w") != F.col("m"))
+        .select(F.col("w").alias("u"), F.col("m").alias("w"))
+    )
+    selves = mins.select("u", F.col("m").alias("w"))
+    return children.union(selves).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iters: int = 20,
+    max_iters: int = 30,
 ) -> DataFrame:
-    """Min-label propagation over a SYMMETRIC edge list; returns
-    (v, label) where label is the smallest vertex id in v's component
-    — the duplicate-cluster primitive behind dedup keeper election
-    (queries/dedup.py wraps it with minhash edges).
+    """Connected components over an undirected edge list via the
+    ALTERNATING large-star/small-star contraction (Kiveris et al.,
+    SoCC'14). Returns (v, label) where label is the smallest vertex id
+    in v's component — the duplicate-cluster primitive behind dedup
+    keeper election (queries/dedup.py wraps it with minhash edges).
 
-    Callers pass both directions of each undirected edge (labels flow
-    along edge direction only). Singleton vertices are omitted — they
-    can't change label; union the vertex dim back in if needed.
+    Edges are symmetrized internally (passing one or both directions
+    of each undirected edge is equivalent). Singleton vertices are
+    omitted — they can't cluster; union the vertex dim back in if
+    needed.
 
-    Scale: each round is one equi-join + keyed min + a convergence
-    count, and `localCheckpoint` truncates lineage per round (the
-    classic Spark iterative pitfall: an unbounded plan re-executes the
-    whole history each iteration). Rounds needed = graph diameter,
-    which for near-dup clusters is tiny; max_iters is the safety
-    bound. Column names "v"/"label" must not collide with src/dst.
+    Scale: converges in O(log n) rounds REGARDLESS of component
+    diameter — unlike min-label propagation, whose round count is the
+    graph diameter and which silently splits long path/chain
+    components (version-chained near-dup pages) past the round budget.
+    Each round is two star contractions (a groupBy + an equi-join
+    each) plus a constant-size fingerprint aggregation; localCheckpoint
+    truncates lineage per round (the classic Spark iterative pitfall:
+    an unbounded plan re-optimizes and can re-execute the whole
+    history each iteration). max_iters=30 covers any graph that fits
+    in 2^30 vertices per component with margin; if the budget is ever
+    exhausted while the edge set is still moving, ConvergenceError is
+    raised — never a silently split clustering.
     """
-    if src in ("v", "label") or dst in ("v", "label"):
-        raise ValueError("src/dst column names collide with output names v/label")
-    edge_vs = edges.select(F.col(src).alias("v")).distinct()
-    labels = edge_vs.select("v", F.col("v").alias("label")).localCheckpoint()
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("w"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _edge_fingerprint(e)
+    converged = e.isEmpty()
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, F.col(src) == F.col("v"))
-            .groupBy(F.col(dst).alias("v"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "v", "left")
-            .select(
-                "v",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _edge_fingerprint(e)
+        if cur == prev:
+            converged = True
             break
-    return labels
+        prev = cur
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components still changing after {max_iters} "
+            "alternating large-star/small-star rounds"
+        )
+    # belt-and-braces: a stable edge set must be a star forest — each
+    # child has exactly one root edge, and no root is itself a child.
+    # Two constant-output aggregations; a violation means the labels
+    # below would be ambiguous, so fail loudly instead.
+    multi_parent = not (
+        e.groupBy("u").agg(F.count(F.lit(1)).alias("c")).where("c > 1").isEmpty()
+    )
+    chained = not (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.w") == F.col("b.u"), "left_semi")
+        .isEmpty()
+    )
+    if multi_parent or chained:
+        raise ConvergenceError(
+            "connected_components fingerprint stabilized on a non-star "
+            f"edge set (multi_parent={multi_parent}, chained={chained})"
+        )
+    # the fixed point is a forest of stars rooted at each component's
+    # minimum: children appear as (child=u, root=w), roots only as w
+    children = e.select(F.col("u").alias("v"), F.col("w").alias("label"))
+    roots = e.select(F.col("w").alias("v"), F.col("w").alias("label")).distinct()
+    return children.union(roots)
 
 
 def connected_components_py(edges: list[tuple]) -> dict:

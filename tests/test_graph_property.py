@@ -69,3 +69,50 @@ def test_connected_components_matches_union_find(spark, seed, n_v, n_e):
     got = {r.v: r.label for r in connected_components(df, max_iters=50).collect()}
     want = connected_components_py(sym)
     assert got == want
+
+
+def test_connected_components_long_path_beats_diameter(spark):
+    # a 101-vertex path has diameter 100: min-label propagation needs
+    # 100 rounds and SILENTLY split this component at max_iters=20
+    # (the round-5 failure mode). The star-contraction algorithm must
+    # solve it in O(log n) rounds — 10 is generous for n=101.
+    from goconnect_spark.operators.graph import (
+        connected_components,
+        connected_components_py,
+    )
+
+    path = [(i, i + 1) for i in range(100)]
+    sym = path + [(d, s) for s, d in path]
+    df = spark.createDataFrame(sym, "src: long, dst: long")
+    got = {r.v: r.label for r in connected_components(df, max_iters=10).collect()}
+    assert got == connected_components_py(sym)
+    assert set(got.values()) == {0}  # one component rooted at min id
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # exhausting the round budget while the edge set is still moving
+    # must raise, never return a split clustering
+    import pytest as _pytest
+
+    from goconnect_spark.operators.graph import ConvergenceError, connected_components
+
+    path = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(path, "src: long, dst: long")
+    with _pytest.raises(ConvergenceError):
+        connected_components(df, max_iters=1)
+
+
+def test_connected_components_direction_and_selfloop_invariance(spark):
+    # one-directional input, duplicate edges and self-loops must all
+    # normalize away: the operator treats the list as undirected
+    from goconnect_spark.operators.graph import (
+        connected_components,
+        connected_components_py,
+    )
+
+    und = [(5, 2), (2, 9), (7, 7), (9, 5), (1, 4), (4, 1)]
+    df = spark.createDataFrame(und, "src: long, dst: long")
+    got = {r.v: r.label for r in connected_components(df).collect()}
+    sym = [(s, d) for s, d in und if s != d]
+    sym += [(d, s) for s, d in sym]
+    assert got == connected_components_py(sym)
