@@ -537,3 +537,112 @@ def test_stream_stream_join_within_tolerance(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("select * from t_ssj").collect()
     assert {(r.imp_id, r.click_id) for r in rows} == {(1, 10)}
+
+
+def _sum_state_metric(q, key):
+    """Sum a stateOperators metric across every progress event of a
+    drained query (each micro-batch reports its own state deltas)."""
+    return sum(
+        op.get(key, 0) or 0
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    )
+
+
+def test_streaming_dedup_state_is_evicted_by_watermark(spark, tmp_path):
+    """The 100 TB claim behind dropDuplicatesWithinWatermark is that
+    dedup state is BOUNDED by the watermark horizon, not the corpus.
+    Drive three micro-batches whose event times advance 10 days per
+    batch under a 1-hour watermark and assert, via the state-store
+    metrics Spark reports per batch, that earlier batches' key state
+    is physically REMOVED (numRowsRemoved > 0) and the final live
+    state is far smaller than the total distinct-key count."""
+    import datetime as dt
+    import time
+
+    from goconnect_spark.streaming.run import streaming_dedup
+
+    d = str(tmp_path / "ev")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    for b in range(3):
+        rows = [(b * 1000 + i, t0 + dt.timedelta(days=10 * b)) for i in range(50)]
+        spark.createDataFrame(rows, ["k", "event_time"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(1.1)  # FileStreamSource orders batches by mtime
+
+    stream = (
+        spark.readStream.schema("k bigint, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    deduped = streaming_dedup(stream, ["k"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_evict_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # all 150 keys are unique -> all pass the dedup
+    assert spark.sql("select count(*) n from t_evict_dedup").collect()[0].n == 150
+    # the run crossed batch boundaries and state rows were truly dropped
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3
+    removed = _sum_state_metric(q, "numRowsRemoved")
+    assert removed > 0, [p["stateOperators"] for p in q.recentProgress]
+    # live state at the end is bounded by the watermark horizon (only
+    # the last batch's keys can still be inside the 1h window), NOT
+    # the 150-key corpus
+    last_total = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+        if op.get("numRowsTotal") is not None
+    ][-1]
+    assert last_total <= 50, last_total
+
+
+def test_windowed_agg_state_is_evicted_by_watermark(spark, tmp_path):
+    """Same physical-eviction assertion for the windowed aggregation:
+    closed windows must leave the state store (append mode emits them
+    exactly when they close)."""
+    import datetime as dt
+    import time
+
+    from goconnect_spark.streaming.run import windowed_counts
+
+    d = str(tmp_path / "ev2")
+    t0 = dt.datetime(2026, 3, 1, 0, 0, 0)
+    for b in range(3):
+        rows = [
+            (b * 1000 + i, t0 + dt.timedelta(days=10 * b, minutes=i))
+            for i in range(30)
+        ]
+        spark.createDataFrame(rows, ["k", "event_time"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("k bigint, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = windowed_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.select(F.col("window.start").alias("ws"), "n")
+        .writeStream.format("memory")
+        .queryName("t_evict_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    removed = _sum_state_metric(q, "numRowsRemoved")
+    assert removed > 0, [p["stateOperators"] for p in q.recentProgress]
+    # every batch-1/batch-2 window closed once the watermark jumped 10
+    # days past it; emitted rows cover those earlier days
+    emitted = spark.sql("select sum(n) s from t_evict_win").collect()[0].s
+    assert emitted >= 60  # the first two batches' windows all closed
