@@ -1,0 +1,100 @@
+"""Mechanical round-over-round bench comparison (VERDICT r5 item 7).
+
+Usage: python tools/bench_diff.py OLD NEW [--threshold 1.5]
+
+OLD/NEW each accept any of the three bench artifact shapes:
+- a driver BENCH_r{N}.json ({"parsed": {"queries": {...}}, "tail": ...});
+- a bench.py stderr capture (the `# all_query_times {json}` line —
+  the FULL catalog map, preferred);
+- a bare bench.py stdout JSON line ({"queries": {...}}).
+
+Prints a per-query table of (old_s, new_s, ratio) sorted worst-first,
+then a summary: total old/new, queries added/removed, and the list of
+regressions past the threshold. Exit code 1 if any regression — usable
+as a gate in round workflows.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load_times(path: str) -> dict[str, float]:
+    with open(path) as f:
+        text = f.read()
+    # stderr capture: last `# all_query_times {...}` line wins
+    lines = [l for l in text.splitlines() if l.startswith("# all_query_times ")]
+    if lines:
+        return json.loads(lines[-1][len("# all_query_times "):])
+    obj = json.loads(text)
+    # driver artifact
+    if isinstance(obj, dict) and "parsed" in obj:
+        parsed = obj.get("parsed")
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            return {k: float(v) for k, v in parsed["queries"].items()}
+        # truncated-tail artifact (r4-era parsed:null): recover whatever
+        # `"name": 1.23` pairs survive in the tail — PARTIAL by nature
+        import re
+
+        meta = {"value", "sf", "n_queries", "n_queries_all",
+                "all_queries_total_wall"}
+        pairs = {
+            k: float(v)
+            for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', obj.get("tail") or "")
+            if k not in meta
+        }
+        if pairs:
+            print(f"# {path}: parsed=null, recovered {len(pairs)} entries "
+                  "from truncated tail (PARTIAL)", file=sys.stderr)
+            return pairs
+        raise SystemExit(f"{path}: driver artifact has no parsable query map")
+    # bare stdout line
+    if isinstance(obj, dict) and "queries" in obj:
+        return {k: float(v) for k, v in obj["queries"].items()}
+    raise SystemExit(f"{path}: unrecognized bench artifact shape")
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) != 2:
+        raise SystemExit(__doc__)
+    threshold = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    old, new = load_times(args[0]), load_times(args[1])
+    common = sorted(set(old) & set(new))
+    rows = []
+    for q in common:
+        o, n = old[q], new[q]
+        # sub-100ms noise floor: ratios on tiny times are meaningless
+        ratio = n / o if o >= 0.1 else (1.0 if n < 0.1 else n / 0.1)
+        rows.append((ratio, q, o, n))
+    rows.sort(reverse=True)
+    print(f"{'query':<42} {'old_s':>8} {'new_s':>8} {'ratio':>6}")
+    for ratio, q, o, n in rows:
+        flag = "  <-- REGRESSION" if ratio > threshold else ""
+        print(f"{q:<42} {o:>8.3f} {n:>8.3f} {ratio:>6.2f}{flag}")
+    tot_o = sum(old[q] for q in common)
+    tot_n = sum(new[q] for q in common)
+    if common and tot_o > 0:
+        print(f"\ncommon {len(common)} queries: {tot_o:.2f}s -> {tot_n:.2f}s "
+              f"({tot_n / tot_o:.2f}x)")
+    else:
+        print(f"\nno comparable queries between the two runs "
+              f"(old={len(old)}, new={len(new)} entries)")
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    regs = [q for ratio, q, o, n in rows if ratio > threshold]
+    if regs:
+        print(f"\n{len(regs)} regression(s) past {threshold}x: {', '.join(regs)}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
