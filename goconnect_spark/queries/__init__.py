@@ -28,6 +28,7 @@ from goconnect_spark.queries import (
     dedup2,
     filtering,
     layout,
+    mixing,
     packing,
     parity,
     quality,
@@ -39,7 +40,7 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, analytics8, curation, dedup, dedup2, filtering, layout, sampling, similarity, similarity2, sketches, text, text2, packing, quality)
+ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, analytics8, curation, dedup, dedup2, filtering, layout, mixing, sampling, similarity, similarity2, sketches, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
@@ -56,65 +57,96 @@ ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5
 #   tier 2 — everything else, byte-identical to a driver-green round
 #            (r04 certified the 45 round-4 additions; r01∪r02∪r03 the rest).
 _DRIVER_PRIORITY = (
-    # tier 0: new in r5 (never driver-run), red in r04 (oracle CAST
-    # fixed in r5), or rewritten in r5 (the round-5 session-3 additions
-    # and the dictionary-encoded ngram/containment stack lead)
-    "zorder_pruning_stats",
-    "dsir_importance_weights",
-    "corpus_snapshot_diff",
-    "dedup_quality_keepers",
-    "streaming_windowed_hourly",
-    "streaming_session_counts",
-    "streaming_dedup_keys",
-    "streaming_error_context_join",
-    "ann_mrr",
-    "streaming_enrich_cohort",
-    "containment_dedup",
-    "minhash_jaccard_calibration",
-    "hourly_count_autocorr",
-    "embedding_dim_covariance",
-    "fingerprint_collision_dedup",
-    "ann_sq8_recall",
-    "lang_id_confusion",
-    # changed in round-5 session 2 (in-row pair expansion / shared
-    # cooccurrence-edges build / degenerate-group guard / streaming
-    # source path fix) — previous certifications are stale
-    "brand_basket_lift",
-    "word_pagerank",
-    "word_communities_lpa",
-    "price_size_regression",
-    "streaming_fold_count",
-    "events_value_stats",
-    "ann_sq8_rerank",
-    "embedding_quantization_error",
-    "dedup_incremental_new_batch",
-    "dedup_cluster_size_histogram",
-    "ann_recall_at_k",
-    "dedup_method_agreement",
-    "boilerplate_top_shingles",
-    "lm_score_deciles",
-    "source_dedup_matrix",
-    "q12_shipmode_priority",
-    "train_val_test_split",
-    "order_value_pareto",
-    "customer_rfm_segments",
-    # tier 1: changed in r4, last driver-certified pre-change (r<=3)
-    "customer_spend_ranks",
-    "word_graph_triangles",
-    "word_freq_cms",
-    "word_cooccurrence",
-    "bigram_cond_prob",
-    "text_lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # Rebuilt for round 6. The driver certifies ~50 queries per round in
+    # this order, so priority = staleness at HEAD:
+    #   tier 0 — new in r6 or consuming code changed at HEAD since their
+    #            last green row (the CC rewrite; the r5 doc_lm_score
+    #            refactor VERDICT r5 flagged);
+    #   then every other query ordered by the ROUND OF ITS NEWEST GREEN
+    #   DRIVER ROW, oldest first — certificate-age rotation, so no
+    #   certificate ages more than ~2 rounds before re-verification.
+    # --- tier 0: r6-new / changed at HEAD ---
+    "source_overlap_matrix",
+    "epoch_shard_assignment",
+    "ann_random_projection_recall",
+    # --- last green: r5 ---
     "dedup_connected_components",
     "dedup_filtered_corpus",
-    # tier 2 head: r4-certified queries whose upstream shared tables are
-    # exercised by the tier-1 set anyway — cheap confirmations first
-    "cosine_topk",
+    # --- last green: r4 ---
+    "curated_corpus_stats",
+    # --- last green: r5 ---
+    "dedup_quality_keepers",
+    "dedup_cluster_size_histogram",
+    # --- last green: r4 ---
+    "doc_lm_score",
+    # --- last green: r2 ---
+    "distinct_users_by_type",
+    "customers_without_orders",
+    "customers_with_open_orders",
+    "events_json_buckets",
+    "events_daily_pivot",
+    "customer_supplier_nations",
+    "q19_discounted_revenue",
+    "q17_small_quantity_revenue",
+    "events_error_context",
+    "purchases_asof_signup",
+    "quantity_percentiles",
+    "lineitem_cube",
+    "orders_unpivot",
+    "events_hourly_gapfill",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_trade_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "events_latest_per_user",
+    "q8_market_share",
+    "q15_top_supplier",
+    "user_history_scd2",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "events_distinct_kmv",
+    "q13_order_count_distribution",
+    "q9_product_type_profit",
+    "events_in_error_windows",
+    "value_histogram_quantiles",
+    # --- last green: r3 ---
+    "map_filter",
+    "flatmap_word_counts",
+    "fold_global",
+    "limit_events",
+    "ordered_merge",
+    "kv_roundtrip",
+    "xml_extract_fold",
+    "roundrobin_replay",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_per_segment",
+    "events_hourly",
+    "user_sessions",
+    "orders_rollup",
+    "user_rolling_7d",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "daily_reconciliation",
+    "events_rollup_cascade",
+    "distinct_users_kmv_by_type",
+    "text_token_stats",
+    "text_quality_score",
+    "text_token_bpeish",
+    "benchmark_contamination",
+    "doc_repetition_ratio",
+    "vocab_oov_rate",
+    "source_mix_weights",
+    "doc_length_buckets",
+    "sequence_packing",
+    "stratified_sample",
+    "value_outliers_mad",
+    "orders_profile",
+    "referential_integrity",
+    # --- last green: r4 ---
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "embedding_near_dup",
@@ -125,9 +157,7 @@ _DRIVER_PRIORITY = (
     "tfidf_top_terms",
     "gopher_quality_rules",
     "duplicated_ngram_coverage",
-    "doc_lm_score",
     "embedding_outliers",
-    "curated_corpus_stats",
     "token_budget_sample",
     "source_epoch_plan",
     "key_skew_profile",
@@ -148,6 +178,61 @@ _DRIVER_PRIORITY = (
     "event_hour_contingency",
     "doc_lexical_gini",
     "order_fulfillment_latency",
+    "weekly_active_users",
+    "event_transition_matrix",
+    "event_interarrival_gaps",
+    "supplier_concentration_hhi",
+    "events_user_lifecycle",
+    "daily_new_users_cumulative",
+    "source_overlap_jaccard",
+    "corpus_novelty_curve",
+    # --- last green: r5 ---
+    "zorder_pruning_stats",
+    "dsir_importance_weights",
+    "corpus_snapshot_diff",
+    "streaming_windowed_hourly",
+    "streaming_session_counts",
+    "streaming_dedup_keys",
+    "streaming_error_context_join",
+    "ann_mrr",
+    "streaming_enrich_cohort",
+    "containment_dedup",
+    "minhash_jaccard_calibration",
+    "hourly_count_autocorr",
+    "embedding_dim_covariance",
+    "fingerprint_collision_dedup",
+    "ann_sq8_recall",
+    "lang_id_confusion",
+    "brand_basket_lift",
+    "word_pagerank",
+    "word_communities_lpa",
+    "price_size_regression",
+    "streaming_fold_count",
+    "events_value_stats",
+    "ann_sq8_rerank",
+    "embedding_quantization_error",
+    "dedup_incremental_new_batch",
+    "ann_recall_at_k",
+    "dedup_method_agreement",
+    "boilerplate_top_shingles",
+    "lm_score_deciles",
+    "source_dedup_matrix",
+    "q12_shipmode_priority",
+    "train_val_test_split",
+    "order_value_pareto",
+    "customer_rfm_segments",
+    "customer_spend_ranks",
+    "word_graph_triangles",
+    "word_freq_cms",
+    "word_cooccurrence",
+    "bigram_cond_prob",
+    "text_lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "cosine_topk",
 )
 
 

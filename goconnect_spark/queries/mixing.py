@@ -1,0 +1,356 @@
+"""Corpus-mixing & training-schedule analytics — the decisions a
+100 TB pretraining pipeline makes BETWEEN curation and the data
+loader: which sources overlap enough to de-duplicate jointly, how the
+corpus is sharded into a deterministic per-epoch training order, and
+whether a cheap projected index preserves neighbor structure.
+
+Three oracle-gated queries:
+
+- source_overlap_matrix: pairwise shingle-Jaccard between SOURCES —
+  the signal for cross-source dedup scheduling and for down-weighting
+  mirrored sources in the mixture. Scale: the per-source distinct
+  shingle table is one map-side-combining aggregate; pair candidates
+  come from an equi-join on the shared shingle (never a doc x doc or
+  source x source cross), and the output is bounded by the source-pair
+  count.
+
+- epoch_shard_assignment: the deterministic global training shuffle —
+  every (epoch, doc) gets a pseudorandom rank from md5(epoch:doc_id),
+  rank maps to (shard, position) by mod/div. No RNG: the order is a
+  pure function of (seed=epoch, doc_id), so any worker can recompute
+  its shard independently and replays are exact — the reproducible-
+  training-order contract. Scale: the rank is operators.ranking.
+  global_row_number (one range shuffle, no single-task window) per
+  epoch; the report aggregates to (epoch, shard) with sum-of-ids as a
+  membership witness.
+
+- ann_random_projection_recall: signed random projection (64-d -> 16-d,
+  signs from md5 parity — the same portable pseudo-randomness as the
+  minhash/hyperplane families) scored by top-5 recall against the
+  exact cosine baseline (similarity.cosine_topk). The production
+  question it answers: can the first ANN pass run on a 4x narrower
+  index. Scale: the sign matrix is a 1024-row broadcast; projection is
+  one keyed aggregation over the quantized-embedding table; the
+  projected search is the same broadcast-probe shape as cosine_topk.
+
+Reference parity: goconnect has no mixing layer (SURVEY §2.8) — this
+family is part of the LLM-pipeline mandate, designed Spark-first.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from goconnect_spark.tables import load
+
+QUERIES = {}
+ORACLE = {}
+
+_N_SHARDS = 8
+_N_EPOCHS = 2
+
+# even leading hex digit of md5 -> +1, odd -> -1 (portable coin flip)
+_EVEN_HEX = ("0", "2", "4", "6", "8", "a", "c", "e")
+
+
+# --------------------------------------------------------------------
+# source_overlap_matrix
+# --------------------------------------------------------------------
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.queries.dedup import _shingles
+
+    docs = load(spark, "documents", sf_dir)
+    src_sh = (
+        _shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        src_sh.alias("a")
+        .join(src_sh.alias("b"), "shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # pairs sharing zero shingles are absent by construction (their
+    # jaccard-0 rows carry no signal); the oracle uses the same inner
+    # semantics
+    return (
+        pairs.join(sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")), "src_a")
+        .join(sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS shingle
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+src_sh AS (
+  SELECT DISTINCT d.source, s.shingle
+  FROM shingles s JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM src_sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM src_sh a JOIN src_sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, p.n_common,
+       CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.source = p.src_a
+JOIN sizes sb ON sb.source = p.src_b
+ORDER BY src_a, src_b
+"""
+
+QUERIES["source_overlap_matrix"] = source_overlap_matrix
+ORACLE["source_overlap_matrix"] = _OVERLAP_SQL
+
+
+# --------------------------------------------------------------------
+# epoch_shard_assignment
+# --------------------------------------------------------------------
+def epoch_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.operators.ranking import global_row_number
+
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_epoch = []
+    for e in range(_N_EPOCHS):
+        keyed = docs.withColumn(
+            "h",
+            F.md5(F.concat(F.lit(f"{e}:"), F.col("doc_id").cast("string"))),
+        )
+        ranked = global_row_number(
+            keyed, ["h", "doc_id"], rn_col="rn", with_total=False
+        )
+        per_epoch.append(
+            ranked.select(
+                F.lit(e).alias("epoch"),
+                F.expr(f"(rn - 1) % {_N_SHARDS}").alias("shard"),
+                "doc_id",
+                "n_tokens",
+            )
+        )
+    assigned = per_epoch[0]
+    for df in per_epoch[1:]:
+        assigned = assigned.union(df)
+    return (
+        assigned.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+_EPOCH_SHARD_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+assigned AS (
+  SELECT e.epoch,
+         (ROW_NUMBER() OVER (PARTITION BY e.epoch
+                             ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)),
+                                      d.doc_id) - 1) % {_N_SHARDS} AS shard,
+         d.doc_id, d.n_tokens
+  FROM docs d CROSS JOIN (SELECT unnest(range({_N_EPOCHS})) AS epoch) e
+)
+SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+FROM assigned GROUP BY epoch, shard ORDER BY epoch, shard
+"""
+
+QUERIES["epoch_shard_assignment"] = epoch_shard_assignment
+ORACLE["epoch_shard_assignment"] = _EPOCH_SHARD_SQL
+
+
+# --------------------------------------------------------------------
+# ann_random_projection_recall
+# --------------------------------------------------------------------
+_N_PROJ = 16  # projected dimensions (64 -> 16: a 4x narrower index)
+_RP_K = 5
+
+
+def _sign_matrix(spark: SparkSession) -> DataFrame:
+    """(d, j, s) for d in 0..63, j in 0.._N_PROJ-1 — s = ±1 from the
+    md5 parity of 'd_j'. 64*_N_PROJ rows, broadcast everywhere."""
+    even = ", ".join(f"'{h}'" for h in _EVEN_HEX)
+    return (
+        spark.range(64)
+        .select(
+            F.col("id").alias("d"),
+            F.explode(F.expr(f"sequence(0, {_N_PROJ - 1})")).alias("j"),
+        )
+        .withColumn(
+            "s",
+            F.expr(
+                "CASE WHEN substring(md5(concat(cast(d as string), '_', "
+                f"cast(j as string))), 1, 1) IN ({even}) THEN 1 ELSE -1 END"
+            ).cast("long"),
+        )
+    )
+
+
+def ann_random_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.queries.similarity import (
+        _N_PROBES,
+        _quant_cached,
+        cosine_topk,
+    )
+
+    quant = _quant_cached(spark, sf_dir)
+    signs = _sign_matrix(spark)
+    # projected vectors: exact integer sums (q and s are bigints)
+    proj = (
+        quant.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("pq"))
+    )
+    pnorms = proj.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("pq") * F.col("pq")).cast("double")).alias("nrm")
+    )
+    probes = proj.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("j").alias("pj"), F.col("pq").alias("ppq")
+    )
+    dots = (
+        proj.join(
+            F.broadcast(probes),
+            (F.col("j") == F.col("pj")) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum(F.col("pq") * F.col("ppq")).alias("dot"))
+    )
+    cos = (
+        dots.join(pnorms.alias("nv"), "vec_id")
+        .join(
+            pnorms.select(
+                F.col("vec_id").alias("probe_id"), F.col("nrm").alias("pnrm")
+            ).alias("np"),
+            "probe_id",
+        )
+        .select(
+            "probe_id",
+            "vec_id",
+            (F.col("dot").cast("double") / (F.col("nrm") * F.col("pnrm"))).alias("c"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    proj_topk = (
+        cos.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _RP_K)
+        .select("probe_id", "vec_id")
+    )
+    exact_topk = cosine_topk(spark, sf_dir).select("probe_id", "vec_id")
+    hits = (
+        proj_topk.join(exact_topk, ["probe_id", "vec_id"], "left_semi")
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    all_probes = exact_topk.select("probe_id").distinct()
+    return (
+        all_probes.join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(float(_RP_K))
+            ).alias("recall"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _rp_oracle_sql() -> str:
+    from goconnect_spark.queries.similarity import (
+        _COSINE_TOPK_SQL,
+        _N_PROBES,
+        _QUANT_CTE,
+    )
+
+    even = ", ".join(f"'{h}'" for h in _EVEN_HEX)
+    return f"""
+WITH {_QUANT_CTE},
+signs AS (
+  SELECT d.d, j.j,
+         CASE WHEN substr(md5(CAST(d.d AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 1)
+              IN ({even}) THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range(64)) AS d) d,
+       (SELECT unnest(range({_N_PROJ})) AS j) j
+),
+proj AS (
+  SELECT q.vec_id, s.j, SUM(q.q * s.s) AS pq
+  FROM quant q JOIN signs s ON s.d = q.d
+  GROUP BY q.vec_id, s.j
+),
+pnorms AS (
+  SELECT vec_id, SQRT(CAST(SUM(pq * pq) AS DOUBLE)) AS nrm FROM proj GROUP BY vec_id
+),
+probes AS (SELECT vec_id AS probe_id, j AS pj, pq AS ppq FROM proj WHERE vec_id < {_N_PROBES}),
+dots AS (
+  SELECT p.probe_id, c.vec_id, SUM(c.pq * p.ppq) AS dot
+  FROM proj c JOIN probes p ON c.j = p.pj AND c.vec_id <> p.probe_id
+  GROUP BY p.probe_id, c.vec_id
+),
+cosp AS (
+  SELECT d.probe_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / (nv.nrm * np.nrm) AS c
+  FROM dots d
+  JOIN pnorms nv ON nv.vec_id = d.vec_id
+  JOIN pnorms np ON np.vec_id = d.probe_id
+),
+proj_topk AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id ASC) AS rk
+    FROM cosp
+  ) WHERE rk <= {_RP_K}
+),
+exact_topk AS (
+  SELECT probe_id, vec_id FROM ({_COSINE_TOPK_SQL.strip()}) e
+),
+hits AS (
+  SELECT p.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM proj_topk p
+  WHERE EXISTS (SELECT 1 FROM exact_topk x
+                WHERE x.probe_id = p.probe_id AND x.vec_id = p.vec_id)
+  GROUP BY p.probe_id
+)
+SELECT a.probe_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(_RP_K)} AS recall
+FROM (SELECT DISTINCT probe_id FROM exact_topk) a
+LEFT JOIN hits h ON h.probe_id = a.probe_id
+ORDER BY a.probe_id
+"""
+
+
+QUERIES["ann_random_projection_recall"] = ann_random_projection_recall
+ORACLE["ann_random_projection_recall"] = _rp_oracle_sql()

@@ -18,6 +18,8 @@ from tools.verify_local import _hash_rows, _norm  # reuse the driver mirror
 # documents-only catalog queries (no orders/events/embeddings input):
 # the families whose semantics depend most on corpus shape
 DOC_QUERIES = [
+    "source_overlap_matrix",
+    "epoch_shard_assignment",
     "dsir_importance_weights",
     "corpus_snapshot_diff",
     "dedup_quality_keepers",
@@ -71,6 +73,7 @@ def _random_corpus(seed: int, n: int = 60):
 
 
 EMB_QUERIES = [
+    "ann_random_projection_recall",
     "cosine_topk",
     "ann_sq8_rerank",
     "ann_sq8_recall",
