@@ -67,6 +67,8 @@ _DRIVER_PRIORITY = (
     #   certificate ages more than ~2 rounds before re-verification.
     # --- tier 0: r6-new / changed at HEAD ---
     "source_overlap_matrix",
+    "ivm_merge_hourly_counts",
+    "ivm_join_view_delta",
     "epoch_shard_assignment",
     "ann_random_projection_recall",
     # --- last green: r5 ---

@@ -173,3 +173,104 @@ ORDER BY layout, pred
 
 QUERIES["zorder_pruning_stats"] = zorder_pruning_stats
 ORACLE["zorder_pruning_stats"] = _ZORDER_SQL
+
+
+# --------------------------------------------------------------------
+# Incremental view maintenance under oracle: the two merge operators
+# (operators/storage.py merge_aggregate / merge_join_view) were unit-
+# tested only; these queries hash-verify the IVM identities against a
+# FULL RECOMPUTE oracle — the property a 100 TB nightly pipeline rests
+# on: maintaining the view from deltas equals rebuilding it.
+#
+# ivm_merge_hourly_counts: events split into a base (event_id % 10 <> 0)
+# and a delta batch (% 10 = 0), each aggregated independently to
+# (hour, event_type) partials, merged by merge_aggregate — must equal
+# the plain GROUP BY over the whole table. The double `value` column
+# is floored to integer cents per row BEFORE summation so both the
+# merge order and the engine agree exactly (the repo's fixed-point
+# determinism rule).
+#
+# ivm_join_view_delta: orders x lineitem inner-join view with
+# append-only deltas on BOTH sides (different split predicates so all
+# three delta terms dA⋈B, A⋈dB, dA⋈dB are non-empty). base view rows +
+# merge_join_view's delta rows, aggregated per order priority, must
+# equal the join of the complete tables.
+# --------------------------------------------------------------------
+def ivm_merge_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.operators.storage import merge_aggregate
+
+    ev = load(spark, "events", sf_dir).select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def partial(df):
+        return df.groupBy("hour", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+
+    base = partial(ev.where(F.col("event_id") % 10 != 0))
+    delta = partial(ev.where(F.col("event_id") % 10 == 0))
+    merged = merge_aggregate(base, delta, ["hour", "event_type"], ["n", "cents"])
+    return merged.select(
+        "hour", "event_type", F.col("n").cast("bigint").alias("n"),
+        F.col("cents").cast("bigint").alias("cents"),
+    ).orderBy("hour", "event_type")
+
+
+_IVM_AGG_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+QUERIES["ivm_merge_hourly_counts"] = ivm_merge_hourly_counts
+ORACLE["ivm_merge_hourly_counts"] = _IVM_AGG_SQL
+
+
+def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.operators.storage import merge_join_view
+
+    orders = load(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    base_a = orders.where(F.col("o_orderkey") % 20 != 0)
+    delta_a = orders.where(F.col("o_orderkey") % 20 == 0)
+    base_b = li.where(F.col("o_orderkey") % 7 != 3)
+    delta_b = li.where(F.col("o_orderkey") % 7 == 3)
+
+    view = base_a.join(base_b, "o_orderkey").unionByName(
+        merge_join_view(base_a, base_b, delta_a, delta_b, ["o_orderkey"])
+    )
+    return (
+        view.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_IVM_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+QUERIES["ivm_join_view_delta"] = ivm_join_view_delta
+ORACLE["ivm_join_view_delta"] = _IVM_JOIN_SQL

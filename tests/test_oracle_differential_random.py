@@ -134,6 +134,7 @@ def test_embeddings_queries_hash_match_on_random_vectors(spark, tmp_path, seed):
 
 
 RELATIONAL_QUERIES = [
+    "ivm_join_view_delta",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -244,6 +245,7 @@ def test_relational_queries_hash_match_on_random_star(spark, tmp_path, seed):
 
 
 EVENT_QUERIES = [
+    "ivm_merge_hourly_counts",
     "events_hourly",
     "user_sessions",
     "events_latest_per_user",
