@@ -66,7 +66,7 @@ _DRIVER_PRIORITY = (
     #   DRIVER ROW, oldest first — certificate-age rotation, so no
     #   certificate ages more than ~2 rounds before re-verification.
     # --- tier 0: r6-new / changed at HEAD ---
-    "source_overlap_matrix",
+    "source_containment_matrix",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

@@ -6,13 +6,18 @@ whether a cheap projected index preserves neighbor structure.
 
 Three oracle-gated queries:
 
-- source_overlap_matrix: pairwise shingle-Jaccard between SOURCES —
-  the signal for cross-source dedup scheduling and for down-weighting
-  mirrored sources in the mixture. Scale: the per-source distinct
-  shingle table is one map-side-combining aggregate; pair candidates
-  come from an equi-join on the shared shingle (never a doc x doc or
-  source x source cross), and the output is bounded by the source-pair
-  count.
+- source_containment_matrix: DIRECTIONAL shingle containment between
+  sources, |A∩B| / |A| per ordered pair — the asymmetric twin of
+  curation.source_overlap_jaccard: a small source fully mirrored
+  inside a big crawl shows near-1.0 containment while its Jaccard
+  stays tiny, so this is the metric that catches subset mirrors
+  before mixture weighting double-counts them (same reason
+  dedup2.containment_dedup exists beside the Jaccard joins, lifted
+  from doc to source grain). Scale: the per-source distinct shingle
+  table is one map-side-combining aggregate; pair candidates come
+  from an equi-join on the shared shingle (never a doc x doc or
+  source x source cross), and the output is bounded by the ordered
+  source-pair count.
 
 - epoch_shard_assignment: the deterministic global training shuffle —
   every (epoch, doc) gets a pseudorandom rank from md5(epoch:doc_id),
@@ -55,9 +60,9 @@ _EVEN_HEX = ("0", "2", "4", "6", "8", "a", "c", "e")
 
 
 # --------------------------------------------------------------------
-# source_overlap_matrix
+# source_containment_matrix
 # --------------------------------------------------------------------
-def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goconnect_spark.queries.dedup import _shingles
 
     docs = load(spark, "documents", sf_dir)
@@ -68,6 +73,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    # unordered shared-shingle counts once; emit both directions after
     pairs = (
         src_sh.alias("a")
         .join(src_sh.alias("b"), "shingle")
@@ -77,28 +83,35 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # pairs sharing zero shingles are absent by construction (their
-    # jaccard-0 rows carry no signal); the oracle uses the same inner
-    # semantics
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("src_b").alias("src_a"),
+            F.col("src_a").alias("src_b"),
+            "n_common",
+        )
+    )
+    # ordered pairs sharing zero shingles are absent by construction
+    # (their containment-0 rows carry no signal); the oracle uses the
+    # same inner semantics
     return (
-        pairs.join(sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")), "src_a")
-        .join(sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")), "src_b")
+        both.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")),
+            "src_a",
+        )
         .select(
             "src_a",
             "src_b",
             "n_a",
-            "n_b",
             "n_common",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-            ).alias("jaccard"),
+            (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+                "containment"
+            ),
         )
         .orderBy("src_a", "src_b")
     )
 
 
-_OVERLAP_SQL = """
+_CONTAINMENT_SQL = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w,
          generate_subscripts(string_split(text, ' '), 1) AS i
@@ -115,19 +128,18 @@ src_sh AS (
 sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM src_sh GROUP BY source),
 pairs AS (
   SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM src_sh a JOIN src_sh b ON a.shingle = b.shingle AND a.source < b.source
+  FROM src_sh a JOIN src_sh b ON a.shingle = b.shingle AND a.source <> b.source
   GROUP BY 1, 2
 )
-SELECT p.src_a, p.src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, p.n_common,
-       CAST(p.n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - p.n_common AS DOUBLE) AS jaccard
+SELECT p.src_a, p.src_b, s.n_sh AS n_a, p.n_common,
+       CAST(p.n_common AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS containment
 FROM pairs p
-JOIN sizes sa ON sa.source = p.src_a
-JOIN sizes sb ON sb.source = p.src_b
+JOIN sizes s ON s.source = p.src_a
 ORDER BY src_a, src_b
 """
 
-QUERIES["source_overlap_matrix"] = source_overlap_matrix
-ORACLE["source_overlap_matrix"] = _OVERLAP_SQL
+QUERIES["source_containment_matrix"] = source_containment_matrix
+ORACLE["source_containment_matrix"] = _CONTAINMENT_SQL
 
 
 # --------------------------------------------------------------------

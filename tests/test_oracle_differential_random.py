@@ -18,7 +18,7 @@ from tools.verify_local import _hash_rows, _norm  # reuse the driver mirror
 # documents-only catalog queries (no orders/events/embeddings input):
 # the families whose semantics depend most on corpus shape
 DOC_QUERIES = [
-    "source_overlap_matrix",
+    "source_containment_matrix",
     "epoch_shard_assignment",
     "dsir_importance_weights",
     "corpus_snapshot_diff",
