@@ -17,7 +17,7 @@ from goconnect_spark.queries import all_oracles, all_queries
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
-    from goconnect_spark.queries.analytics import q1_pricing_summary
+    from goconnect_spark.queries.tpch import q1_pricing_summary
 
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 

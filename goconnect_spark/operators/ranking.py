@@ -4,7 +4,7 @@ The naive `Window.orderBy(...)` with no PARTITION BY funnels the whole
 input through ONE task — the classic single-reducer bottleneck that a
 100 TB fact (or even a 100x customer dimension) cannot survive. These
 helpers implement the standard two-phase alternative (the pattern
-proven by queries/analytics6.py:customer_spend_ranks and
+proven by queries/relational.py:customer_spend_ranks and
 queries/packing.py's cumsum):
 
   1. `repartitionByRange` on the sort key — every partition holds a

@@ -15,21 +15,18 @@ Determinism contract for the oracle hash-compare:
 """
 
 from goconnect_spark.queries import (
-    analytics,
-    analytics2,
-    analytics3,
-    analytics4,
-    analytics5,
-    analytics6,
-    analytics7,
-    analytics8,
     curation,
     dedup,
     dedup2,
     filtering,
+    events_series,
+    graph_queries,
     layout,
     mixing,
     packing,
+    relational,
+    streaming_queries,
+    tpch,
     parity,
     quality,
     sampling,
@@ -40,7 +37,7 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, analytics, analytics2, analytics3, analytics4, analytics5, analytics6, analytics7, analytics8, curation, dedup, dedup2, filtering, layout, mixing, sampling, similarity, similarity2, sketches, text, text2, packing, quality)
+ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph_queries, curation, dedup, dedup2, filtering, layout, mixing, sampling, similarity, similarity2, sketches, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).

@@ -1,5 +1,5 @@
 """Sketch algebra + Bloom-pruned joins — the distributed-systems
-side of the approximate-query family (extends analytics5's KMV and
+side of the approximate-query family (extends events_series'-era KMV and
 CMS with mergeable-register sketches and set operations).
 
 Three oracle-gated queries:
@@ -497,3 +497,105 @@ ORACLE = {
     "user_overlap_kmv": _OVERLAP_SQL,
     "bloom_prune_join": _bloom_sql(),
 }
+
+
+# ---- moved from analytics5.py in the round-6 re-org (verbatim) ----
+_CMS_D = 4  # hash rows
+
+_CMS_W = 256  # buckets per row
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+
+def word_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over the corpus word
+    stream, probed for the top-20 exact heavy hitters (estimate >=
+    exact always; collisions show as overshoot).
+
+    Portable construction (same md5-derived hash family in Spark and
+    DuckDB): for each token and each row j in 0..3, bucket =
+    md5(j ':' token)[:15 hex] as int mod 256; the sketch is the
+    (j, bucket) -> count table (<= 1024 cells). The point estimate for
+    a key is min over its 4 cells.
+
+    Scale shape: one shuffle total — the token stream collapses to
+    the vocab-sized exact-count table (map-side partial agg), and the
+    sketch cells are summed from THAT table, so the 4 md5 hashes run
+    per distinct word, not per occurrence (cell values are identical:
+    a cell holds the sum of counts of the words hashing into it).
+    Probes join the tiny cell table via broadcast. In a pure-sketch
+    deployment (no exact table, e.g. streaming) the per-occurrence
+    build still collapses map-side into <= 1024 cells per partition —
+    the CMS property this query demonstrates.
+    """
+    from goconnect_spark.queries.corpus import doc_token_arrays
+
+    tok = doc_token_arrays(spark, sf_dir).select(
+        F.explode("toks").alias("tok")
+    )
+    js = F.array([F.lit(j) for j in range(_CMS_D)])
+    bucket = F.expr(
+        f"cast(conv(substr(md5(concat(cast(j as string), ':', tok)), 1, 15), 16, 10) as bigint) % {_CMS_W}"
+    )
+    exact = tok.groupBy("tok").agg(F.count("*").alias("exact_count"))
+    cells = (
+        exact.select("tok", "exact_count", F.explode(js).alias("j"))
+        .select("j", bucket.alias("b"), "exact_count")
+        .groupBy("j", "b")
+        .agg(F.sum("exact_count").cast("long").alias("cnt"))
+    )
+    top = exact.orderBy(F.desc("exact_count"), "tok").limit(20)
+    probes = top.select("tok", "exact_count", F.explode(js).alias("j")).withColumn(
+        "b", bucket
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "b"])
+        .groupBy(F.col("tok").alias("word"), "exact_count")
+        .agg(F.min("cnt").alias("cms_count"))
+    )
+
+
+
+_CMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cells AS (
+  SELECT j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % {_CMS_W} AS b,
+         COUNT(*) AS cnt
+  FROM tok, unnest([0, 1, 2, 3]) AS t(j)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count FROM tok GROUP BY tok
+),
+top AS (
+  SELECT * FROM exact ORDER BY exact_count DESC, tok LIMIT 20
+),
+probes AS (
+  SELECT tok, exact_count, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % {_CMS_W} AS b
+  FROM top, unnest([0, 1, 2, 3]) AS t(j)
+)
+SELECT p.tok AS word, p.exact_count, CAST(MIN(c.cnt) AS BIGINT) AS cms_count
+FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b
+GROUP BY p.tok, p.exact_count
+"""
+
+
+QUERIES["word_freq_cms"] = word_freq_cms
+ORACLE["word_freq_cms"] = _CMS_SQL

@@ -1,170 +1,46 @@
-"""Second analytics batch: JSON columns, pivot, set operations,
-multi-predicate joins, and the streaming fold (rows-only).
+"""Oracle-gated Structured Streaming queries: the five stateful
+surfaces (global fold, tumbling windows, session windows, dedup
+state, stream-stream join) plus stream-static enrichment, each
+drained bounded (AvailableNow) through the REAL state store and
+value-verified against a batch DuckDB oracle.
 
-These extend SURVEY.md §2 coverage with the relational surface the
-reference lacks but Spark provides natively; the JSON query is the
-decode half of the reference's serde.JsonEncoder (coder/serde/
-encoder.go:30-48) applied to the events.props column.
+Consolidated from queries/analytics2.py in round 6 (module re-org
+only — code moved verbatim, no query renamed).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from goconnect_spark.tables import load
 
+
 _PRICE = "decimal(12,2)"
-_RATE = "decimal(6,4)"
 
 
-# --------------------------------------------------------------------
-# JSON decode + aggregate: props is a JSON string column; extract k,
-# bucket it, aggregate. get_json_object stays JVM-side (Jackson).
-# --------------------------------------------------------------------
-def events_json_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, "events", sf_dir)
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .where(F.col("k").isNotNull())
-        .groupBy("event_type", (F.col("k") / 10).cast("int").alias("k_bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("max_k"))
-        .orderBy("event_type", "k_bucket")
-    )
 
 
-_JSON_SQL = """
-SELECT event_type,
-       CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS INT) AS k_bucket,
-       COUNT(*) AS n,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
-GROUP BY 1, 2 ORDER BY event_type, k_bucket
-"""
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table with the SAME ts
+    normalization tables.load applies to the batch read (nanos-as-long
+    -> micros, NTZ -> session-UTC timestamp). The load() call pins the
+    session confs so the stream-side schema inference agrees with
+    what the micro-batches decode; every streaming catalog query
+    shares this one helper so the next ts-flavor fix lands in exactly
+    two places (here and tables.load)."""
+    from goconnect_spark.sources.core import ParquetSource
+    from goconnect_spark.tables import load
+
+    load(spark, "events", sf_dir)
+    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
+    ev = src.read(spark).select("value.*")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-# --------------------------------------------------------------------
-# Pivot: daily event counts, one column per event type. Spark pivot
-# with explicit values (explicit -> single pass, no values-discovery
-# job; mandatory at scale).
-# --------------------------------------------------------------------
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, "events", sf_dir)
-    return (
-        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-        .groupBy("day")
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, list(_EVENT_TYPES))
-        .orderBy("day")
-    )
-
-
-_PIVOT_SQL = f"""
-SELECT strftime(ts, '%Y-%m-%d') AS day,
-       {", ".join(f"COALESCE(COUNT(*) FILTER (WHERE event_type = '{t}'), 0) AS {t}" for t in _EVENT_TYPES)}
-FROM events
-GROUP BY 1 ORDER BY day
-"""
-
-
-# --------------------------------------------------------------------
-# Set operations (absent from the reference: a pipeline is one linear
-# chain — README.md:6-8 — so there is nothing to union; Spark gives
-# them free).
-# --------------------------------------------------------------------
-def customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nationkey"))
-    supp = load(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nationkey"))
-    both = cust.intersect(supp).withColumn("which", F.lit("both"))
-    cust_only = cust.distinct().exceptAll(supp.distinct()).withColumn("which", F.lit("customer_only"))
-    return both.unionByName(cust_only).orderBy("which", "nationkey")
-
-
-_SETOPS_SQL = """
-SELECT nationkey, 'both' AS which
-FROM (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
-UNION ALL
-SELECT nationkey, 'customer_only' AS which
-FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
-      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
-ORDER BY which, nationkey
-"""
-
-
-# --------------------------------------------------------------------
-# q19-style multi-predicate OR join: disjunctive pushable predicates
-# over a broadcast dim join. Catalyst pushes the OR branches into the
-# scan; the join itself broadcasts part.
-# --------------------------------------------------------------------
-def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, "lineitem", sf_dir)
-    part = load(spark, "part", sf_dir)
-    revenue = F.col("l_extendedprice").cast(_PRICE) * (F.lit(1).cast(_RATE) - F.col("l_discount").cast(_RATE))
-    cond = (
-        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 5))
-        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 10))
-        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 25))
-    )
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .where(cond)
-        .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-_Q19_SQL = """
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 5)
-   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 10)
-   OR (p_type = 'PROMO' AND l_quantity >= 25)
-"""
-
-
-# --------------------------------------------------------------------
-# Correlated-subquery shape (TPC-H q17-like): lineitems below 50% of
-# their part's average quantity. Expressed as a windowless self-agg
-# join (decorrelated by hand — the plan Spark/Catalyst would also
-# rewrite to).
-# --------------------------------------------------------------------
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, "lineitem", sf_dir)
-    avg_qty = (
-        li.groupBy("l_partkey")
-        .agg((F.sum(F.col("l_quantity").cast(_PRICE)).cast("double") / F.count(F.lit(1))).alias("avg_qty"))
-        .select(F.col("l_partkey").alias("pk"), "avg_qty")
-    )
-    return (
-        li.join(avg_qty, li.l_partkey == F.col("pk"))
-        .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
-        .agg(
-            F.sum(F.col("l_extendedprice").cast(_PRICE)).cast("double").alias("total_price"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-_Q17_SQL = """
-WITH avg_q AS (
-  SELECT l_partkey AS pk,
-         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
-  FROM lineitem GROUP BY l_partkey
-)
-SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_price,
-       COUNT(*) AS n_items
-FROM lineitem JOIN avg_q ON l_partkey = pk
-WHERE l_quantity < 0.5 * avg_qty
-"""
 
 
 # --------------------------------------------------------------------
@@ -196,26 +72,6 @@ def streaming_fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events table with the SAME ts
-    normalization tables.load applies to the batch read (nanos-as-long
-    -> micros, NTZ -> session-UTC timestamp). The load() call pins the
-    session confs so the stream-side schema inference agrees with
-    what the micro-batches decode; every streaming catalog query
-    shares this one helper so the next ts-flavor fix lands in exactly
-    two places (here and tables.load)."""
-    from goconnect_spark.sources.core import ParquetSource
-    from goconnect_spark.tables import load
-
-    load(spark, "events", sf_dir)
-    src = ParquetSource(f"{sf_dir}/events.parquet", seq_col="event_id", streaming=True)
-    ev = src.read(spark).select("value.*")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
-
-
 # --------------------------------------------------------------------
 # Streaming windowed aggregation with a FULL value oracle: drain the
 # events table through a bounded stream (AvailableNow) into an
@@ -243,11 +99,13 @@ def streaming_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 _STREAM_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
+
 
 
 # --------------------------------------------------------------------
@@ -257,7 +115,7 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 # merges an event into the open session only when it lands STRICTLY
 # within the gap (the window is [start, last + gap)), so the lag-based
 # oracle breaks sessions on gap >= 30 min — note the batch
-# user_sessions query (analytics.py) breaks on gap > 30 min, the
+# user_sessions query (events_series.py) breaks on gap > 30 min, the
 # reference semantics of ITS operator; the two agree everywhere except
 # exact-boundary gaps, which is why each carries its own oracle.
 # --------------------------------------------------------------------
@@ -275,6 +133,7 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    cast(max(session_events) as bigint) as max_session_events
             from {name} group by user_id order by user_id"""
     )
+
 
 
 _STREAM_SESS_SQL = """
@@ -297,6 +156,7 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(MAX(session_events) AS BIGINT) AS max_session_events
 FROM per_sess GROUP BY user_id ORDER BY user_id
 """
+
 
 
 # --------------------------------------------------------------------
@@ -326,9 +186,11 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 _STREAM_DD_SQL = """
 SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
 """
+
 
 
 # --------------------------------------------------------------------
@@ -362,6 +224,7 @@ def streaming_error_context_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 _STREAM_SSJ_SQL = """
 SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM events e JOIN events v
@@ -370,6 +233,7 @@ FROM events e JOIN events v
 WHERE e.event_type = 'error' AND v.event_type IN ('view', 'click')
 GROUP BY e.user_id ORDER BY e.user_id
 """
+
 
 
 # --------------------------------------------------------------------
@@ -404,6 +268,7 @@ def streaming_enrich_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 _STREAM_ENRICH_SQL = """
 WITH d AS (
   SELECT user_id,
@@ -417,20 +282,6 @@ ORDER BY e.user_id
 """
 
 
-QUERIES = {
-    "events_json_buckets": events_json_buckets,
-    "events_daily_pivot": events_daily_pivot,
-    "customer_supplier_nations": customer_supplier_nations,
-    "q19_discounted_revenue": q19_discounted_revenue,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "streaming_fold_count": streaming_fold_count,
-    "streaming_windowed_hourly": streaming_windowed_hourly,
-    "streaming_session_counts": streaming_session_counts,
-    "streaming_dedup_keys": streaming_dedup_keys,
-    "streaming_error_context_join": streaming_error_context_join,
-    "streaming_enrich_cohort": streaming_enrich_cohort,
-}
-
 # the final streaming snapshot == the batch aggregate; decimal sums
 # are exact, and the VARCHAR hop avoids DuckDB's off-by-1-ulp
 # decimal->double cast
@@ -440,16 +291,21 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM lineitem
 """
 
+
+QUERIES = {
+    "streaming_fold_count": streaming_fold_count,
+    "streaming_windowed_hourly": streaming_windowed_hourly,
+    "streaming_session_counts": streaming_session_counts,
+    "streaming_dedup_keys": streaming_dedup_keys,
+    "streaming_error_context_join": streaming_error_context_join,
+    "streaming_enrich_cohort": streaming_enrich_cohort,
+}
+
 ORACLE = {
-    "events_json_buckets": _JSON_SQL,
-    "events_daily_pivot": _PIVOT_SQL,
-    "customer_supplier_nations": _SETOPS_SQL,
-    "q19_discounted_revenue": _Q19_SQL,
-    "q17_small_quantity_revenue": _Q17_SQL,
-    "streaming_fold_count": _STREAM_FOLD_SQL,
     "streaming_windowed_hourly": _STREAM_HOURLY_SQL,
     "streaming_session_counts": _STREAM_SESS_SQL,
     "streaming_dedup_keys": _STREAM_DD_SQL,
     "streaming_error_context_join": _STREAM_SSJ_SQL,
     "streaming_enrich_cohort": _STREAM_ENRICH_SQL,
+    "streaming_fold_count": _STREAM_FOLD_SQL,
 }

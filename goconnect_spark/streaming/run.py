@@ -68,7 +68,7 @@ def session_counts(
     keys: Sequence[str] = ("user_id",),
 ):
     """Session-window aggregation (gap-based) — the streaming twin of
-    queries.analytics.user_sessions."""
+    queries.events_series.user_sessions."""
     return (
         stream.withWatermark(event_time_col, watermark)
         .groupBy(F.session_window(F.col(event_time_col), gap), *keys)

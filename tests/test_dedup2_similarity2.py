@@ -232,7 +232,7 @@ def test_hourly_autocorr_matches_python(spark, tmp_path):
     variance), not a crash or a fake 1.0."""
     import datetime
 
-    from goconnect_spark.queries.analytics8 import hourly_count_autocorr
+    from goconnect_spark.queries.events_series import hourly_count_autocorr
 
     base = datetime.datetime(2025, 1, 1)
     rows = []

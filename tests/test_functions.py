@@ -209,7 +209,7 @@ def test_grouping_sets_null_key_not_conflated_with_rollup(spark, tmp_path):
     # oracle SQL on the same NULL-bearing data.
     import duckdb
 
-    from goconnect_spark.queries.analytics4 import (
+    from goconnect_spark.queries.relational import (
         _GROUPING_SETS_SQL,
         orders_grouping_sets,
     )

@@ -2,7 +2,7 @@
 and state-store size track BATCH size / watermark horizon, not corpus).
 
 The five oracle-gated streaming queries drain with corpus-spanning
-watermarks (required for exact batch parity — analytics2.py). This
+watermarks (required for exact batch parity — queries/streaming_queries.py). This
 tool measures the SAME operators under a realistic 2-hour watermark on
 replicated corpora:
 
