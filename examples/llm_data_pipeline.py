@@ -84,22 +84,60 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     h = F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) % 10")
     split = docs4.withColumn("split", F.when(h == 0, "val").otherwise("train"))
 
-    # 6. pack the train split into 512-token chunks
+    # 6. pack the train split into 512-token chunks — the same
+    # two-phase global cumsum the catalog's sequence_packing uses
+    # (an unpartitioned ORDER BY window would funnel the whole corpus
+    # through one task; see operators/ranking.py)
     train = split.where(F.col("split") == "train").select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    ranged = train.repartitionByRange(F.col("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("pid").agg(F.sum("n_tokens").alias("ptot"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "pid", F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias("poff")
+    )
+    w_in = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     packs = (
-        train.select(
+        ranged.join(F.broadcast(offsets), "pid")
+        .select(
             "doc_id",
             "n_tokens",
-            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / CAP).alias("pack_id"),
+            F.floor(
+                (F.col("poff") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")) / CAP
+            ).alias("pack_id"),
         )
         .groupBy("pack_id")
         .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens"))
     )
     n_packs, tok_total = packs.count(), packs.agg(F.sum("tokens")).collect()[0][0]
     n_val = split.where(F.col("split") == "val").count()
+
+    # 7. deterministic epoch shards: every (epoch, pack) gets a
+    # pseudorandom rank from md5(epoch:pack_id) -> (shard, position),
+    # so any worker recomputes its own shard with no RNG and no
+    # coordinator (the mixing.epoch_shard_assignment pattern, applied
+    # to packs instead of raw docs)
+    from goconnect_spark.operators.ranking import global_row_number
+
+    n_shards = 4
+    shard_stats = []
+    for epoch in range(2):
+        keyed = packs.withColumn(
+            "h", F.md5(F.concat(F.lit(f"{epoch}:"), F.col("pack_id").cast("string")))
+        )
+        ranked = global_row_number(keyed, ["h", "pack_id"], rn_col="rn", with_total=False)
+        per_shard = (
+            ranked.select(F.expr(f"(rn - 1) % {n_shards}").alias("shard"), "tokens")
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("packs"), F.sum("tokens").alias("tokens"))
+            .orderBy("shard")
+        )
+        shard_stats.append((epoch, per_shard.collect()))
 
     print(f"corpus funnel ({sf_dir}):")
     print(f"  raw documents      : {n0}")
@@ -109,8 +147,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"  after lang filter  : {n4}  (-{n3 - n4})")
     print(f"  train/val split    : {n4 - n_val}/{n_val}")
     print(f"  packed             : {n_packs} packs, {tok_total} tokens (cap {CAP})")
+    for epoch, rows in shard_stats:
+        layout = ", ".join(f"s{r.shard}:{r.packs}p/{r.tokens}t" for r in rows)
+        print(f"  epoch {epoch} shards     : {layout}")
     print(f"pipeline completed in {time.time() - t0:.2f} s")
     assert n0 >= n1 >= n2 >= n3 >= n4, "funnel must be monotone"
+    for _, rows in shard_stats:
+        assert sum(r.packs for r in rows) == n_packs, "shards must partition the packs"
     spark.stop()
 
 
