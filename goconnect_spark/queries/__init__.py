@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = (
     #   certificate ages more than ~2 rounds before re-verification.
     # --- tier 0: r6-new / changed at HEAD ---
     "source_containment_matrix",
+    "corpus_drop_reasons",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

@@ -496,3 +496,119 @@ ORACLE = {
     "tfidf_top_terms": _TFIDF_SQL,
     "corpus_snapshot_diff": _SNAPSHOT_DIFF_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# Pipeline provenance: WHY was each document dropped — the "where did
+# my data go" audit every curation pipeline owes its users. Each doc
+# gets the FIRST matching drop reason in pipeline order:
+#   1. exact_dup      non-minimal member of an exact content-hash group
+#   2. near_dup       connected-component non-keeper (minhash clusters)
+#   3. low_quality    < 20 tokens OR integer type-token ratio < 5%
+#   4. lang_filtered  lang not in the target set
+#   5. kept
+# Attribution evaluates every rule on the FULL corpus (the cluster and
+# hash tables the other dedup queries already materialize), then takes
+# the first hit — so the report composes from the session-cached
+# tables instead of re-running the cascade per stage. Scale: three
+# doc-keyed left joins onto broadcast-out drop sets + one token-stats
+# aggregation; output is |sources| x |reasons|.
+# --------------------------------------------------------------------
+_DROP_TARGET_LANGS = ("en", "de", "fr")
+
+
+def corpus_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.queries.dedup import dedup_connected_components
+
+    docs = load(spark, "documents", sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim("text"), " +", " "))
+    hashed = docs.select("doc_id", F.md5(norm).alias("h"))
+    exact_losers = (
+        hashed.join(
+            hashed.groupBy("h").agg(F.min("doc_id").alias("keeper")), "h"
+        )
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", F.lit(1).alias("is_exact_dup"))
+    )
+    near_losers = (
+        dedup_connected_components(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("keeper_doc_id"))
+        .select("doc_id", F.lit(1).alias("is_near_dup"))
+    )
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+    )
+    lowq = stats.where(
+        (F.col("n_tokens") < 20)
+        | (F.expr("(n_types * 100) div n_tokens") < 5)
+    ).select("doc_id", F.lit(1).alias("is_lowq"))
+    langs = ", ".join(f"'{l}'" for l in _DROP_TARGET_LANGS)
+    reason = (
+        F.when(F.col("is_exact_dup").isNotNull(), "exact_dup")
+        .when(F.col("is_near_dup").isNotNull(), "near_dup")
+        .when(F.col("is_lowq").isNotNull(), "low_quality")
+        .when(~F.expr(f"lang IN ({langs})"), "lang_filtered")
+        .otherwise("kept")
+    )
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(exact_losers, "doc_id", "left")
+        .join(near_losers, "doc_id", "left")
+        .join(lowq, "doc_id", "left")
+        .select("source", reason.alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "reason")
+    )
+
+
+def _drop_reasons_sql() -> str:
+    from goconnect_spark.queries.dedup import _cc_oracle_sql
+
+    langs = ", ".join(f"'{l}'" for l in _DROP_TARGET_LANGS)
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS h
+  FROM documents
+),
+exact_losers AS (
+  SELECT doc_id FROM hashed h
+  JOIN (SELECT h, MIN(doc_id) AS keeper FROM hashed GROUP BY h) g USING (h)
+  WHERE doc_id <> keeper
+),
+cc AS ({_cc_oracle_sql()}),
+near_losers AS (SELECT doc_id FROM cc WHERE doc_id <> keeper_doc_id),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_types
+  FROM toks WHERE w <> '' GROUP BY doc_id
+),
+lowq AS (
+  SELECT doc_id FROM stats
+  WHERE n_tokens < 20 OR (n_types * 100) // n_tokens < 5
+),
+attributed AS (
+  SELECT d.source,
+         CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+              WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+              WHEN q.doc_id IS NOT NULL THEN 'low_quality'
+              WHEN d.lang NOT IN ({langs}) THEN 'lang_filtered'
+              ELSE 'kept' END AS reason
+  FROM documents d
+  LEFT JOIN exact_losers e ON e.doc_id = d.doc_id
+  LEFT JOIN near_losers n ON n.doc_id = d.doc_id
+  LEFT JOIN lowq q ON q.doc_id = d.doc_id
+)
+SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM attributed GROUP BY source, reason ORDER BY source, reason
+"""
+
+
+QUERIES["corpus_drop_reasons"] = corpus_drop_reasons
+ORACLE["corpus_drop_reasons"] = _drop_reasons_sql()
