@@ -85,3 +85,49 @@ def test_result_invariant_under_shuffle_partition_count(spark, sf_dir, name):
     assert hashes["32"] == hashes["3"], (
         f"{name} result depends on shuffle partition count"
     )
+
+
+# A second invariance axis: the PHYSICAL strategy (adaptive execution,
+# broadcast-vs-shuffle join selection) must never change results. With
+# autoBroadcastJoinThreshold=-1 every broadcast join in the plan audit
+# becomes a shuffle join; with AQE off no runtime re-planning happens —
+# same hashes either way, or a join is semantically coupled to its
+# physical strategy somewhere.
+CONFIG_SAMPLE = [
+    "q5_region_revenue",        # 6-way star join (broadcast dims)
+    "q21_late_suppliers",       # multi-semi/anti join
+    "purchases_asof_signup",    # as-of join composition
+    "dedup_filtered_corpus",    # minhash join -> CC -> agg cascade
+    "ivm_join_view_delta",      # three delta joins + union
+]
+
+
+@pytest.mark.parametrize("name", CONFIG_SAMPLE)
+def test_result_invariant_under_join_strategy_and_aqe(spark, sf_dir, name):
+    from goconnect_spark.queries import all_queries
+    from goconnect_spark.queries.corpus import _CACHE
+
+    fn = all_queries()[name]
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    hashes = {}
+    try:
+        for label, bc, aqe in (
+            ("default", prev_bc, "true"),
+            ("no-broadcast-no-aqe", "-1", "false"),
+        ):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            for key, df in list(_CACHE.items()):
+                df.unpersist()
+                del _CACHE[key]
+            hashes[label] = _result_hash(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        for key, df in list(_CACHE.items()):
+            df.unpersist()
+            del _CACHE[key]
+    assert hashes["default"] == hashes["no-broadcast-no-aqe"], (
+        f"{name} result depends on join strategy / AQE"
+    )
