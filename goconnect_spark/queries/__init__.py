@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = (
     # --- tier 0: r6-new / changed at HEAD ---
     "source_containment_matrix",
     "corpus_drop_reasons",
+    "bpe_merge_table",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

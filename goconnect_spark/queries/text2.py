@@ -599,3 +599,34 @@ ORACLE = {
     "doc_repetition_ratio": _REPETITION_SQL,
     "vocab_oov_rate": _OOV_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# BPE merge-table induction over the documents corpus — tokenizer
+# training as a catalog query. The merge LOOP is inherently
+# sequential (each merge depends on the previous), so this is the
+# catalog's one rows-only entry: no DuckDB oracle can express the
+# iterative argmax+rewrite, and the driver records the weaker
+# rows-only check. The STRONG verification lives in
+# tests/test_bpe_property.py — the distributed trainer's merge table
+# must EQUAL the sequential reference's on randomized corpora (the
+# same distributed-vs-sequential equivalence contract as PPJoin and
+# PageRank) — and the operator is deterministic by construction
+# (integer frequencies, total-order tie-breaks, no RNG).
+# Scale: pair counting runs over the vocab-sized (word, freq) table,
+# not the corpus; only the 1-row argmax crosses the driver/iteration.
+# --------------------------------------------------------------------
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.operators.bpe import bpe_merges
+
+    docs = load(spark, "documents", sf_dir)
+    merges = bpe_merges(docs, n_merges=8, min_freq=2)
+    return spark.createDataFrame(
+        [(i, a, b, pf) for i, (a, b, pf) in enumerate(merges)],
+        "merge_idx: int, sym_a: string, sym_b: string, pair_freq: bigint",
+    ).orderBy("merge_idx")
+
+
+QUERIES["bpe_merge_table"] = bpe_merge_table
+# no ORACLE entry: iterative argmax loop — rows-only driver check;
+# value-verified against the sequential reference in tests instead

@@ -1,0 +1,80 @@
+"""Distributed-vs-sequential equivalence for BPE merge induction (the
+PPJoin/PageRank contract): on randomized corpora the Spark merge table
+must EQUAL the sequential reference's — same pairs, same order, same
+frequencies — and the applied tokenization must round-trip the text."""
+
+import random
+
+import pytest
+
+from goconnect_spark.operators.bpe import (
+    apply_bpe,
+    bpe_merges,
+    bpe_merges_py,
+    word_freq_table,
+)
+
+
+def _corpus(seed: int, n_docs: int = 40) -> list:
+    rng = random.Random(seed)
+    # small alphabet + repeated stems so merges are meaningful
+    stems = ["spark", "park", "sparse", "apar", "data", "atlas", "lass"]
+    docs = []
+    for i in range(n_docs):
+        words = [rng.choice(stems) + rng.choice(["", "s", "ed"]) for _ in range(rng.randint(3, 12))]
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@pytest.mark.parametrize("seed,n_merges", [(3, 8), (11, 12), (29, 5)])
+def test_bpe_merges_match_sequential_reference(spark, seed, n_merges):
+    docs = spark.createDataFrame(_corpus(seed), "doc_id: long, text: string")
+    got = bpe_merges(docs, n_merges=n_merges, min_freq=2)
+    wf = {r.word: r.freq for r in word_freq_table(docs).collect()}
+    want = bpe_merges_py(wf, n_merges=n_merges, min_freq=2)
+    assert got == want
+
+
+def test_apply_bpe_tokens_reconstruct_text(spark):
+    docs = spark.createDataFrame(_corpus(7), "doc_id: long, text: string")
+    merges = bpe_merges(docs, n_merges=10)
+    assert merges, "expected at least one merge on a stem-heavy corpus"
+    toked = apply_bpe(docs, merges).collect()
+    for r in toked:
+        # stripping the end-of-word sentinels and joining must rebuild
+        # the original text exactly — BPE is a lossless segmentation
+        rebuilt = (
+            "".join(r.bpe_tokens)
+            .replace("</w>", " ")
+            .rstrip(" ")
+        )
+        assert rebuilt == r.text
+        # and the learned merges actually compress: fewer symbols than
+        # raw chars+sentinels for at least some rows is checked globally
+    raw_syms = sum(len(r.text.replace(" ", "")) + len(r.text.split(" ")) for r in toked)
+    bpe_syms = sum(len(r.bpe_tokens) for r in toked)
+    assert bpe_syms < raw_syms
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    # "aaa" + merge (a,a) must tokenize as [aa, a</w>-ish], never [a, aa]
+    docs = spark.createDataFrame([(0, "aaa aaa aa")], "doc_id: long, text: string")
+    merges = bpe_merges(docs, n_merges=1, min_freq=1)
+    assert merges[0][:2] == ("a", "a")
+    toked = apply_bpe(docs, merges).collect()[0].bpe_tokens
+    # words: aaa -> [aa, a, </w>], aaa -> same, aa -> [aa, </w>]
+    assert toked == ["aa", "a", "</w>", "aa", "a", "</w>", "aa", "</w>"]
+
+
+def test_bpe_on_pathological_corpus(spark):
+    # empty docs, 1-char docs, identical docs, a word of one repeated
+    # char — the degenerate shapes the randomized differential uses
+    docs = [
+        (0, ""), (1, "a"), (2, "a"), (3, "aaaaaa"),
+        (4, "same same same"), (5, "same same same"),
+        (6, "x y z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = bpe_merges(df, n_merges=6, min_freq=2)
+    wf = {r.word: r.freq for r in word_freq_table(df).collect()}
+    assert got == bpe_merges_py(wf, n_merges=6, min_freq=2)
