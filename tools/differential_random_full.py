@@ -160,6 +160,12 @@ def _compare_all(spark, con, tmp, qs, oracles) -> list:
         try:
             sdf = fn(spark, tmp)
             scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                # rows-only catalog entry (e.g. bpe_merge_table):
+                # executed for crash-safety; value check lives in its
+                # sequential-equivalence property test
+                print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+                continue
             res = con.execute(oracles[name])
             dcols, drows = [d[0] for d in res.description], res.fetchall()
         except Exception as e:  # noqa: BLE001
