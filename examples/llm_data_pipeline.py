@@ -146,7 +146,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"  after quality      : {n3}  (-{n2 - n3})")
     print(f"  after lang filter  : {n4}  (-{n3 - n4})")
     print(f"  train/val split    : {n4 - n_val}/{n_val}")
+    # 8. tokenizer induction on the TRAIN split only (never val — the
+    # same leakage rule as any learned artifact): distributed BPE over
+    # the vocab-reduced word table (operators/bpe.py)
+    from goconnect_spark.operators.bpe import bpe_merges
+
+    train_docs = split.where(F.col("split") == "train").select("doc_id", "text")
+    merges = bpe_merges(train_docs, n_merges=8, min_freq=2)
+
     print(f"  packed             : {n_packs} packs, {tok_total} tokens (cap {CAP})")
+    print(
+        "  bpe merges (train) : "
+        + ", ".join(f"{a}+{b}({f})" for a, b, f in merges[:6])
+        + (" …" if len(merges) > 6 else "")
+    )
     for epoch, rows in shard_stats:
         layout = ", ".join(f"s{r.shard}:{r.packs}p/{r.tokens}t" for r in rows)
         print(f"  epoch {epoch} shards     : {layout}")
