@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = (
     "source_containment_matrix",
     "corpus_drop_reasons",
     "bpe_merge_table",
+    "streaming_ann_lookup",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

@@ -309,3 +309,103 @@ ORACLE = {
     "streaming_enrich_cohort": _STREAM_ENRICH_SQL,
     "streaming_fold_count": _STREAM_FOLD_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# Stream-STATIC ANN serving — the sixth streaming surface: online
+# vector lookup against a pre-built IVF index. The index side is the
+# batch-built k-means member table (similarity._kmeans_member: frozen
+# quantized centroids, in-row argmax assignment) plus per-vector
+# norms; the PROBE side is the embeddings table drained as a stream,
+# each probe assigned to its cell with the SAME stateless in-row
+# projection, then inner-joined stream-static on the cell key — a
+# probe touches ~1/k of the corpus, which is the property that makes
+# online ANN serving viable at 100 TB. One streaming aggregation
+# (complete mode) takes the per-probe argmax via the associative
+# max(struct(cosine, -vec_id)) — cosine desc, vec_id asc, the exact
+# tie rule of the oracle's ROW_NUMBER. Value-verified: the drained
+# final state must hash-match the batch per-probe top-1 computed by
+# DuckDB from scratch.
+# --------------------------------------------------------------------
+def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from goconnect_spark.queries.similarity import _kmeans_member, _norms_cached
+    from goconnect_spark.sources.core import ParquetSource
+    from goconnect_spark.streaming.run import run_bounded
+
+    emb = load(spark, "embeddings", sf_dir)
+    index = _kmeans_member(emb).join(_norms_cached(spark, sf_dir), "vec_id")
+
+    src = ParquetSource(
+        f"{sf_dir}/embeddings.parquet", seq_col="vec_id", streaming=True
+    )
+    probe_raw = src.read(spark).select("value.*")
+    probes = (
+        _kmeans_member(probe_raw)
+        .select(F.col("vec_id").alias("probe_id"), F.col("qs").alias("pqs"), "cell")
+        .withColumn(
+            "pnrm",
+            F.expr(
+                "sqrt(CAST(aggregate(pqs, CAST(0 AS BIGINT),"
+                " (acc, v) -> acc + v * v) AS DOUBLE))"
+            ),
+        )
+    )
+    pdot = F.expr(
+        "aggregate(zip_with(qs, pqs, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    joined = (
+        probes.join(index, "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            (pdot.cast("double") / (F.col("nrm") * F.col("pnrm"))).alias("cosine"),
+            "vec_id",
+        )
+    )
+    best = joined.groupBy("probe_id").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("vec_id")).alias("nv"))).alias("b")
+    )
+    name = f"stream_ann_{uuid.uuid4().hex[:8]}"
+    run_bounded(best, name, output_mode="complete")
+    return spark.sql(
+        f"""select probe_id, -b.nv as nn_vec_id, b.cosine as cosine
+            from {name} order by probe_id"""
+    )
+
+
+def _stream_ann_sql() -> str:
+    from goconnect_spark.queries.similarity import _ASSIGN_CTES, _QUANT_CTE
+
+    return f"""
+WITH {_QUANT_CTE},
+{_ASSIGN_CTES},
+dots AS (
+  SELECT p.vec_id AS probe_id, a.vec_id, SUM(cq.q * pq.q) AS dot
+  FROM assign p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+  JOIN quant cq ON cq.vec_id = a.vec_id
+  JOIN quant pq ON pq.vec_id = p.vec_id AND pq.d = cq.d
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT d.probe_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / (nv.nrm * np.nrm) AS cosine
+  FROM dots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms np ON np.vec_id = d.probe_id
+)
+SELECT probe_id, vec_id AS nn_vec_id, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM cos
+) WHERE rk = 1
+ORDER BY probe_id
+"""
+
+
+QUERIES["streaming_ann_lookup"] = streaming_ann_lookup
+ORACLE["streaming_ann_lookup"] = _stream_ann_sql()

@@ -74,6 +74,7 @@ def _random_corpus(seed: int, n: int = 60):
 
 
 EMB_QUERIES = [
+    "streaming_ann_lookup",
     "ann_random_projection_recall",
     "cosine_topk",
     "ann_sq8_rerank",
