@@ -67,6 +67,8 @@ _DRIVER_PRIORITY = (
     "corpus_drop_reasons",
     "bpe_merge_table",
     "streaming_ann_lookup",
+    "bm25_keyword_topk",
+    "salted_segment_activity",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

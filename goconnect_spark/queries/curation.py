@@ -612,3 +612,106 @@ FROM attributed GROUP BY source, reason ORDER BY source, reason
 
 QUERIES["corpus_drop_reasons"] = corpus_drop_reasons
 ORACLE["corpus_drop_reasons"] = _drop_reasons_sql()
+
+
+# --------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson/Spärck Jones, the Okapi weighting
+# every search stack ships) in integer fixed point. Query terms are
+# data-derived so the ranking is meaningful on ANY corpus: the 3
+# highest-df tokens appearing in at most half the documents — the
+# mid-frequency band real search terms live in. k1=1.2, b=0.75 are
+# carried as exact rationals: with L = total tokens and N = docs,
+#   tf + k1*(1-b + b*dl/avgdl)  ==  (10*L*tf + 3*L + 9*dl*N) / (10*L)
+# so the per-term quotient is integer DIV over identical operands in
+# both engines; idf uses the log-free monotone surrogate
+# (N-df)*1e4 DIV df (float ln() is a last-ulp portability trap —
+# same policy as tfidf_top_terms above). 100 TB shape: tf and dl are
+# one shared tokenize pass (session-cached corpus layer), df is
+# vocabulary-sized (broadcastable), the N/L scalars ride a 1-row
+# broadcast, and the final top-20 is TakeOrdered — no global sort,
+# no window, no Python.
+# --------------------------------------------------------------------
+_BM25_NTERMS = 3
+_BM25_TOPK = 20
+
+
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = doc_token_arrays(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("l"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = (
+        doc_tokens_distinct(spark, sf_dir)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    terms = (
+        dfreq.crossJoin(scal.select("n"))
+        .where(F.col("df") * 2 <= F.col("n"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(_BM25_NTERMS)
+        .select("tok", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(terms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(scal)
+        .select(
+            "doc_id",
+            (
+                F.expr("((n - df) * 10000) DIV df")
+                * F.expr(
+                    "(tf * 22 * l * 1000000)"
+                    " DIV (10 * l * tf + 3 * l + 9 * dl * n)"
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").cast("long").alias("bm25_fp"))
+        .orderBy(F.desc("bm25_fp"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l FROM dl
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+), terms AS (
+  SELECT tok, df FROM dfreq, scal WHERE df * 2 <= scal.n
+  ORDER BY df DESC, tok LIMIT {_BM25_NTERMS}
+), scored AS (
+  SELECT tf.doc_id,
+         (((scal.n - terms.df) * 10000) // terms.df)
+         * ((tf.tf * 22 * scal.l * 1000000)
+            // (10 * scal.l * tf.tf + 3 * scal.l + 9 * dl.dl * scal.n)) AS s
+  FROM tf
+  JOIN terms ON tf.tok = terms.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN scal
+)
+SELECT doc_id, CAST(SUM(s) AS BIGINT) AS bm25_fp
+FROM scored GROUP BY doc_id
+ORDER BY bm25_fp DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+QUERIES["bm25_keyword_topk"] = bm25_keyword_topk
+ORACLE["bm25_keyword_topk"] = _BM25_SQL

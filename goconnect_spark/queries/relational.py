@@ -954,3 +954,53 @@ ORACLE = {
     "price_size_regression": _REGRESSION_SQL,
     "order_value_pareto": _PARETO_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# Skew-mitigated enrichment join under oracle. events is the large
+# fact side; at 100 TB a handful of hot users (bots, load tests) can
+# put one shuffle partition hours behind the rest — AQE's skew split
+# handles moderate cases, but the pathological single-key hotspot is
+# what operators/joins.salted_join exists for: the fact side gets a
+# deterministic hash(event_id) % 8 salt, the customer dim is exploded
+# 8x (still broadcast-sized), and the join key becomes (user_id,
+# salt), spreading every hot key over 8 reducers. The DuckDB oracle
+# runs the PLAIN join — the salted plan must be value-identical.
+# Money sums ride DECIMAL so they are order-independent.
+# --------------------------------------------------------------------
+def salted_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.operators.joins import salted_join
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", _dec("value").alias("v")
+    )
+    cust = load(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, ["user_id"], n_salts=8, salt_source="event_id")
+    return (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+_SALTED_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+ORDER BY c.c_mktsegment, e.event_type
+"""
+
+
+QUERIES["salted_segment_activity"] = salted_segment_activity
+ORACLE["salted_segment_activity"] = _SALTED_SQL

@@ -18,6 +18,7 @@ from tools.verify_local import _hash_rows, _norm  # reuse the driver mirror
 # documents-only catalog queries (no orders/events/embeddings input):
 # the families whose semantics depend most on corpus shape
 DOC_QUERIES = [
+    "bm25_keyword_topk",
     "source_containment_matrix",
     "corpus_drop_reasons",
     "epoch_shard_assignment",
@@ -136,6 +137,7 @@ def test_embeddings_queries_hash_match_on_random_vectors(spark, tmp_path, seed):
 
 
 RELATIONAL_QUERIES = [
+    "salted_segment_activity",
     "ivm_join_view_delta",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -195,8 +197,19 @@ def _write_star(spark, tmp_path, seed: int):
                  round(rng.randrange(0, 9) / 100.0, 2), rng.choice(["A", "N", "R"]),
                  rng.choice(["F", "O"]), od + datetime.timedelta(days=rng.randrange(1, 120)))
             )
+    # events with a PLANTED HOT KEY (user 1 takes ~35% of all events):
+    # exercises the salted-join path on exactly the skew it exists for
+    events = []
+    for eid in range(300):
+        uid = 1 if rng.random() < 0.35 else rng.randrange(40)
+        ts = base + datetime.timedelta(minutes=rng.randrange(0, 60 * 24 * 30))
+        events.append(
+            (eid, ts, uid, rng.choice(["view", "click", "purchase", "error"]),
+             round(rng.uniform(-50, 500), 2), f'{{"k": {rng.randrange(100)}}}')
+        )
     specs = {
         "region": (region, "r_regionkey int, r_name string"),
+        "events": (events, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"),
         "nation": (nation, "n_nationkey int, n_name string, n_regionkey int"),
         "customer": (customer, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"),
         "supplier": (supplier, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"),

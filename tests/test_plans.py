@@ -250,6 +250,7 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "weekly_active_users": {"BroadcastNestedLoopJoin"},  # 1-row day-span bounds
         "zorder_pruning_stats": {"BroadcastNestedLoopJoin"}, # 1-row grid bounds + 3-row predicate table
         "dsir_importance_weights": {"BroadcastNestedLoopJoin"},  # 1-row corpus feature totals
+        "bm25_keyword_topk": {"BroadcastNestedLoopJoin"},    # 1-row N/L corpus scalars (x2)
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
