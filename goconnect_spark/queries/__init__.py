@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = (
     "streaming_ann_lookup",
     "bm25_keyword_topk",
     "salted_segment_activity",
+    "hll_sliding_7d_users",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

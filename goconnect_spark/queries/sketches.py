@@ -599,3 +599,104 @@ GROUP BY p.tok, p.exact_count
 
 QUERIES["word_freq_cms"] = word_freq_cms
 ORACLE["word_freq_cms"] = _CMS_SQL
+
+
+# --------------------------------------------------------------------
+# Sliding-window HLL MERGE: distinct users over a trailing 7-day
+# window, per day — the op that makes sketches worth carrying at
+# 100 TB. An exact sliding distinct re-touches every window's raw
+# rows (7x read amplification, unbounded state); the sketch version
+# reduces each day ONCE to its 1024 max-rho registers (a few KB),
+# then every window is a register-wise MAX of 7 daily sketches —
+# partial state is reused across overlapping windows, which is the
+# mergeability property that register-max gives and exact distinct
+# fundamentally lacks. Zero registers are counted by difference
+# (m - buckets present), so no dense m-row join per window. Same
+# md5/conv bit arithmetic as events_distinct_hll above — identical
+# integers in both engines; the estimate divides identical operands.
+# --------------------------------------------------------------------
+def hll_sliding_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    daily = (
+        ev.selectExpr(
+            "cast(ts as date) as day",
+            "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint) as hv",
+        )
+        .selectExpr("day", "shiftright(hv, 50) as bucket", f"hv & {_W_MASK} as w")
+        .selectExpr(
+            "day",
+            "bucket",
+            "case when w = 0 then 51 else 51 - length(conv(w, 10, 2)) end as rho",
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    days = ev.select(F.to_date("ts").alias("window_day")).distinct()
+    contrib = (
+        daily.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .withColumn("window_day", F.expr("date_add(day, off)"))
+        .join(days, "window_day", "left_semi")
+    )
+    wregs = contrib.groupBy("window_day", "bucket").agg(F.max("rho").alias("rho"))
+    return (
+        wregs.groupBy("window_day")
+        .agg(
+            F.expr("cast(count(*) as bigint) as present"),
+            F.expr("sum(shiftleft(cast(1 as bigint), 51 - rho)) as present_denom"),
+        )
+        .selectExpr(
+            "window_day",
+            f"cast({_HLL_M} as bigint) - present as zero_registers",
+            f"present_denom + ({_HLL_M} - present)"
+            " * shiftleft(cast(1 as bigint), 51) as harmonic_denom",
+        )
+        .selectExpr(
+            "window_day",
+            "zero_registers",
+            "harmonic_denom",
+            f"cast({_HLL_SCALE} as double)"
+            " / cast(harmonic_denom as double) as estimate_users",
+        )
+        .orderBy("window_day")
+    )
+
+
+_HLL_SLIDING_SQL = f"""
+WITH daily AS (
+  SELECT day, bucket,
+         MAX(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END) AS rho
+  FROM (
+    SELECT CAST(ts AS DATE) AS day, hv >> 50 AS bucket, hv & {_W_MASK} AS w
+    FROM (SELECT ts, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+          FROM events)
+  ) GROUP BY day, bucket
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS window_day FROM events),
+contrib AS (
+  SELECT d.day + CAST(o.range AS INTEGER) AS window_day, d.bucket, d.rho
+  FROM daily d CROSS JOIN range(7) o
+  WHERE d.day + CAST(o.range AS INTEGER) IN (SELECT window_day FROM days)
+),
+wregs AS (
+  SELECT window_day, bucket, MAX(rho) AS rho FROM contrib GROUP BY 1, 2
+),
+wagg AS (
+  SELECT window_day,
+         CAST(COUNT(*) AS BIGINT) AS present,
+         CAST(SUM(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS present_denom
+  FROM wregs GROUP BY 1
+)
+SELECT window_day,
+       {_HLL_M} - present AS zero_registers,
+       present_denom + ({_HLL_M} - present) * (CAST(1 AS BIGINT) << 51)
+         AS harmonic_denom,
+       CAST({_HLL_SCALE} AS DOUBLE)
+         / CAST(present_denom + ({_HLL_M} - present) * (CAST(1 AS BIGINT) << 51)
+                AS DOUBLE) AS estimate_users
+FROM wagg
+ORDER BY window_day
+"""
+
+
+QUERIES["hll_sliding_7d_users"] = hll_sliding_7d_users
+ORACLE["hll_sliding_7d_users"] = _HLL_SLIDING_SQL
