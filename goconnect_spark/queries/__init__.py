@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = (
     "bm25_keyword_topk",
     "salted_segment_activity",
     "hll_sliding_7d_users",
+    "source_budget_waterfill",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

@@ -366,3 +366,106 @@ ORDER BY a.probe_id
 
 QUERIES["ann_random_projection_recall"] = ann_random_projection_recall
 ORACLE["ann_random_projection_recall"] = _rp_oracle_sql()
+
+
+# --------------------------------------------------------------------
+# Water-filling token-budget allocation across sources: given a global
+# training budget B (60% of corpus tokens here), find the integer cap
+# t* such that sum_s min(tokens_s, t*) fills the budget — small
+# sources are taken whole, large ones truncated at a common water
+# line. This is the standard way a mixture is rebalanced when one
+# crawl dominates (the cap is what keeps 90%-web corpora from
+# drowning curated sources). Exact integer algorithm: sort sources by
+# size ascending (|sources| rows — bounded, this is a dimension-sized
+# window, not a data-sized one), prefix-sum C_i, pick the largest i
+# with C_i + (n-i)*tokens_i <= B (sources 1..i fully funded), then
+# t* = (B - C_i) DIV (n - i). One corpus aggregation feeds it; the
+# solve itself touches |sources| rows. All arithmetic is integer, so
+# both engines produce identical allocations.
+# --------------------------------------------------------------------
+_WF_NUM, _WF_DEN = 6, 10  # budget = 60% of corpus tokens
+
+
+def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    w = Window.orderBy("tokens", "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_src.select(
+        "source",
+        "tokens",
+        F.row_number()
+        .over(Window.orderBy("tokens", "source"))
+        .cast("long")
+        .alias("i"),
+        F.sum("tokens").over(w).cast("long").alias("c"),
+    )
+    scal = per_src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("tokens").cast("long").alias("total"),
+        F.max("tokens").cast("long").alias("maxtok"),
+    ).selectExpr("n", "maxtok", f"total * {_WF_NUM} DIV {_WF_DEN} as budget")
+    pick = (
+        ranked.crossJoin(scal)
+        .where(F.expr("c + (n - i) * tokens <= budget"))
+        .agg(F.max(F.struct("i", "c")).alias("p"))
+        .selectExpr(
+            "coalesce(p.i, cast(0 as bigint)) as istar",
+            "coalesce(p.c, cast(0 as bigint)) as cstar",
+        )
+    )
+    return (
+        ranked.crossJoin(scal)
+        .crossJoin(pick)
+        .selectExpr(
+            "source",
+            "tokens",
+            "budget",
+            "case when n = istar then maxtok"
+            " else (budget - cstar) DIV (n - istar) end as cap",
+        )
+        .selectExpr("source", "tokens", "budget", "cap",
+                    "least(tokens, cap) as allocated")
+        .orderBy("source")
+    )
+
+
+_WATERFILL_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, tokens,
+         CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT) AS i,
+         CAST(SUM(tokens) OVER (ORDER BY tokens, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+  FROM per_src
+),
+scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MAX(tokens) AS BIGINT) AS maxtok,
+         (CAST(SUM(tokens) AS BIGINT) * {_WF_NUM}) // {_WF_DEN} AS budget
+  FROM per_src
+),
+pick AS (
+  SELECT COALESCE(MAX_BY(i, i), 0) AS istar, COALESCE(MAX_BY(c, i), 0) AS cstar
+  FROM ranked, scal
+  WHERE c + (n - i) * tokens <= budget
+)
+SELECT r.source, r.tokens, s.budget,
+       CASE WHEN s.n = p.istar THEN s.maxtok
+            ELSE (s.budget - p.cstar) // (s.n - p.istar) END AS cap,
+       LEAST(r.tokens,
+             CASE WHEN s.n = p.istar THEN s.maxtok
+                  ELSE (s.budget - p.cstar) // (s.n - p.istar) END) AS allocated
+FROM ranked r, scal s, pick p
+ORDER BY r.source
+"""
+
+
+QUERIES["source_budget_waterfill"] = source_budget_waterfill
+ORACLE["source_budget_waterfill"] = _WATERFILL_SQL

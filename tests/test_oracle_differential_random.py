@@ -19,6 +19,7 @@ from tools.verify_local import _hash_rows, _norm  # reuse the driver mirror
 # the families whose semantics depend most on corpus shape
 DOC_QUERIES = [
     "bm25_keyword_topk",
+    "source_budget_waterfill",
     "source_containment_matrix",
     "corpus_drop_reasons",
     "epoch_shard_assignment",

@@ -27,6 +27,9 @@ SAMPLE = [
     "epoch_shard_assignment",      # hash-ordered global shuffle
     "sequence_packing",            # two-phase cumsum packer
     "ivm_merge_hourly_counts",     # monoid merge of partials
+    "bm25_keyword_topk",           # fixed-point DIV scoring + TakeOrdered
+    "salted_segment_activity",     # salt explode must not change the join result
+    "hll_sliding_7d_users",        # register max-merge across windows
 ]
 
 
