@@ -91,6 +91,14 @@ QUERIES = [
     "dsir_importance_weights",
     "corpus_snapshot_diff",
     "dedup_quality_keepers",
+    # round-6 additions (documents-only inputs): BM25 shares the
+    # cached token pass; its df table is vocabulary-sized (replica
+    # prefixes make vocab scale with m — worst case for the term
+    # join) and the final top-20 is TakeOrdered. The water-fill solve
+    # is |sources|-sized regardless of m: wall should track the one
+    # corpus aggregation feeding it.
+    "bm25_keyword_topk",
+    "source_budget_waterfill",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles
