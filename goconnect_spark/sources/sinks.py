@@ -168,3 +168,58 @@ def _mode_for(df: DataFrame) -> str:
     except Exception:
         return "append"
     return "update" if "Aggregate" in plan else "append"
+
+
+@dataclass
+class IdempotentForeachBatchSink:
+    """Exactly-once delivery to NON-transactional targets (object
+    stores, queues, HTTP endpoints) over Structured Streaming's
+    at-least-once foreachBatch replay contract.
+
+    Spark guarantees a failed/restarted query redelivers the SAME
+    (batch_id, data); turning that into exactly-once is the sink's
+    job. The built-in file sink does it with its own commit log
+    (ParquetSink above); for everything else the standard pattern is
+    a batch-id commit LEDGER, which this wrapper provides around any
+    `write_fn(df, batch_id)`:
+
+      - a batch is written only if `batch_id` has no ledger marker;
+      - the marker is created by ATOMIC RENAME only after write_fn
+        returns — a crash between write and mark re-runs the batch,
+        so write_fn must tolerate its own partial output (e.g. write
+        to a batch-id-suffixed path, or make the target upsert);
+      - redelivered batches (checkpoint restart, speculative rerun)
+        become no-ops.
+
+    The ledger is one empty file per batch — O(#batches), pruneable
+    from the tail. On a cluster, point `ledger_dir` at shared/object
+    storage (the rename-commit idiom is what the HDFS/S3A committers
+    use); the reference's per-delivery ack (io/amqp09/, kafka sink
+    commitOffsets io/kafka1/sink.go:109-128) is the same protocol at
+    element granularity.
+    """
+
+    write_fn: object  # Callable[[DataFrame, int], None]
+    ledger_dir: str
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        import os
+
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        mark = os.path.join(self.ledger_dir, f"batch-{batch_id}")
+        if os.path.exists(mark):
+            return  # duplicate delivery: already committed
+        self.write_fn(df, batch_id)
+        tmp = f"{mark}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w"):
+            pass
+        os.rename(tmp, mark)  # atomic commit point
+
+    def write_stream(self, df: DataFrame, checkpoint: str, trigger=None,
+                     output_mode: str = "append"):
+        w = (
+            df.writeStream.foreachBatch(self)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+        )
+        return _apply_trigger(w, trigger).start()
