@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = (
     "salted_segment_activity",
     "hll_sliding_7d_users",
     "source_budget_waterfill",
+    "streaming_ivm_hourly_counts",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

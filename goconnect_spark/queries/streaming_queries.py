@@ -409,3 +409,91 @@ ORDER BY probe_id
 
 QUERIES["streaming_ann_lookup"] = streaming_ann_lookup
 ORACLE["streaming_ann_lookup"] = _stream_ann_sql()
+
+
+# --------------------------------------------------------------------
+# Streaming INCREMENTAL VIEW MAINTENANCE — the seventh streaming
+# surface: a materialized hourly aggregate maintained across real
+# micro-batches by operators/storage.merge_aggregate, instead of a
+# built-in stateful operator. The events table is split into 4 files
+# and drained with maxFilesPerTrigger=1, so foreachBatch fires 4
+# times; each batch reduces to its DELTA partial aggregate (hour x
+# type grain) and merges into the running view — delta-sized work per
+# batch, the O(delta) upsert that replaces an O(100 TB) nightly
+# rebuild. The view lives as a localCheckpoint'ed DataFrame (cluster
+# memory, lineage truncated each merge, so the plan stays flat over
+# any number of batches); merge order cannot matter because the
+# measures are commutative monoids (count, DECIMAL sum), which is
+# exactly the IVM correctness condition the oracle verifies: the
+# 4-batch incrementally-merged view must hash-match DuckDB
+# aggregating the whole table from scratch.
+# --------------------------------------------------------------------
+def streaming_ivm_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from goconnect_spark.operators.storage import merge_aggregate
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "ts", "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    work = tempfile.mkdtemp(prefix=f"ivm_stream_{uuid.uuid4().hex[:8]}_")
+    try:
+        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(
+            f"{work}/events"
+        )
+        state = {"view": None}
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            delta = bdf.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour"
+                ),
+                "event_type",
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("v").alias("sum_value"),
+            )
+            if state["view"] is None:
+                state["view"] = delta.localCheckpoint()
+            else:
+                state["view"] = merge_aggregate(
+                    state["view"], delta, ["hour", "event_type"],
+                    ["n_events", "sum_value"],
+                ).localCheckpoint()
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/events")
+            .writeStream.foreachBatch(merge_batch)
+            .option(
+                "checkpointLocation", f"{work}/chk"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return state["view"].select(
+        "hour",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("hour", "event_type")
+
+
+_STREAM_IVM_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+QUERIES["streaming_ivm_hourly_counts"] = streaming_ivm_hourly_counts
+ORACLE["streaming_ivm_hourly_counts"] = _STREAM_IVM_SQL

@@ -262,6 +262,7 @@ def test_relational_queries_hash_match_on_random_star(spark, tmp_path, seed):
 
 EVENT_QUERIES = [
     "hll_sliding_7d_users",
+    "streaming_ivm_hourly_counts",
     "ivm_merge_hourly_counts",
     "events_hourly",
     "user_sessions",
