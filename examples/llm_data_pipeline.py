@@ -9,6 +9,8 @@ families composed the way a real corpus build uses them.
       │ 3. quality filter        (token stats: length + stopword +
       │                           type/token thresholds)
       │ 4. language filter       (keep target langs by label)
+      │ 4b. token budget         (water-fill a 60% budget across
+      │                           sources; greedy md5-order take)
       │ 5. deterministic split   (md5-mod: 90% train / 10% val)
       │ 6. sequence packing      (512-token chunked packs)
       ▼ packed training batches + a stats report
@@ -80,9 +82,38 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     docs4 = docs3.where(F.col("lang").isin(*TARGET_LANGS))
     n4 = docs4.count()
 
+    # 4b. source balance: water-fill a 60% token budget across the
+    # surviving sources (mixing.waterfill_allocation — small sources
+    # taken whole, dominant ones truncated at the common water line),
+    # then take each source's share greedily in md5 order so the
+    # subsample is deterministic and replayable. The per-source cumsum
+    # window parallelizes across sources; a single 100 TB source would
+    # use the grouped two-phase cumsum instead (token_budget_sample).
+    from goconnect_spark.queries.mixing import waterfill_allocation
+
+    per_src = docs4.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    alloc = waterfill_allocation(per_src).select("source", "cap")
+    sized = docs4.select(
+        "doc_id", "source", "lang", "text",
+        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w_src = Window.partitionBy("source").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    docs5 = (
+        sized.join(F.broadcast(alloc), "source")
+        .withColumn("cum", F.sum("ntok").over(w_src))
+        .where(F.col("cum") <= F.col("cap"))
+        .select("doc_id", "source", "lang", "text")
+    )
+    n5 = docs5.count()
+
     # 5. deterministic split (no RNG: md5-mod)
     h = F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint) % 10")
-    split = docs4.withColumn("split", F.when(h == 0, "val").otherwise("train"))
+    split = docs5.withColumn("split", F.when(h == 0, "val").otherwise("train"))
 
     # 6. pack the train split into 512-token chunks — the same
     # two-phase global cumsum the catalog's sequence_packing uses
@@ -145,7 +176,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     print(f"  after near-dedup   : {n2}  (-{n1 - n2})")
     print(f"  after quality      : {n3}  (-{n2 - n3})")
     print(f"  after lang filter  : {n4}  (-{n3 - n4})")
-    print(f"  train/val split    : {n4 - n_val}/{n_val}")
+    print(f"  after token budget : {n5}  (-{n4 - n5})")
+    print(f"  train/val split    : {n5 - n_val}/{n_val}")
     # 8. tokenizer induction on the TRAIN split only (never val — the
     # same leakage rule as any learned artifact): distributed BPE over
     # the vocab-reduced word table (operators/bpe.py)
@@ -164,7 +196,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         layout = ", ".join(f"s{r.shard}:{r.packs}p/{r.tokens}t" for r in rows)
         print(f"  epoch {epoch} shards     : {layout}")
     print(f"pipeline completed in {time.time() - t0:.2f} s")
-    assert n0 >= n1 >= n2 >= n3 >= n4, "funnel must be monotone"
+    assert n0 >= n1 >= n2 >= n3 >= n4 >= n5, "funnel must be monotone"
     for _, rows in shard_stats:
         assert sum(r.packs for r in rows) == n_packs, "shards must partition the packs"
     spark.stop()

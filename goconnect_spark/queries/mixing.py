@@ -386,11 +386,13 @@ ORACLE["ann_random_projection_recall"] = _rp_oracle_sql()
 _WF_NUM, _WF_DEN = 6, 10  # budget = 60% of corpus tokens
 
 
-def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
-    per_src = docs.groupBy("source").agg(
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
-    )
+def waterfill_allocation(
+    per_src: DataFrame, num: int = _WF_NUM, den: int = _WF_DEN
+) -> DataFrame:
+    """The reusable solve: (source, tokens) -> (source, tokens,
+    budget, cap, allocated) with budget = total * num DIV den. Also
+    the operator the pipeline example's budget stage calls on its
+    FILTERED corpus — the catalog query below feeds it the raw one."""
     w = Window.orderBy("tokens", "source").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -407,7 +409,7 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("tokens").cast("long").alias("total"),
         F.max("tokens").cast("long").alias("maxtok"),
-    ).selectExpr("n", "maxtok", f"total * {_WF_NUM} DIV {_WF_DEN} as budget")
+    ).selectExpr("n", "maxtok", f"total * {num} DIV {den} as budget")
     pick = (
         ranked.crossJoin(scal)
         .where(F.expr("c + (n - i) * tokens <= budget"))
@@ -431,6 +433,14 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "least(tokens, cap) as allocated")
         .orderBy("source")
     )
+
+
+def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    return waterfill_allocation(per_src)
 
 
 _WATERFILL_SQL = f"""
