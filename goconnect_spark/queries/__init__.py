@@ -24,6 +24,7 @@ from goconnect_spark.queries import (
     layout,
     mixing,
     packing,
+    pq,
     relational,
     streaming_queries,
     tpch,
@@ -37,7 +38,7 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph_queries, curation, dedup, dedup2, filtering, layout, mixing, sampling, similarity, similarity2, sketches, text, text2, packing, quality)
+ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph_queries, curation, dedup, dedup2, filtering, layout, mixing, sampling, similarity, similarity2, pq, sketches, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
@@ -72,6 +73,8 @@ _DRIVER_PRIORITY = (
     "hll_sliding_7d_users",
     "source_budget_waterfill",
     "streaming_ivm_hourly_counts",
+    "ann_pq_adc_rerank",
+    "ann_pq_recall",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",
