@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = (
     "streaming_ivm_hourly_counts",
     "ann_pq_adc_rerank",
     "ann_pq_recall",
+    "ann_ivfpq_topk",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

@@ -359,3 +359,168 @@ ORDER BY nt.probe_id
 
 QUERIES["ann_pq_recall"] = ann_pq_recall
 ORACLE["ann_pq_recall"] = _pq_recall_sql()
+
+
+def _pq_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_id, m, k, lutdot): each probe's 4x16 integer dot table
+    against the codebooks — the per-query precompute ADC scanning
+    amortizes over the whole corpus."""
+    quant = _quant_cached(spark, sf_dir)
+    return (
+        quant.where(F.col("vec_id") < _N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "d", "q")
+        .join(F.broadcast(_cb(spark)), "d")
+        .groupBy("probe_id", "m", "k")
+        .agg(F.sum(F.col("q") * F.col("cq")).alias("lutdot"))
+    )
+
+
+def _exact_rerank(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared tail: exact cosine over (probe_id, vec_id) candidate
+    pairs, per-probe top-k with the (cosine DESC, vec_id ASC) rule."""
+    quant = _quant_cached(spark, sf_dir)
+    norms = _norms_cached(spark, sf_dir)
+    qp = quant.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("qp_probe"), F.col("d").alias("pd"), F.col("q").alias("pq")
+    )
+    dots = (
+        cand.join(quant.select("vec_id", "d", "q"), "vec_id")
+        .join(
+            F.broadcast(qp),
+            (F.col("probe_id") == F.col("qp_probe")) & (F.col("d") == F.col("pd")),
+        )
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum(F.col("q") * F.col("pq")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms, "vec_id")
+        .join(
+            norms.select(
+                F.col("vec_id").alias("probe_id"), F.col("nrm").alias("pnrm")
+            ),
+            "probe_id",
+        )
+        .select(
+            "probe_id",
+            "vec_id",
+            (F.col("dot").cast("double") / (F.col("nrm") * F.col("pnrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("probe_id", F.col("rk").cast("bigint").alias("rk"), "vec_id", "cosine")
+        .orderBy("probe_id", "rk")
+    )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVFPQ composition — coarse cell ROUTING (k-means IVF:
+    a probe only touches its cell, ~1/k of the corpus) x compressed
+    SCORING (ADC over the 4-int codes of just that cell) x exact
+    re-rank of the top-R. This is the standard billion-scale serving
+    shape: routing cuts the row count, PQ cuts the bytes per row, and
+    the re-rank restores full precision where it matters."""
+    from goconnect_spark.queries.similarity import _kmeans_member
+    from goconnect_spark.tables import load
+
+    member = _kmeans_member(load(spark, "embeddings", sf_dir)).select(
+        "vec_id", "cell"
+    )
+    probes = member.where(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "cell"
+    )
+    cand_cell = (
+        member.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    codes = _pq_codes_cached(spark, sf_dir)
+    lut = _pq_lut(spark, sf_dir)
+    adc = (
+        cand_cell.join(codes.withColumnRenamed("code", "k"), "vec_id")
+        .join(F.broadcast(lut), ["probe_id", "m", "k"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("lutdot").alias("adc"))
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("crk", F.row_number().over(wc))
+        .where(F.col("crk") <= _PQ_R)
+        .select("probe_id", "vec_id")
+    )
+    return _exact_rerank(cand, spark, sf_dir)
+
+
+def _ivfpq_sql() -> str:
+    from goconnect_spark.queries.similarity import _ASSIGN_CTES
+
+    return f"""
+WITH {_QUANT_CTE},
+{_ASSIGN_CTES},
+cb(m, k, d, cq) AS (VALUES {_cb_values_sql()}),
+nsq AS (SELECT m, k, CAST(SUM(cq * cq) AS BIGINT) AS nsq FROM cb GROUP BY 1, 2),
+enc AS (
+  SELECT q.vec_id, cb.m, cb.k, CAST(SUM(q.q * cb.cq) AS BIGINT) AS dot
+  FROM quant q JOIN cb ON cb.d = q.d GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT e.vec_id, e.m, e.k,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.m
+                              ORDER BY (2 * e.dot - n.nsq) DESC, e.k ASC) AS rk
+    FROM enc e JOIN nsq n ON n.m = e.m AND n.k = e.k
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT q.vec_id AS probe_id, cb.m, cb.k, CAST(SUM(q.q * cb.cq) AS BIGINT) AS lutdot
+  FROM quant q JOIN cb ON cb.d = q.d
+  WHERE q.vec_id < {_N_PROBES} GROUP BY 1, 2, 3
+),
+cand_cell AS (
+  SELECT p.vec_id AS probe_id, a.vec_id
+  FROM assign p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+  WHERE p.vec_id < {_N_PROBES}
+),
+adc AS (
+  SELECT c.probe_id, c.vec_id, CAST(SUM(l.lutdot) AS BIGINT) AS adc
+  FROM cand_cell c
+  JOIN codes k ON k.vec_id = c.vec_id
+  JOIN lut l ON l.probe_id = c.probe_id AND l.m = k.m AND l.k = k.code
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                 ORDER BY adc DESC, vec_id ASC) AS crk
+    FROM adc
+  ) WHERE crk <= {_PQ_R}
+),
+dots AS (
+  SELECT c.probe_id, c.vec_id, CAST(SUM(qv.q * qp.q) AS BIGINT) AS dot
+  FROM cand c
+  JOIN quant qv ON qv.vec_id = c.vec_id
+  JOIN quant qp ON qp.vec_id = c.probe_id AND qp.d = qv.d
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT d.probe_id, d.vec_id,
+         CAST(d.dot AS DOUBLE) / (nv.nrm * np.nrm) AS cosine
+  FROM dots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms np ON np.vec_id = d.probe_id
+)
+SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM cos
+) WHERE rk <= {_TOP_K}
+ORDER BY probe_id, rk
+"""
+
+
+QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
+ORACLE["ann_ivfpq_topk"] = _ivfpq_sql()

@@ -78,6 +78,7 @@ def _random_corpus(seed: int, n: int = 60):
 EMB_QUERIES = [
     "ann_pq_adc_rerank",
     "ann_pq_recall",
+    "ann_ivfpq_topk",
     "streaming_ann_lookup",
     "ann_random_projection_recall",
     "cosine_topk",
