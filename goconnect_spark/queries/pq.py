@@ -179,24 +179,11 @@ def _pq_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_codes_cached(spark, sf_dir)
-    quant = _quant_cached(spark, sf_dir)
-    norms = _norms_cached(spark, sf_dir)
-    cb = _cb(spark)
-
-    lut = (
-        quant.where(F.col("vec_id") < _N_PROBES)
-        .select(F.col("vec_id").alias("probe_id"), "d", "q")
-        .join(F.broadcast(cb), "d")
-        .groupBy("probe_id", "m", "k")
-        .agg(F.sum(F.col("q") * F.col("cq")).alias("lutdot"))
-    )
+    lut = _pq_lut(spark, sf_dir)
     adc = (
-        codes.join(
-            F.broadcast(lut),
-            (codes.m == lut.m)
-            & (codes.code == lut.k)
-            & (codes.vec_id != lut.probe_id),
-        )
+        codes.withColumnRenamed("code", "k")
+        .join(F.broadcast(lut), ["m", "k"])
+        .where(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id", "vec_id")
         .agg(F.sum("lutdot").alias("adc"))
     )
@@ -206,41 +193,7 @@ def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crk") <= _PQ_R)
         .select("probe_id", "vec_id")
     )
-    qp = quant.where(F.col("vec_id") < _N_PROBES).select(
-        F.col("vec_id").alias("qp_probe"), F.col("d").alias("pd"), F.col("q").alias("pq")
-    )
-    dots = (
-        cand.join(quant.select("vec_id", "d", "q"), "vec_id")
-        .join(
-            F.broadcast(qp),
-            (F.col("probe_id") == F.col("qp_probe")) & (F.col("d") == F.col("pd")),
-        )
-        .groupBy("probe_id", "vec_id")
-        .agg(F.sum(F.col("q") * F.col("pq")).alias("dot"))
-    )
-    cos = (
-        dots.join(norms, "vec_id")
-        .join(
-            norms.select(
-                F.col("vec_id").alias("probe_id"), F.col("nrm").alias("pnrm")
-            ),
-            "probe_id",
-        )
-        .select(
-            "probe_id",
-            "vec_id",
-            (F.col("dot").cast("double") / (F.col("nrm") * F.col("pnrm"))).alias(
-                "cosine"
-            ),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        cos.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _TOP_K)
-        .select("probe_id", F.col("rk").cast("bigint").alias("rk"), "vec_id", "cosine")
-        .orderBy("probe_id", "rk")
-    )
+    return _exact_rerank(cand, spark, sf_dir)
 
 
 def _cb_values_sql() -> str:
