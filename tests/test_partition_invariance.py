@@ -30,6 +30,7 @@ SAMPLE = [
     "bm25_keyword_topk",           # fixed-point DIV scoring + TakeOrdered
     "salted_segment_activity",     # salt explode must not change the join result
     "hll_sliding_7d_users",        # register max-merge across windows
+    "ann_ivfpq_topk",              # codebook argmax encode + ADC + re-rank
 ]
 
 
