@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = (
     "ann_pq_adc_rerank",
     "ann_pq_recall",
     "ann_ivfpq_topk",
+    "source_length_emd",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

@@ -302,3 +302,127 @@ ORACLE = {
     "orders_profile": _PROFILE_SQL,
     "referential_integrity": _RI_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# 1-Wasserstein (earth-mover) length drift per source — the
+# distribution-shift metric a corpus monitor alarms on when a crawl's
+# content changes shape (TV distance, source_divergence_tv, sees
+# membership shift; EMD sees the MAGNITUDE of the shift along the
+# value axis). Evaluated exactly on a 100-knot corpus-quantile grid:
+#   W1(source, corpus) ~= sum_q |F_s(x_q) - F_c(x_q)| * (x_{q+1}-x_q)
+# with F as exact integer counts cross-multiplied (n_le_s*NC -
+# n_le_c*NS in DECIMAL(38)/HUGEINT — the DSIR overflow discipline),
+# one division at the very end on identical operands. The knots come
+# from the two-phase global rank (operators/ranking.py — no
+# data-sized window); every pairing against the knot table is a
+# bounded 100-row broadcast. Scale: two passes over documents (rank
+# + count-below-knot), everything else is |sources| x 100.
+# --------------------------------------------------------------------
+_EMD_KNOTS = 100
+
+
+def source_length_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from goconnect_spark.operators.ranking import global_row_number
+
+    docs = load(spark, "documents", sf_dir).select("source", "n_chars", "doc_id")
+    ranked = global_row_number(docs, ["n_chars", "doc_id"], rn_col="rk")
+    qdf = (
+        spark.range(1, _EMD_KNOTS + 1)
+        .select(F.col("id").cast("long").alias("q"))
+        .crossJoin(ranked.agg(F.max("n_total").alias("nc")))
+        .select("q", F.expr(f"cast(ceil(q * nc / {_EMD_KNOTS}.0) as bigint) as target_rk"))
+    )
+    knots = (
+        ranked.join(F.broadcast(qdf), F.col("rk") == F.col("target_rk"))
+        .select("q", F.col("n_chars").alias("knot"))
+    )
+    wq = Window.orderBy("q")
+    gaps = knots.select(
+        "q", "knot",
+        F.coalesce(F.lead("knot").over(wq) - F.col("knot"), F.lit(0)).alias("gap"),
+    )
+    n_le = (
+        docs.join(F.broadcast(knots), F.col("n_chars") <= F.col("knot"))
+        .groupBy("source", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("le_s"))
+    )
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    corpus_le = n_le.groupBy("q").agg(F.sum("le_s").alias("le_c"))
+    nc = docs.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    dense = (
+        srcs.crossJoin(F.broadcast(gaps))
+        .join(n_le, ["source", "q"], "left")
+        .join(F.broadcast(corpus_le), "q")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "source", "ns", "nc", "gap",
+            F.coalesce("le_s", F.lit(0)).alias("le_s"),
+            "le_c",
+        )
+    )
+    diff = F.expr(
+        "abs(cast(le_s as decimal(38,0)) * nc - cast(le_c as decimal(38,0)) * ns)"
+        " * gap"
+    )
+    return (
+        dense.groupBy("source", "ns", "nc")
+        .agg(F.sum(diff).alias("w1_num"))
+        .select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            F.expr("cast(w1_num as double) / (cast(ns as double) * cast(nc as double))")
+            .alias("emd_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_EMD_SQL = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER () AS nc_all
+  FROM documents
+),
+qs AS (SELECT CAST(r.range + 1 AS BIGINT) AS q FROM range({_EMD_KNOTS}) r),
+knots AS (
+  SELECT q, n_chars AS knot
+  FROM qs JOIN ranked
+    ON rk = CAST(CEIL(q * nc_all / {_EMD_KNOTS}.0) AS BIGINT)
+),
+gaps AS (
+  SELECT q, knot,
+         COALESCE(LEAD(knot) OVER (ORDER BY q) - knot, 0) AS gap
+  FROM knots
+),
+n_le AS (
+  SELECT d.source, k.q, CAST(COUNT(*) AS BIGINT) AS le_s
+  FROM documents d JOIN knots k ON d.n_chars <= k.knot
+  GROUP BY 1, 2
+),
+srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM documents GROUP BY 1),
+corpus_le AS (SELECT q, CAST(SUM(le_s) AS BIGINT) AS le_c FROM n_le GROUP BY 1),
+nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM documents),
+dense AS (
+  SELECT s.source, s.ns, nc.nc, g.gap,
+         COALESCE(l.le_s, 0) AS le_s, c.le_c
+  FROM srcs s
+  CROSS JOIN gaps g
+  LEFT JOIN n_le l ON l.source = s.source AND l.q = g.q
+  JOIN corpus_le c ON c.q = g.q
+  CROSS JOIN nc
+)
+SELECT source, ns AS n_docs,
+       CAST(SUM(ABS(le_s::HUGEINT * nc - le_c::HUGEINT * ns) * gap) AS DOUBLE)
+         / (CAST(ns AS DOUBLE) * CAST(nc AS DOUBLE)) AS emd_chars
+FROM dense
+GROUP BY source, ns, nc
+ORDER BY source
+"""
+
+
+QUERIES["source_length_emd"] = source_length_emd
+ORACLE["source_length_emd"] = _EMD_SQL

@@ -20,6 +20,7 @@ from tools.verify_local import _hash_rows, _norm  # reuse the driver mirror
 DOC_QUERIES = [
     "bm25_keyword_topk",
     "source_budget_waterfill",
+    "source_length_emd",
     "source_containment_matrix",
     "corpus_drop_reasons",
     "epoch_shard_assignment",

@@ -252,6 +252,7 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "dsir_importance_weights": {"BroadcastNestedLoopJoin"},  # 1-row corpus feature totals
         "bm25_keyword_topk": {"BroadcastNestedLoopJoin"},    # 1-row N/L corpus scalars (x2)
         "source_budget_waterfill": {"BroadcastNestedLoopJoin"},  # 1-row budget scalar + 1-row cut
+        "source_length_emd": {"BroadcastNestedLoopJoin"},    # 100-row knot-table pairings + 1-row counts
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
@@ -322,6 +323,7 @@ def test_catalog_wide_no_unpartitioned_data_windows(spark, sf_dir, qs):
         "daily_new_users_cumulative",   # calendar-day grid (~2.2k rows/6y)
         "value_histogram_quantiles",    # fixed histogram-bin grid
         "source_budget_waterfill",      # |sources|-row water-line solve
+        "source_length_emd",            # lead() over the 100-row knot grid
     }
     offenders = {}
     for name, fn in qs.items():
