@@ -191,3 +191,51 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.col(f"__v.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def fuzzy_self_join_lev1(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Edit-distance-1 self-match via SymSpell-style DELETION
+    NEIGHBORHOOD blocking — the scalable fuzzy join: two strings
+    within Levenshtein distance 1 always share a key in the set
+    {s} ∪ {s minus one character}, so generating |s|+1 deletion
+    variants per row (an in-row explode) turns the fuzzy predicate
+    into an EQUI-join on the variant key. Candidates are then
+    verified with the exact levenshtein() <= 1 — the same
+    generate-candidates-cheaply / verify-exactly structure as the
+    MinHash and prefix-filter dedup families, and the reason this
+    scales where a pairwise UDF crossjoin (O(n^2) distances) cannot.
+
+    Returns distinct (id_a, id_b, text_a, text_b, dist) pairs with
+    id_a < id_b. Cost: one explode (avg |s|+1 rows per input), one
+    equi-join shuffle on the variant key, exact verify on the
+    candidate set only. Hot keys (very common variants) are the skew
+    to watch at 100 TB — cap or salt the variant key if a corpus has
+    pathological near-identical mass.
+    """
+    var = F.explode(
+        F.expr(
+            f"array_union(array({text_col}), transform(sequence(1, length({text_col})),"
+            f" i -> concat(substr({text_col}, 1, i - 1), substr({text_col}, i + 1))))"
+        )
+    )
+    keyed = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"), var.alias("__k")
+    )
+    left = keyed.select(
+        F.col("__id").alias("id_a"), F.col("__txt").alias("text_a"), "__k"
+    )
+    right = keyed.select(
+        F.col("__id").alias("id_b"), F.col("__txt").alias("text_b"), "__k"
+    )
+    return (
+        left.join(right, "__k")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .where(F.col("dist") <= 1)
+    )

@@ -1004,3 +1004,57 @@ ORDER BY c.c_mktsegment, e.event_type
 
 QUERIES["salted_segment_activity"] = salted_segment_activity
 ORACLE["salted_segment_activity"] = _SALTED_SQL
+
+
+# --------------------------------------------------------------------
+# Entity-resolution candidate density via the SymSpell fuzzy join:
+# customers whose names sit within edit distance 1 of another name —
+# the blocked fuzzy self-match every record-linkage pipeline starts
+# from. Candidates come from the deletion-neighborhood EQUI-join
+# (operators/joins.fuzzy_self_join_lev1: |s|+1 in-row variants, no
+# O(n^2) distance matrix), verified with exact levenshtein() — the
+# same generate-cheap/verify-exact structure as the dedup families,
+# here on the string-identity axis. Output is the per-customer match
+# count (candidate density), the number an ER pipeline thresholds on.
+# --------------------------------------------------------------------
+def customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.operators.joins import fuzzy_self_join_lev1
+
+    cust = load(spark, "customer", sf_dir).select("c_custkey", "c_name")
+    pairs = fuzzy_self_join_lev1(cust, "c_custkey", "c_name").select("id_a", "id_b")
+    both = pairs.select(F.col("id_a").alias("c_custkey")).unionAll(
+        pairs.select(F.col("id_b").alias("c_custkey"))
+    )
+    return (
+        both.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+        .orderBy("c_custkey")
+    )
+
+
+_FUZZY_SQL = """
+WITH names AS (SELECT c_custkey, c_name FROM customer),
+vars AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN i = 0 THEN c_name
+              ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END AS k
+  FROM names, UNNEST(range(0, len(c_name) + 1)) AS u(i)
+),
+pairs AS (
+  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                  a.c_name AS na, b.c_name AS nb
+  FROM vars a JOIN vars b ON a.k = b.k AND a.c_custkey < b.c_custkey
+),
+match AS (SELECT id_a, id_b FROM pairs WHERE levenshtein(na, nb) <= 1),
+ends AS (
+  SELECT id_a AS c_custkey FROM match
+  UNION ALL
+  SELECT id_b AS c_custkey FROM match
+)
+SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM ends GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+QUERIES["customer_name_fuzzy_pairs"] = customer_name_fuzzy_pairs
+ORACLE["customer_name_fuzzy_pairs"] = _FUZZY_SQL

@@ -279,3 +279,42 @@ def test_asof_join_carries_whole_right_rows(spark):
         for r in m.itertuples()
     }
     assert got == want
+
+
+def test_fuzzy_self_join_lev1_exact_neighborhood(spark):
+    """Deletion-neighborhood blocking must find EVERY distance<=1 pair
+    (insert / delete / substitute / exact dup) and nothing at
+    distance 2 — verified against brute-force levenshtein over all
+    pairs."""
+    from goconnect_spark.operators.joins import fuzzy_self_join_lev1
+
+    rows = [
+        (1, "spark"), (2, "spark"),    # exact duplicate
+        (3, "sparks"),                 # insertion
+        (4, "spak"),                   # deletion
+        (5, "snark"),                  # substitution
+        (6, "sharks"),                 # distance 2 from spark
+        (7, "flink"),                  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_self_join_lev1(df, "id", "name").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b)
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if lev(sa, sb) <= 1
+    }
+    assert got == want

@@ -143,6 +143,7 @@ def test_embeddings_queries_hash_match_on_random_vectors(spark, tmp_path, seed):
 
 RELATIONAL_QUERIES = [
     "salted_segment_activity",
+    "customer_name_fuzzy_pairs",
     "ivm_join_view_delta",
     "q1_pricing_summary",
     "q3_shipping_priority",
