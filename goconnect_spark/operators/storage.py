@@ -216,3 +216,27 @@ def merge_join_view(
     a_db = base_a.join(delta_b, on)
     da_db = delta_a.join(delta_b, on)
     return da_b.unionByName(a_db).unionByName(da_db)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    sort_cols: Optional[Sequence[str]] = None,
+) -> None:
+    """Persist `df` hash-bucketed (and optionally sorted) by the join
+    keys — the storage-level lever that removes the shuffle from
+    every subsequent equi-join or aggregation on those keys: two
+    tables bucketed the same way join bucket-to-bucket with NO
+    Exchange, which at 100 TB is the difference between an in-place
+    merge and re-shuffling the fact table on every query. Spark's
+    bucketing needs the metastore (saveAsTable, not save), matching
+    bucket counts on both sides, and sorted buckets to skip the
+    per-task sort as well. The co-location guarantee is asserted by
+    tests/test_bucketed_join.py on the physical plan.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
