@@ -99,6 +99,9 @@ QUERIES = [
     # corpus aggregation feeding it.
     "bm25_keyword_topk",
     "source_budget_waterfill",
+    # EMD drift: two passes over documents + |sources| x 100 solve —
+    # wall should track the global-rank pass, linear
+    "source_length_emd",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles

@@ -43,6 +43,9 @@ QUERIES = [
     "weekly_active_users",
     # first-seen trick + calendar-day cumulative
     "daily_new_users_cumulative",
+    # foreachBatch-maintained IVM view: 4 micro-batches regardless of
+    # m, so wall tracks the per-batch delta aggregates
+    "streaming_ivm_hourly_counts",
 ]
 
 if os.environ.get("SCALE_QUERIES"):
