@@ -78,6 +78,7 @@ _DRIVER_PRIORITY = (
     "ann_ivfpq_topk",
     "source_length_emd",
     "customer_name_fuzzy_pairs",
+    "source_quality_harmonized",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

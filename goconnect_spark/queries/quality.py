@@ -426,3 +426,96 @@ ORDER BY source
 
 QUERIES["source_length_emd"] = source_length_emd
 ORACLE["source_length_emd"] = _EMD_SQL
+
+
+# --------------------------------------------------------------------
+# Group-wise quantile harmonization — the normalization step before
+# blending heterogeneous sources: raw quality scores are not
+# comparable across sources (a mid-tier web page outscores a top-tier
+# forum post on absolute features), so each source's docs are rank-
+# normalized WITHIN the source into deciles; sampling "decile >= d"
+# then takes each source's own best rather than letting one source's
+# score scale dominate. The score is the integer fixed-point image of
+# text_quality_score's rational ((min(nt,200)/200)*(1-sw/nt)*
+# (types/nt) cross-multiplied onto ONE integer DIV, ties by doc_id),
+# so both engines rank identical integers; the decile is exact rank
+# arithmetic, and the per-source window parallelizes across sources.
+# Output: decile occupancy + score edges per (source, decile) — the
+# table a mixing policy thresholds against.
+# --------------------------------------------------------------------
+def source_quality_harmonized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+    sw_set = (
+        "the", "a", "of", "and", "to", "in", "is", "it", "on", "for",
+    )
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.sum(F.when(F.col("w").isin(*sw_set), 1).otherwise(0)).cast("long").alias("sw"),
+        F.countDistinct("w").alias("types"),
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "(least(nt, 200) * (nt - sw) * types * 1000000) DIV (nt * nt)"
+        ).alias("score_fp"),
+    )
+    w = Window.partitionBy("source").orderBy("score_fp", "doc_id")
+    ranked = scored.select(
+        "source",
+        "score_fp",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long").alias("n"),
+    )
+    return (
+        ranked.select(
+            "source", "score_fp", F.expr("((rk - 1) * 10) DIV n").alias("decile")
+        )
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("score_fp").alias("score_lo"),
+            F.max("score_fp").alias("score_hi"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+_HARMONIZED_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN w IN ('the','a','of','and','to','in','is','it','on','for')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sw,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS types
+  FROM toks GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, source,
+         (LEAST(nt, 200) * (nt - sw) * types * 1000000) // (nt * nt) AS score_fp
+  FROM per_doc
+),
+ranked AS (
+  SELECT source, score_fp,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_fp, doc_id) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM scored
+)
+SELECT source, ((rk - 1) * 10) // n AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(score_fp) AS score_lo,
+       MAX(score_fp) AS score_hi
+FROM ranked
+GROUP BY source, ((rk - 1) * 10) // n
+ORDER BY source, decile
+"""
+
+
+QUERIES["source_quality_harmonized"] = source_quality_harmonized
+ORACLE["source_quality_harmonized"] = _HARMONIZED_SQL

@@ -21,6 +21,7 @@ DOC_QUERIES = [
     "bm25_keyword_topk",
     "source_budget_waterfill",
     "source_length_emd",
+    "source_quality_harmonized",
     "source_containment_matrix",
     "corpus_drop_reasons",
     "epoch_shard_assignment",
