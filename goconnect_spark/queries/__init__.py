@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = (
     "source_length_emd",
     "customer_name_fuzzy_pairs",
     "source_quality_harmonized",
+    "hourly_seasonal_residuals",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

@@ -1642,3 +1642,71 @@ ORACLE = {
     "events_user_lifecycle": _LIFECYCLE_SQL,
     "hourly_count_autocorr": _AUTOCORR_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# Seasonal (hour-of-day) residual anomalies — the PERIODIC-baseline
+# twin of events_hourly_anomalies' trailing z-score: traffic has a
+# daily rhythm, so each (day, hour) cell is compared against the
+# EXACT MEDIAN of the same clock hour across all days (nearest-rank
+# over the 24 hour-of-day groups — per-group window, integer rank
+# arithmetic, no distributional assumption), and the 20 largest
+# absolute residuals surface. Catches "3am looked like 3pm" shapes a
+# trailing window normalizes away. Scale: one keyed aggregation to
+# the (day x 24) grid; the windows only ever see that grid.
+# --------------------------------------------------------------------
+def hourly_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    grid = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("hod").orderBy("n_events", "day")
+    med = (
+        grid.select(
+            "hod",
+            "n_events",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("hod")).cast("long").alias("n"),
+        )
+        .where(F.expr("rk = cast(ceil(n / 2.0) as bigint)"))
+        .select("hod", F.col("n_events").alias("hod_median"))
+    )
+    return (
+        grid.join(F.broadcast(med), "hod")
+        .select(
+            "day",
+            "hod",
+            "n_events",
+            "hod_median",
+            (F.col("n_events") - F.col("hod_median")).alias("residual"),
+        )
+        .orderBy(F.abs("residual").desc(), "day", "hod")
+        .limit(20)
+    )
+
+
+_SEASONAL_SQL = """
+WITH grid AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT hod, n_events AS hod_median FROM (
+    SELECT hod, n_events,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hod ORDER BY n_events, day) AS BIGINT) AS rk,
+           CAST(COUNT(*) OVER (PARTITION BY hod) AS BIGINT) AS n
+    FROM grid
+  ) WHERE rk = CAST(CEIL(n / 2.0) AS BIGINT)
+)
+SELECT g.day, g.hod, g.n_events, m.hod_median,
+       g.n_events - m.hod_median AS residual
+FROM grid g JOIN med m ON m.hod = g.hod
+ORDER BY ABS(g.n_events - m.hod_median) DESC, g.day, g.hod
+LIMIT 20
+"""
+
+
+QUERIES["hourly_seasonal_residuals"] = hourly_seasonal_residuals
+ORACLE["hourly_seasonal_residuals"] = _SEASONAL_SQL
