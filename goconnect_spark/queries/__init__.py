@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = (
     "customer_name_fuzzy_pairs",
     "source_quality_harmonized",
     "hourly_seasonal_residuals",
+    "streaming_handoff_counts",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

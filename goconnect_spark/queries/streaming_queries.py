@@ -497,3 +497,92 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 
 QUERIES["streaming_ivm_hourly_counts"] = streaming_ivm_hourly_counts
 ORACLE["streaming_ivm_hourly_counts"] = _STREAM_IVM_SQL
+
+
+# --------------------------------------------------------------------
+# Batch -> stream HANDOFF (the snapshot-bootstrap shape): a streaming
+# aggregate is rarely started from an empty state at 100 TB — it is
+# initialized from a batch snapshot of history and the stream takes
+# over from the cutover point. Here the cutover is the 70th
+# percentile of event_id; everything below is one batch partial
+# aggregate (the snapshot), everything above drains as a real
+# micro-batch stream whose per-batch deltas merge INTO the snapshot
+# via merge_aggregate (same monoid discipline as
+# streaming_ivm_hourly_counts, but with a non-empty initial state).
+# The handed-off view must hash-match DuckDB aggregating the WHOLE
+# table — proof that no row is lost or double-counted across the
+# batch/stream boundary, which is exactly the bug class cutovers
+# produce (off-by-one at the boundary, replayed tail, missed head).
+# --------------------------------------------------------------------
+def streaming_handoff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from goconnect_spark.operators.storage import merge_aggregate
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "ts", "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    cut = ev.agg(
+        F.expr("cast(max(event_id) * 70 DIV 100 as bigint)").alias("cut")
+    ).collect()[0]["cut"]
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("sum_value"),
+        )
+
+    snapshot = hourly(ev.where(F.col("event_id") < cut)).localCheckpoint()
+
+    work = tempfile.mkdtemp(prefix=f"handoff_{uuid.uuid4().hex[:8]}_")
+    try:
+        ev.where(F.col("event_id") >= cut).repartitionByRange(
+            3, "event_id"
+        ).write.mode("overwrite").parquet(f"{work}/tail")
+        state = {"view": snapshot}
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            state["view"] = merge_aggregate(
+                state["view"], hourly(bdf), ["hour", "event_type"],
+                ["n_events", "sum_value"],
+            ).localCheckpoint()
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/tail")
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{work}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return state["view"].select(
+        "hour",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("hour", "event_type")
+
+
+_HANDOFF_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+QUERIES["streaming_handoff_counts"] = streaming_handoff_counts
+ORACLE["streaming_handoff_counts"] = _HANDOFF_SQL

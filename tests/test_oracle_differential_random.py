@@ -269,6 +269,7 @@ def test_relational_queries_hash_match_on_random_star(spark, tmp_path, seed):
 EVENT_QUERIES = [
     "hll_sliding_7d_users",
     "streaming_ivm_hourly_counts",
+    "streaming_handoff_counts",
     "hourly_seasonal_residuals",
     "ivm_merge_hourly_counts",
     "events_hourly",

@@ -102,6 +102,8 @@ QUERIES = [
     # EMD drift: two passes over documents + |sources| x 100 solve —
     # wall should track the global-rank pass, linear
     "source_length_emd",
+    # per-source decile normalization: tokenize + per-source windows
+    "source_quality_harmonized",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles

@@ -46,6 +46,8 @@ QUERIES = [
     # foreachBatch-maintained IVM view: 4 micro-batches regardless of
     # m, so wall tracks the per-batch delta aggregates
     "streaming_ivm_hourly_counts",
+    # seasonal median baseline: day x 24 grid, per-hod windows
+    "hourly_seasonal_residuals",
 ]
 
 if os.environ.get("SCALE_QUERIES"):
