@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = (
     "source_quality_harmonized",
     "hourly_seasonal_residuals",
     "streaming_handoff_counts",
+    "hll_sliding_calibration",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

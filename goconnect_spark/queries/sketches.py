@@ -73,6 +73,20 @@ _W_MASK = (1 << 50) - 1  # low 50 bits of the 60-bit hash
 # module docstring for why this must not be inline arithmetic)
 _HLL_SCALE = repr(0.7213 / (1 + 1.079 / _HLL_M) * 2.0**71)
 
+# Small-range (linear counting) correction table: when V = zero
+# registers > 0, the unbiased estimate is m*ln(m/V) — but ln() is on
+# the oracle-pair banned list (libm vs Math.log differ in the last
+# ulp). V only takes 1025 values, so the whole correction is a
+# PYTHON-computed literal array consumed verbatim by BOTH engines
+# (repr doubles round-trip bit-exactly through any IEEE parser);
+# element_at/list-index by V is the only runtime work. Index i holds
+# the value for V = i (V=0 -> harmonic path, slot unused).
+import math as _math
+
+_HLL_LC = [0.0] + [_HLL_M * _math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
+_HLL_LC_SPARK = "array({})".format(", ".join(repr(x) for x in _HLL_LC))
+_HLL_LC_DUCK = "[{}]".format(", ".join(repr(x) for x in _HLL_LC))
+
 
 def events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-count over event_id with the exact count alongside.
@@ -654,8 +668,12 @@ def hll_sliding_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_day",
             "zero_registers",
             "harmonic_denom",
-            f"cast({_HLL_SCALE} as double)"
-            " / cast(harmonic_denom as double) as estimate_users",
+            # small-range correction: linear counting from the shared
+            # literal table whenever any register is empty
+            "case when zero_registers > 0 then"
+            f" element_at({_HLL_LC_SPARK}, cast(zero_registers as int) + 1)"
+            f" else cast({_HLL_SCALE} as double)"
+            " / cast(harmonic_denom as double) end as estimate_users",
         )
         .orderBy("window_day")
     )
@@ -690,9 +708,11 @@ SELECT window_day,
        {_HLL_M} - present AS zero_registers,
        present_denom + ({_HLL_M} - present) * (CAST(1 AS BIGINT) << 51)
          AS harmonic_denom,
-       CAST({_HLL_SCALE} AS DOUBLE)
-         / CAST(present_denom + ({_HLL_M} - present) * (CAST(1 AS BIGINT) << 51)
-                AS DOUBLE) AS estimate_users
+       CASE WHEN {_HLL_M} - present > 0 THEN
+              ({_HLL_LC_DUCK})[CAST({_HLL_M} - present AS INT) + 1]
+            ELSE CAST({_HLL_SCALE} AS DOUBLE)
+              / CAST(present_denom + ({_HLL_M} - present) * (CAST(1 AS BIGINT) << 51)
+                     AS DOUBLE) END AS estimate_users
 FROM wagg
 ORDER BY window_day
 """
@@ -700,3 +720,63 @@ ORDER BY window_day
 
 QUERIES["hll_sliding_7d_users"] = hll_sliding_7d_users
 ORACLE["hll_sliding_7d_users"] = _HLL_SLIDING_SQL
+
+
+# --------------------------------------------------------------------
+# Sliding-HLL calibration: the register-merge estimate above, joined
+# against the EXACT 7-day distinct per window — computed the brute
+# way (every event joined to each of the <=7 window days it falls in:
+# the 7x read amplification the sketch exists to avoid). Running both
+# on a sample is how a pipeline certifies its sketch error budget
+# before trusting the cheap path at 100 TB; the window-day grid is
+# calendar-bounded, so the range pairing is a broadcast against a
+# dim, never a data-sized blow-up. rel_err divides two identically-
+# derived numbers, so the verdict is bit-stable across engines.
+# --------------------------------------------------------------------
+def hll_sliding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, "events", sf_dir)
+    est = hll_sliding_7d_users(spark, sf_dir).select("window_day", "estimate_users")
+    days = ev.select(F.to_date("ts").alias("window_day")).distinct()
+    exact = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .join(
+            F.broadcast(days),
+            F.expr("day <= window_day AND day >= date_add(window_day, -6)"),
+        )
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return (
+        est.join(exact, "window_day")
+        .select(
+            "window_day",
+            "exact_users",
+            "estimate_users",
+            (
+                (F.col("estimate_users") - F.col("exact_users").cast("double"))
+                / F.col("exact_users").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("window_day")
+    )
+
+
+_HLL_CALIB_SQL = f"""
+WITH est AS ({_HLL_SLIDING_SQL.replace(';', '')}),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS window_day FROM events),
+exact AS (
+  SELECT d.window_day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users
+  FROM (SELECT CAST(ts AS DATE) AS day, user_id FROM events) e
+  JOIN days d ON e.day <= d.window_day AND e.day >= d.window_day - 6
+  GROUP BY 1
+)
+SELECT est.window_day, exact.exact_users, est.estimate_users,
+       (est.estimate_users - CAST(exact.exact_users AS DOUBLE))
+         / CAST(exact.exact_users AS DOUBLE) AS rel_err
+FROM est JOIN exact ON exact.window_day = est.window_day
+ORDER BY est.window_day
+"""
+
+
+QUERIES["hll_sliding_calibration"] = hll_sliding_calibration
+ORACLE["hll_sliding_calibration"] = _HLL_CALIB_SQL

@@ -268,6 +268,7 @@ def test_relational_queries_hash_match_on_random_star(spark, tmp_path, seed):
 
 EVENT_QUERIES = [
     "hll_sliding_7d_users",
+    "hll_sliding_calibration",
     "streaming_ivm_hourly_counts",
     "streaming_handoff_counts",
     "hourly_seasonal_residuals",

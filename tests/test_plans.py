@@ -253,6 +253,7 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "bm25_keyword_topk": {"BroadcastNestedLoopJoin"},    # 1-row N/L corpus scalars (x2)
         "source_budget_waterfill": {"BroadcastNestedLoopJoin"},  # 1-row budget scalar + 1-row cut
         "source_length_emd": {"BroadcastNestedLoopJoin"},    # 100-row knot-table pairings + 1-row counts
+        "hll_sliding_calibration": {"BroadcastNestedLoopJoin"},  # calendar-day grid range pairing
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
