@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = (
     "hourly_seasonal_residuals",
     "streaming_handoff_counts",
     "hll_sliding_calibration",
+    "events_distinct_hll",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",
@@ -179,7 +180,6 @@ _DRIVER_PRIORITY = (
     "source_epoch_plan",
     "key_skew_profile",
     "priority_sample",
-    "events_distinct_hll",
     "user_overlap_kmv",
     "bloom_prune_join",
     "q11_important_stock",

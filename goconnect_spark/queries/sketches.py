@@ -125,7 +125,10 @@ def events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast({_HLL_M} as bigint) as m",
         "zero_registers",
         "harmonic_denom",
-        f"cast({_HLL_SCALE} as double) / cast(harmonic_denom as double) as estimate",
+        "case when zero_registers > 0 then"
+        f" element_at({_HLL_LC_SPARK}, cast(zero_registers as int) + 1)"
+        f" else cast({_HLL_SCALE} as double)"
+        " / cast(harmonic_denom as double) end as estimate",
         "exact_distinct",
     )
 
@@ -152,7 +155,10 @@ agg AS (
 ),
 ex AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct FROM events)
 SELECT CAST({_HLL_M} AS BIGINT) AS m, zero_registers, harmonic_denom,
-       CAST({_HLL_SCALE} AS DOUBLE) / CAST(harmonic_denom AS DOUBLE) AS estimate,
+       CASE WHEN zero_registers > 0 THEN
+              ({_HLL_LC_DUCK})[CAST(zero_registers AS INT) + 1]
+            ELSE CAST({_HLL_SCALE} AS DOUBLE) / CAST(harmonic_denom AS DOUBLE)
+       END AS estimate,
        exact_distinct
 FROM agg, ex
 """
