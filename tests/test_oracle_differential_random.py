@@ -288,6 +288,7 @@ EVENT_QUERIES = [
     "events_json_buckets",
     "events_value_stats",
     "distinct_users_by_type",
+    "events_distinct_hll",
     "zorder_pruning_stats",
     "streaming_windowed_hourly",
     "streaming_session_counts",
