@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = (
     "streaming_handoff_counts",
     "hll_sliding_calibration",
     "events_distinct_hll",
+    "ann_index_comparison",
     "ivm_merge_hourly_counts",
     "ivm_join_view_delta",
     "epoch_shard_assignment",

@@ -477,3 +477,79 @@ ORDER BY probe_id, rk
 
 QUERIES["ann_ivfpq_topk"] = ann_ivfpq_topk
 ORACLE["ann_ivfpq_topk"] = _ivfpq_sql()
+
+
+def ann_index_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-selection dashboard: per probe, top-5 recall of the
+    three production candidates side by side — exhaustive int8 scan
+    (SQ8), exhaustive 4-int ADC scan (PQ), and cell-routed ADC
+    (IVFPQ) — against the brute-force truth. This one table is what
+    the build-vs-buy decision for a 100 TB vector index reads: how
+    much fidelity each compression/routing level costs on YOUR
+    vectors (synthetic near-random embeddings here are the worst
+    case). All sides reuse the session-cached quant/code tables; the
+    comparison itself is probe-sized."""
+    from goconnect_spark.queries.similarity import cosine_topk
+    from goconnect_spark.queries.similarity2 import ann_sq8_rerank
+
+    truth = cosine_topk(spark, sf_dir).select("probe_id", "vec_id")
+    nt = truth.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_truth"))
+
+    def recall_of(df: DataFrame, name: str) -> DataFrame:
+        hits = (
+            truth.join(df.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+            .groupBy("probe_id")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        return nt.join(hits, "probe_id", "left").select(
+            "probe_id",
+            (
+                F.coalesce("h", F.lit(0)) / F.col("n_truth").cast("double")
+            ).alias(name),
+        )
+
+    out = (
+        recall_of(ann_sq8_rerank(spark, sf_dir), "recall_sq8")
+        .join(recall_of(ann_pq_adc_rerank(spark, sf_dir), "recall_pq"), "probe_id")
+        .join(recall_of(ann_ivfpq_topk(spark, sf_dir), "recall_ivfpq"), "probe_id")
+        .orderBy("probe_id")
+    )
+    return out
+
+
+def _comparison_sql() -> str:
+    from goconnect_spark.queries.similarity import _COSINE_TOPK_SQL
+    from goconnect_spark.queries.similarity2 import _SQ8_SQL
+
+    return f"""
+WITH truth AS (SELECT probe_id, vec_id FROM ({_COSINE_TOPK_SQL}) t),
+nt AS (SELECT probe_id, COUNT(*) AS n_truth FROM truth GROUP BY probe_id),
+a_sq8 AS (SELECT probe_id, vec_id FROM ({_SQ8_SQL}) s),
+a_pq AS (SELECT probe_id, vec_id FROM ({_pq_sql()}) p),
+a_ivfpq AS (SELECT probe_id, vec_id FROM ({_ivfpq_sql()}) q),
+h_sq8 AS (
+  SELECT t.probe_id, COUNT(*) AS h FROM truth t
+  JOIN a_sq8 a ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+  GROUP BY 1),
+h_pq AS (
+  SELECT t.probe_id, COUNT(*) AS h FROM truth t
+  JOIN a_pq a ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+  GROUP BY 1),
+h_ivfpq AS (
+  SELECT t.probe_id, COUNT(*) AS h FROM truth t
+  JOIN a_ivfpq a ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+  GROUP BY 1)
+SELECT nt.probe_id,
+       COALESCE(h_sq8.h, 0) / CAST(nt.n_truth AS DOUBLE) AS recall_sq8,
+       COALESCE(h_pq.h, 0) / CAST(nt.n_truth AS DOUBLE) AS recall_pq,
+       COALESCE(h_ivfpq.h, 0) / CAST(nt.n_truth AS DOUBLE) AS recall_ivfpq
+FROM nt
+LEFT JOIN h_sq8 ON h_sq8.probe_id = nt.probe_id
+LEFT JOIN h_pq ON h_pq.probe_id = nt.probe_id
+LEFT JOIN h_ivfpq ON h_ivfpq.probe_id = nt.probe_id
+ORDER BY nt.probe_id
+"""
+
+
+QUERIES["ann_index_comparison"] = ann_index_comparison
+ORACLE["ann_index_comparison"] = _comparison_sql()

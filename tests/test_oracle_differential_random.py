@@ -81,6 +81,7 @@ EMB_QUERIES = [
     "ann_pq_adc_rerank",
     "ann_pq_recall",
     "ann_ivfpq_topk",
+    "ann_index_comparison",
     "streaming_ann_lookup",
     "ann_random_projection_recall",
     "cosine_topk",
