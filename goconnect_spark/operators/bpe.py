@@ -37,6 +37,22 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 _EOW = "</w>"  # end-of-word sentinel: merges never cross word ends
+_SEP = "\x01"  # symbol-boundary marker for the replace-chain encoding
+
+
+def _sym_split(col: Column) -> Column:
+    """CODE-POINT-aware symbolization of a word: prefix every code
+    point with the boundary marker, split on it, drop the leading
+    empty. `F.split(col, "")` would cut non-BMP characters (emoji,
+    rare CJK) into UTF-16 surrogate halves; Java regex `.` matches a
+    full code point, so this path agrees with the per-code-point
+    sequential reference (`list(w)` in Python). `(?s)` so embedded
+    newlines symbolize too ('.' excludes them by default in both Java
+    and RE2 — the same flag keeps the DuckDB twin identical)."""
+    return F.filter(
+        F.split(F.regexp_replace(col, "(?s)(.)", _SEP + "$1"), _SEP),
+        lambda x: x != "",
+    )
 
 
 def _merge_fold(syms: Column, a: str, b: str) -> Column:
@@ -77,9 +93,7 @@ def bpe_merges(
     below `min_freq`."""
     vocab = word_freq_table(docs, text_col).select(
         "freq",
-        F.concat(
-            F.split(F.col("word"), ""), F.array(F.lit(_EOW))
-        ).alias("syms"),
+        F.concat(_sym_split(F.col("word")), F.array(F.lit(_EOW))).alias("syms"),
     ).localCheckpoint()
 
     merges: List[Tuple[str, str, int]] = []
@@ -124,13 +138,100 @@ def apply_bpe(
     """Tokenize `text_col` with a learned merge table: per word, chars
     + end-of-word sentinel, then every merge applied in learned order —
     all in-row (one nested fold per merge, JVM-side)."""
-    words = F.split(F.col(text_col), " ")
+    # drop empty split fragments (space runs, leading/trailing spaces):
+    # training never sees them (word_freq_table filters ''), so
+    # application must not emit phantom bare-sentinel tokens for them
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     per_word = F.transform(
-        words, lambda w: F.concat(F.split(w, ""), F.array(F.lit(_EOW)))
+        words, lambda w: F.concat(_sym_split(w), F.array(F.lit(_EOW)))
     )
     for a, b, _ in merges:
         per_word = F.transform(per_word, lambda syms: _merge_fold(syms, a, b))
     return docs.withColumn(out_col, F.flatten(per_word))
+
+
+# --------------------------------------------------------------------
+# Replace-chain application: the SQL-expressible (and faster) twin of
+# `apply_bpe`. A document's symbol sequence is encoded as one string
+# with every symbol WRAPPED in start/end markers:
+#     "low" -> "\x01l\x02\x01o\x02\x01w\x02\x01</w>\x02"
+# and applying merge (a, b) -> ab is then EXACTLY
+#     replace(enc, "\x01a\x02\x01b\x02", "\x01ab\x02")
+# because string replace() is left-to-right and non-overlapping in
+# Spark, DuckDB, and Python alike — the same greedy order as the
+# per-word fold ([a,a,a] -> [aa,a], never [a,aa]). BOTH markers are
+# load-bearing: the start marker alone would let pattern symbol `b`
+# match a longer symbol's PREFIX ("\x01s\x01ed</w>" matches
+# "\x01s\x01e"), and a single BETWEEN-symbols separator would make
+# adjacent matches share a character so every other occurrence is
+# missed. A merge can never straddle a word boundary: a trained
+# pair's FIRST symbol always has a successor inside some word, so it
+# never contains the word-final `</w>` sentinel. Every step is a
+# plain JVM string op (whole-stage codegen — no higher-order
+# functions), and a DuckDB oracle replays the identical replace chain
+# character for character.
+# Assumes text contains no \x01/\x02 (true of any sane corpus; an
+# adversarial marker char shifts boundaries identically in both
+# engines, so the cross-engine contract still holds).
+# --------------------------------------------------------------------
+_SEND = "\x02"  # symbol-end marker
+
+
+def _wrap(sym: str) -> str:
+    return _SEP + sym + _SEND
+
+
+def encode_doc(text: Column) -> Column:
+    """Whole-document marker encoding: collapse space runs, wrap every
+    code point, turn the (wrapped) inter-word spaces into end-of-word
+    sentinels, close the last word. Empty/all-space text encodes to
+    ''."""
+    norm = F.trim(F.regexp_replace(text, " +", " "))
+    marked = F.regexp_replace(norm, "(?s)(.)", _SEP + "$1" + _SEND)
+    enc = F.replace(marked, F.lit(_wrap(" ")), F.lit(_wrap(_EOW)))
+    return F.when(norm == "", F.lit("")).otherwise(
+        F.concat(enc, F.lit(_wrap(_EOW)))
+    )
+
+
+def apply_bpe_replace(
+    docs: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with a learned merge table via the replace chain —
+    one `replace()` per merge, all in-row, all codegen. Produces the
+    identical token stream as `apply_bpe` (property-tested)."""
+    enc = encode_doc(F.col(text_col))
+    for a, b, *_ in merges:
+        enc = F.replace(enc, F.lit(_wrap(a) + _wrap(b)), F.lit(_wrap(a + b)))
+    toks = F.filter(F.split(enc, f"[{_SEP}{_SEND}]"), lambda x: x != "")
+    return docs.withColumn(out_col, toks)
+
+
+def apply_bpe_replace_sql(text_expr: str, merges: List[Tuple[str, str]]) -> str:
+    """The DuckDB twin of `apply_bpe_replace` as a SQL expression
+    producing the encoded string (split on the chr(1)/chr(2) markers
+    downstream). Kept beside the Spark builder so the two replace
+    chains can never drift."""
+
+    def wrap_sql(sym: str) -> str:
+        lit = sym.replace("'", "''")
+        return f"chr(1) || '{lit}' || chr(2)"
+
+    norm = f"TRIM(regexp_replace({text_expr}, ' +', ' ', 'g'))"
+    enc = (
+        f"CASE WHEN {norm} = '' THEN '' "
+        f"ELSE regexp_replace({norm}, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g')"
+        f" || {wrap_sql(' ')} END"
+    )
+    # the marked string still has wrapped spaces; rewrite them (and
+    # the appended trailing one) into sentinels in one replace
+    enc = f"replace({enc}, {wrap_sql(' ')}, {wrap_sql(_EOW)})"
+    for a, b, *_ in merges:
+        enc = f"replace({enc}, {wrap_sql(a)} || {wrap_sql(b)}, {wrap_sql(a + b)})"
+    return enc
 
 
 def bpe_merges_py(

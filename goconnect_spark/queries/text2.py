@@ -602,31 +602,56 @@ ORACLE = {
 
 
 # --------------------------------------------------------------------
-# BPE merge-table induction over the documents corpus — tokenizer
-# training as a catalog query. The merge LOOP is inherently
-# sequential (each merge depends on the previous), so this is the
-# catalog's one rows-only entry: no DuckDB oracle can express the
-# iterative argmax+rewrite, and the driver records the weaker
-# rows-only check. The STRONG verification lives in
-# tests/test_bpe_property.py — the distributed trainer's merge table
-# must EQUAL the sequential reference's on randomized corpora (the
-# same distributed-vs-sequential equivalence contract as PPJoin and
-# PageRank) — and the operator is deterministic by construction
-# (integer frequencies, total-order tie-breaks, no RNG).
-# Scale: pair counting runs over the vocab-sized (word, freq) table,
-# not the corpus; only the 1-row argmax crosses the driver/iteration.
+# BPE tokenization with the FROZEN merge table (queries/_bpe_frozen.py,
+# trained offline by tools/build_bpe_merges.py — the same
+# freeze-the-fit pattern as the PQ codebooks / IVF centroids). The
+# r6-era `bpe_merge_table` entry ran the INDUCTION loop in-catalog and
+# was the catalog's only rows-only row (the iterative argmax is not
+# one SQL query); induction is now a tools/ build step whose
+# distributed trainer stays property-verified against the sequential
+# reference (tests/test_bpe_property.py), and the catalog entry is the
+# APPLICATION of the frozen table — a pure replace chain (see
+# operators/bpe.py: boundary-marker encoding makes greedy
+# left-to-right merging exactly `replace()`), which the DuckDB oracle
+# replays character for character. All JVM string ops, no HOFs, no
+# shuffle until the corpus-wide token count.
+# Scale: tokenization is embarrassingly parallel map-side work; the
+# only shuffle is the final token groupBy (map-side combined).
 # --------------------------------------------------------------------
-def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from goconnect_spark.operators.bpe import bpe_merges
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.operators.bpe import apply_bpe_replace
+    from goconnect_spark.queries._bpe_frozen import BPE_MERGES
 
     docs = load(spark, "documents", sf_dir)
-    merges = bpe_merges(docs, n_merges=8, min_freq=2)
-    return spark.createDataFrame(
-        [(i, a, b, pf) for i, (a, b, pf) in enumerate(merges)],
-        "merge_idx: int, sym_a: string, sym_b: string, pair_freq: bigint",
-    ).orderBy("merge_idx")
+    toked = apply_bpe_replace(docs, BPE_MERGES)
+    return (
+        toked.select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
 
 
-QUERIES["bpe_merge_table"] = bpe_merge_table
-# no ORACLE entry: iterative argmax loop — rows-only driver check;
-# value-verified against the sequential reference in tests instead
+def _bpe_tokenize_sql() -> str:
+    from goconnect_spark.operators.bpe import apply_bpe_replace_sql
+    from goconnect_spark.queries._bpe_frozen import BPE_MERGES
+
+    return f"""
+WITH enc AS (SELECT {apply_bpe_replace_sql('text', BPE_MERGES)} AS e FROM documents),
+toks AS (
+  SELECT t.token
+  FROM enc,
+       unnest(string_split_regex(enc.e, chr(1) || '|' || chr(2))) AS t(token)
+  WHERE t.token <> ''
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
+QUERIES["bpe_tokenize_corpus"] = bpe_tokenize_corpus
+ORACLE["bpe_tokenize_corpus"] = _bpe_tokenize_sql()

@@ -9,6 +9,8 @@ import pytest
 
 from goconnect_spark.operators.bpe import (
     apply_bpe,
+    apply_bpe_replace,
+    apply_bpe_replace_sql,
     bpe_merges,
     bpe_merges_py,
     word_freq_table,
@@ -64,6 +66,75 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
     toked = apply_bpe(docs, merges).collect()[0].bpe_tokens
     # words: aaa -> [aa, a, </w>], aaa -> same, aa -> [aa, </w>]
     assert toked == ["aa", "a", "</w>", "aa", "a", "</w>", "aa", "</w>"]
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_apply_bpe_replace_equals_fold(spark, seed):
+    # the replace-chain application (the oracle-replayable path) must
+    # produce the IDENTICAL token stream as the per-word fold
+    docs = spark.createDataFrame(_corpus(seed), "doc_id: long, text: string")
+    merges = bpe_merges(docs, n_merges=10)
+    fold = {r.doc_id: r.bpe_tokens for r in apply_bpe(docs, merges).collect()}
+    repl = {
+        r.doc_id: r.bpe_tokens for r in apply_bpe_replace(docs, merges).collect()
+    }
+    assert fold == repl
+
+
+def test_apply_bpe_replace_non_bmp_and_edge_text(spark):
+    # astral-plane text (emoji, rare CJK) must symbolize per CODE
+    # POINT on both paths — F.split(w, "") would cut surrogate halves
+    # (ADVICE r6); also multi-space runs, leading/trailing spaces,
+    # empty docs, and newline-bearing words
+    docs = [
+        (0, "😀😀a 😀a 𝄞x𝄞x"),
+        (1, "  low   low  "),
+        (2, ""),
+        (3, "a\nb a\nb"),
+        (4, "𠀋𠀋𠀋"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    merges = bpe_merges(df, n_merges=6, min_freq=2)
+    # training must produce whole-code-point symbols only
+    for a, b, _ in merges:
+        for s in (a, b):
+            assert not any(0xD800 <= ord(c) <= 0xDFFF for c in s), (a, b)
+    fold = {r.doc_id: r.bpe_tokens for r in apply_bpe(df, merges).collect()}
+    repl = {
+        r.doc_id: r.bpe_tokens for r in apply_bpe_replace(df, merges).collect()
+    }
+    assert fold == repl
+    assert not any(
+        0xD800 <= ord(c) <= 0xDFFF for toks in repl.values() for t in toks for c in t
+    )
+    # sequential reference agrees on the non-BMP vocab too
+    wf = {r.word: r.freq for r in word_freq_table(df).collect()}
+    assert merges == bpe_merges_py(wf, n_merges=6, min_freq=2)
+
+
+def test_apply_bpe_replace_sql_matches_spark(spark):
+    # the DuckDB twin of the replace chain produces the same tokens
+    import duckdb
+
+    rows = _corpus(13, n_docs=15) + [(100, "😀😀a 😀a"), (101, "  x  y ")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    merges = bpe_merges(docs, n_merges=8)
+    got = {
+        r.doc_id: r.bpe_tokens for r in apply_bpe_replace(docs, merges).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    enc_sql = apply_bpe_replace_sql("text", merges)
+    import re
+
+    duck = {
+        doc_id: [t for t in re.split("[\x01\x02]", e) if t != ""]
+        for doc_id, e in con.execute(
+            f"SELECT doc_id, {enc_sql} FROM documents"
+        ).fetchall()
+    }
+    assert got == duck
 
 
 def test_bpe_on_pathological_corpus(spark):

@@ -46,6 +46,7 @@ DOC_QUERIES = [
     "tfidf_top_terms",
     "doc_chunking",
     "boilerplate_top_shingles",
+    "bpe_tokenize_corpus",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]

@@ -56,14 +56,17 @@ def load_times(path: str) -> dict[str, float]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if len(args) != 2:
-        raise SystemExit(__doc__)
-    threshold = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    old, new = load_times(args[0]), load_times(args[1])
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Round-over-round bench comparison", usage=__doc__
+    )
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ns = ap.parse_args()
+    threshold = ns.threshold
+    old, new = load_times(ns.old), load_times(ns.new)
     common = sorted(set(old) & set(new))
     rows = []
     for q in common:
