@@ -56,6 +56,19 @@ HEADLINE = [
     "q13_order_count_distribution",
 ]
 
+# round-6 family representatives promoted in round 7 (VERDICT r6
+# item 6) so regressions in the PQ/IVM/BM25 families gate
+# mechanically. Kept OUT of the legacy-comparable 31-query total
+# (`headline31_total_wall` below) so round-over-round comparisons
+# stay apples-to-apples.
+HEADLINE_R7 = [
+    "ann_ivfpq_topk",
+    "streaming_ivm_hourly_counts",
+    "bm25_keyword_topk",
+]
+HEADLINE31 = list(HEADLINE)
+HEADLINE = HEADLINE + HEADLINE_R7
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,6 +103,7 @@ def main():
             print(f"# pass{pass_no} {name}: {dt}s ({n} rows)", file=sys.stderr)
 
     headline_total = round(sum(times[n] for n in times if n in HEADLINE), 3)
+    headline31_total = round(sum(times[n] for n in times if n in HEADLINE31), 3)
     all_total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -107,6 +121,7 @@ def main():
                 "unit": "sec",
                 "n_queries": sum(1 for n in times if n in HEADLINE),
                 "queries": {n: times[n] for n in HEADLINE if n in times},
+                "headline31_total_wall": headline31_total,
                 "all_queries_total_wall": all_total,
                 "n_queries_all": len(times),
                 "sf": sf_val,

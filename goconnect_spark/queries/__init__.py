@@ -42,215 +42,205 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
-# Cumulative coverage through r04 is 128/130 (the 2 reds were oracle-side
-# HUGEINT casts, fixed in round 5), so priority tracks STALENESS at HEAD:
-#   tier 0 — added or rewritten in round 5 (sessions 1-3: oracle CAST
-#            fixes, two-phase NTILE rewrites, dictionary-encoded dedup,
-#            zorder/DSIR/snapshot-diff/quality-keepers/streaming-window
-#            additions) — never certified at HEAD;
-#   tier 1 — implementation changed in round 4 but driver-certified only
-#            through r03 (shared shingle/token tables, two-phase ranking,
-#            in-row winnowing, vocab-level CMS hashing, cached cluster map)
-#            — their old green rows no longer certify HEAD;
-#   tier 2 — everything else, byte-identical to a driver-green round
-#            (r04 certified the 45 round-4 additions; r01∪r02∪r03 the rest).
+# Rebuilt for round 7 per VERDICT r6 item 1 — priority = staleness:
+#   tier 0 — changed at HEAD this round (must re-certify);
+#   then EVERY other query ordered by the ROUND OF ITS NEWEST GREEN
+#   DRIVER ROW, oldest first. The round-7 slate is dominated by the
+#   45-query r2/r3 cohort whose certificates predate round 4 AND whose
+#   code moved in the round-6 module re-org (AST-verbatim move, locally
+#   re-verified, but the driver gate is the hard signal); the 4 cohort
+#   members the r6 judge already oracle-spot-checked at HEAD are placed
+#   last within the cohort so a ~50-slot cap drops only them.
 _DRIVER_PRIORITY = (
-    # Rebuilt for round 6. The driver certifies ~50 queries per round in
-    # this order, so priority = staleness at HEAD:
-    #   tier 0 — new in r6 or consuming code changed at HEAD since their
-    #            last green row (the CC rewrite; the r5 doc_lm_score
-    #            refactor VERDICT r5 flagged);
-    #   then every other query ordered by the ROUND OF ITS NEWEST GREEN
-    #   DRIVER ROW, oldest first — certificate-age rotation, so no
-    #   certificate ages more than ~2 rounds before re-verification.
-    # --- tier 0: r6-new / changed at HEAD ---
-    "source_containment_matrix",
-    "corpus_drop_reasons",
-    "bpe_merge_table",
-    "streaming_ann_lookup",
-    "bm25_keyword_topk",
-    "salted_segment_activity",
-    "hll_sliding_7d_users",
-    "source_budget_waterfill",
-    "streaming_ivm_hourly_counts",
-    "ann_pq_adc_rerank",
-    "ann_pq_recall",
+    # --- tier 0: changed at HEAD in round 7 (new oracle-gated BPE entry;
+    #     pandas_udf winnowing; nprobe routing + the _kmeans_member
+    #     refactor it shares with every IVF consumer) ---
+    "bpe_tokenize_corpus",
+    "fingerprint_collision_dedup",
     "ann_ivfpq_topk",
-    "source_length_emd",
-    "customer_name_fuzzy_pairs",
-    "source_quality_harmonized",
-    "hourly_seasonal_residuals",
-    "streaming_handoff_counts",
-    "hll_sliding_calibration",
-    "events_distinct_hll",
     "ann_index_comparison",
-    "ivm_merge_hourly_counts",
-    "ivm_join_view_delta",
-    "epoch_shard_assignment",
-    "ann_random_projection_recall",
-    # --- last green: r5 ---
-    "dedup_connected_components",
-    "dedup_filtered_corpus",
-    # --- last green: r4 ---
-    "curated_corpus_stats",
-    # --- last green: r5 ---
-    "dedup_quality_keepers",
-    "dedup_cluster_size_histogram",
-    # --- last green: r4 ---
-    "doc_lm_score",
-    # --- last green: r2 ---
-    "distinct_users_by_type",
-    "customers_without_orders",
-    "customers_with_open_orders",
-    "events_json_buckets",
-    "events_daily_pivot",
-    "customer_supplier_nations",
-    "q19_discounted_revenue",
-    "q17_small_quantity_revenue",
-    "events_error_context",
-    "purchases_asof_signup",
-    "quantity_percentiles",
-    "lineitem_cube",
-    "orders_unpivot",
-    "events_hourly_gapfill",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_trade_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customers",
+    "streaming_ann_lookup",
+    "ann_ivf_kmeans_topk",
+    "semantic_dedup",
+    # --- certificate-age rotation (VERDICT r6 item 1): the r2/r3 cohort
+    #     whose newest driver rows predate round 4 AND the round-6 module
+    #     re-org — oldest certificates first; the four queries the r6
+    #     judge oracle-spot-checked at HEAD close the cohort ---
+    # last green: r2
+    "events_distinct_kmv",
+    "events_in_error_windows",
     "events_latest_per_user",
-    "q8_market_share",
+    "q13_order_count_distribution",
     "q15_top_supplier",
-    "user_history_scd2",
     "q22_sales_opportunity",
     "q2_min_cost_supplier",
-    "events_distinct_kmv",
-    "q13_order_count_distribution",
+    "q8_market_share",
     "q9_product_type_profit",
-    "events_in_error_windows",
+    "user_history_scd2",
     "value_histogram_quantiles",
-    # --- last green: r3 ---
-    "map_filter",
+    # last green: r3
+    "benchmark_contamination",
+    "daily_reconciliation",
+    "distinct_users_kmv_by_type",
+    "doc_length_buckets",
+    "doc_repetition_ratio",
+    "events_hourly",
+    "events_rollup_cascade",
     "flatmap_word_counts",
     "fold_global",
-    "limit_events",
-    "ordered_merge",
-    "kv_roundtrip",
-    "xml_extract_fold",
-    "roundrobin_replay",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "top_customers_per_segment",
-    "events_hourly",
-    "user_sessions",
-    "orders_rollup",
-    "user_rolling_7d",
     "funnel_view_click_purchase",
-    "retention_cohorts",
-    "daily_reconciliation",
-    "events_rollup_cascade",
-    "distinct_users_kmv_by_type",
-    "text_token_stats",
+    "kv_roundtrip",
+    "limit_events",
+    "map_filter",
+    "ordered_merge",
+    "orders_profile",
+    "orders_rollup",
+    "q5_region_revenue",
+    "referential_integrity",
+    "roundrobin_replay",
+    "sequence_packing",
+    "source_mix_weights",
+    "stratified_sample",
     "text_quality_score",
     "text_token_bpeish",
-    "benchmark_contamination",
-    "doc_repetition_ratio",
-    "vocab_oov_rate",
-    "source_mix_weights",
-    "doc_length_buckets",
-    "sequence_packing",
-    "stratified_sample",
+    "text_token_stats",
+    "top_customers_per_segment",
+    "user_rolling_7d",
     "value_outliers_mad",
-    "orders_profile",
-    "referential_integrity",
-    # --- last green: r4 ---
+    "vocab_oov_rate",
+    "xml_extract_fold",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "user_sessions",
+    "retention_cohorts",
+    # last green: r4
     "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "embedding_near_dup",
-    "semantic_dedup",
-    "orders_grouping_sets",
-    "chunk_dedup_stats",
-    "doc_chunking",
-    "tfidf_top_terms",
-    "gopher_quality_rules",
-    "duplicated_ngram_coverage",
-    "embedding_outliers",
-    "token_budget_sample",
-    "source_epoch_plan",
-    "key_skew_profile",
-    "priority_sample",
-    "user_overlap_kmv",
     "bloom_prune_join",
+    "chunk_dedup_stats",
+    "corpus_novelty_curve",
+    "daily_new_users_cumulative",
+    "doc_chunking",
+    "doc_lexical_gini",
+    "duplicated_ngram_coverage",
+    "embedding_near_dup",
+    "embedding_outliers",
+    "event_hour_contingency",
+    "event_interarrival_gaps",
+    "event_transition_matrix",
+    "events_hourly_anomalies",
+    "events_user_lifecycle",
+    "gopher_quality_rules",
+    "key_skew_profile",
+    "knn_label_accuracy",
+    "label_centroid_shift",
+    "order_fulfillment_latency",
+    "orders_grouping_sets",
+    "phrase_search_top_trigram",
+    "priority_sample",
     "q11_important_stock",
     "q16_parts_supplier_counts",
     "q20_potential_promotion",
     "q21_late_suppliers",
-    "label_centroid_shift",
     "source_divergence_tv",
-    "knn_label_accuracy",
-    "phrase_search_top_trigram",
-    "events_hourly_anomalies",
+    "source_epoch_plan",
     "source_length_quantiles",
-    "event_hour_contingency",
-    "doc_lexical_gini",
-    "order_fulfillment_latency",
-    "weekly_active_users",
-    "event_transition_matrix",
-    "event_interarrival_gaps",
-    "supplier_concentration_hhi",
-    "events_user_lifecycle",
-    "daily_new_users_cumulative",
     "source_overlap_jaccard",
-    "corpus_novelty_curve",
-    # --- last green: r5 ---
-    "zorder_pruning_stats",
-    "dsir_importance_weights",
-    "corpus_snapshot_diff",
-    "streaming_windowed_hourly",
-    "streaming_session_counts",
-    "streaming_dedup_keys",
-    "streaming_error_context_join",
+    "supplier_concentration_hhi",
+    "tfidf_top_terms",
+    "token_budget_sample",
+    "user_overlap_kmv",
+    "weekly_active_users",
+    # last green: r5
     "ann_mrr",
-    "streaming_enrich_cohort",
-    "containment_dedup",
-    "minhash_jaccard_calibration",
-    "hourly_count_autocorr",
-    "embedding_dim_covariance",
-    "fingerprint_collision_dedup",
-    "ann_sq8_recall",
-    "lang_id_confusion",
-    "brand_basket_lift",
-    "word_pagerank",
-    "word_communities_lpa",
-    "price_size_regression",
-    "streaming_fold_count",
-    "events_value_stats",
-    "ann_sq8_rerank",
-    "embedding_quantization_error",
-    "dedup_incremental_new_batch",
     "ann_recall_at_k",
-    "dedup_method_agreement",
+    "ann_sq8_rerank",
+    "bigram_cond_prob",
     "boilerplate_top_shingles",
-    "lm_score_deciles",
-    "source_dedup_matrix",
-    "q12_shipmode_priority",
-    "train_val_test_split",
-    "order_value_pareto",
+    "brand_basket_lift",
+    "containment_dedup",
+    "corpus_snapshot_diff",
+    "cosine_topk",
     "customer_rfm_segments",
     "customer_spend_ranks",
-    "word_graph_triangles",
-    "word_freq_cms",
-    "word_cooccurrence",
-    "bigram_cond_prob",
-    "text_lang_id",
-    "doc_fingerprint",
     "dedup_exact",
+    "dedup_incremental_new_batch",
+    "dedup_method_agreement",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "cosine_topk",
+    "doc_fingerprint",
+    "dsir_importance_weights",
+    "embedding_dim_covariance",
+    "embedding_quantization_error",
+    "events_value_stats",
+    "hourly_count_autocorr",
+    "lang_id_confusion",
+    "lm_score_deciles",
+    "minhash_jaccard_calibration",
+    "order_value_pareto",
+    "price_size_regression",
+    "q12_shipmode_priority",
+    "source_dedup_matrix",
+    "streaming_dedup_keys",
+    "streaming_enrich_cohort",
+    "streaming_error_context_join",
+    "streaming_fold_count",
+    "streaming_session_counts",
+    "streaming_windowed_hourly",
+    "text_lang_id",
+    "train_val_test_split",
+    "word_communities_lpa",
+    "word_cooccurrence",
+    "word_freq_cms",
+    "word_graph_triangles",
+    "word_pagerank",
+    "zorder_pruning_stats",
+    # last green: r6
+    "ann_pq_adc_rerank",
+    "ann_random_projection_recall",
+    "bm25_keyword_topk",
+    "corpus_drop_reasons",
+    "curated_corpus_stats",
+    "customer_name_fuzzy_pairs",
+    "customer_supplier_nations",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "dedup_cluster_size_histogram",
+    "dedup_connected_components",
+    "dedup_filtered_corpus",
+    "dedup_quality_keepers",
+    "distinct_users_by_type",
+    "doc_lm_score",
+    "epoch_shard_assignment",
+    "events_daily_pivot",
+    "events_distinct_hll",
+    "events_error_context",
+    "events_hourly_gapfill",
+    "events_json_buckets",
+    "hll_sliding_7d_users",
+    "hll_sliding_calibration",
+    "hourly_seasonal_residuals",
+    "ivm_join_view_delta",
+    "ivm_merge_hourly_counts",
+    "lineitem_cube",
+    "orders_unpivot",
+    "purchases_asof_signup",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_trade_volume",
+    "quantity_percentiles",
+    "salted_segment_activity",
+    "source_budget_waterfill",
+    "source_containment_matrix",
+    "source_length_emd",
+    "source_quality_harmonized",
+    "streaming_handoff_counts",
+    "streaming_ivm_hourly_counts",
 )
 
 

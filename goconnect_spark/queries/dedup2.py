@@ -32,6 +32,7 @@ skew-split covers the residue.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string hints here
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -367,25 +368,50 @@ def fingerprint_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sim = shared / min(n_a, n_b) — one double division of exact
     integers; ordering and thresholds never touch floats beyond it.
+
+    The per-doc winnowing pass is the catalog's one deliberate Arrow
+    pandas_udf (VERDICT r6 item 3): ~len(text) md5 + window-min steps
+    per doc ran as INTERPRETED higher-order-function lambdas (HOFs
+    never enter whole-stage codegen) and priced the family at
+    ~1.3 ms/doc — linear but the family's cost ceiling at 100 TB. The
+    Arrow batch path hashes each distinct 8-gram once per batch
+    (C-speed hashlib) and is an order of magnitude cheaper; the
+    fingerprints are byte-identical (same code-point substrings, same
+    UTF-8 md5, same lexicographic window minima), so the DuckDB
+    oracle is unchanged.
     """
     from goconnect_spark.queries.corpus import cached_table
 
     def build_fps():
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def winnow(texts: pd.Series) -> pd.Series:
+            import hashlib
+
+            cache: dict = {}  # distinct 8-gram -> md5 hex, shared per batch
+
+            def doc_fps(s):
+                s = s or ""
+                m = max(len(s) - (_FP_K - 1), 1)
+                hs = []
+                for i in range(m):
+                    g = s[i : i + _FP_K]
+                    h = cache.get(g)
+                    if h is None:
+                        h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                        cache[g] = h
+                    hs.append(h)
+                # forward w-window minima (the oracle's ROWS BETWEEN
+                # CURRENT ROW AND w-1 FOLLOWING), then distinct
+                return sorted({min(hs[i : i + _FP_W]) for i in range(m)})
+
+            return texts.map(doc_fps)
+
         docs = load(spark, "documents", sf_dir)
-        hs = docs.select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(1, greatest(length(text)-{_FP_K - 1}, 1)),"
-                f" i -> md5(substr(text, i, {_FP_K})))"
-            ).alias("hs"),
+        return docs.select("doc_id", winnow("text").alias("fps")).withColumn(
+            "nf", F.size("fps").cast("long")
         )
-        return hs.select(
-            "doc_id",
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(hs)),"
-                f" i -> array_min(slice(hs, i, {_FP_W}))))"
-            ).alias("fps"),
-        ).withColumn("nf", F.size("fps").cast("long"))
 
     fps = cached_table(spark, sf_dir, "winnow_fps", build_fps)
     exploded = fps.select("doc_id", F.explode("fps").alias("fp"))

@@ -469,10 +469,29 @@ def _kmeans_member(emb: DataFrame) -> DataFrame:
     operands is bit-identical, and array_position(.., array_max(..))
     picks the FIRST max — the oracle's (score DESC, cell ASC) tie
     rule."""
-    qarr = emb.select(
+    qarr = _kmeans_qarr(emb)
+    scores = _kmeans_scores_expr()
+    return qarr.withColumn(
+        "cell",
+        F.expr(f"CAST(array_position({scores}, array_max({scores})) AS INT) - 1"),
+    )
+
+
+def _kmeans_qarr(emb: DataFrame) -> DataFrame:
+    """(vec_id, qs): the fixed-point quantized embedding array the
+    in-row scorer consumes."""
+    return emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))").alias("qs"),
     )
+
+
+def _kmeans_scores_expr() -> str:
+    """SQL expression (over a `qs` column) yielding the per-cell
+    score array `dot(qs, centroid_c) / |centroid_c|` for all 8 frozen
+    centroids — shared by best-cell assignment (`_kmeans_member`) and
+    the IVFPQ top-nprobe routing (queries/pq.py), so the two can
+    never rank cells differently."""
     cents_lit = "array({})".format(
         ", ".join(
             "array({})".format(", ".join(f"CAST({v} AS BIGINT)" for v in qs))
@@ -482,14 +501,10 @@ def _kmeans_member(emb: DataFrame) -> DataFrame:
     nsq_lit = "array({})".format(
         ", ".join(f"CAST({sum(v * v for v in qs)} AS BIGINT)" for qs in _IVF_CENTROIDS_Q)
     )
-    scores = (
+    return (
         f"zip_with(transform({cents_lit}, cq -> CAST(aggregate("
         "zip_with(qs, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v"
         f") AS DOUBLE)), {nsq_lit}, (d, n2) -> d / sqrt(CAST(n2 AS DOUBLE)))"
-    )
-    return qarr.withColumn(
-        "cell",
-        F.expr(f"CAST(array_position({scores}, array_max({scores})) AS INT) - 1"),
     )
 
 

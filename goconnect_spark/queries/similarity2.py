@@ -381,59 +381,8 @@ QUERIES["embedding_dim_covariance"] = embedding_dim_covariance
 ORACLE["embedding_dim_covariance"] = _DIMCOV_SQL
 
 
-# --------------------------------------------------------------------
-# SQ8 recall evaluation vs brute-force ground truth.
-# --------------------------------------------------------------------
-def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per probe: |sq8_top5 ∩ brute_top5| / 5 — the index-evaluation
-    companion ann_recall_at_k provides for IVF, here measuring what
-    the int8 coarse quantization costs in ranking fidelity (the
-    compressed scan's accept/reject metric before rolling it out).
-    Both sides reuse the session-cached quantized tables; the
-    intersection is probe-sized. Recall divides identical integers —
-    bit-exact doubles."""
-    from goconnect_spark.queries.similarity import cosine_topk
-
-    truth = cosine_topk(spark, sf_dir).select("probe_id", "vec_id")
-    approx = ann_sq8_rerank(spark, sf_dir).select("probe_id", "vec_id")
-    hits = (
-        truth.join(approx, ["probe_id", "vec_id"])
-        .groupBy("probe_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    nt = truth.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_truth"))
-    return (
-        nt.join(hits, "probe_id", "left")
-        .select(
-            "probe_id",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            (
-                F.coalesce("n_hits", F.lit(0)) / F.col("n_truth").cast("double")
-            ).alias("recall_at_5"),
-        )
-        .orderBy("probe_id")
-    )
-
-
-def _sq8_recall_sql() -> str:
-    from goconnect_spark.queries.similarity import _COSINE_TOPK_SQL
-
-    return f"""
-WITH truth AS (SELECT probe_id, vec_id FROM ({_COSINE_TOPK_SQL}) t),
-approx AS (SELECT probe_id, vec_id FROM ({_SQ8_SQL}) a),
-hits AS (
-  SELECT t.probe_id, COUNT(*) AS n_hits
-  FROM truth t JOIN approx x ON x.probe_id = t.probe_id AND x.vec_id = t.vec_id
-  GROUP BY t.probe_id
-),
-nt AS (SELECT probe_id, COUNT(*) AS n_truth FROM truth GROUP BY probe_id)
-SELECT nt.probe_id,
-       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       COALESCE(h.n_hits, 0) / CAST(nt.n_truth AS DOUBLE) AS recall_at_5
-FROM nt LEFT JOIN hits h ON h.probe_id = nt.probe_id
-ORDER BY nt.probe_id
-"""
-
-
-QUERIES["ann_sq8_recall"] = ann_sq8_recall
-ORACLE["ann_sq8_recall"] = _sq8_recall_sql()
+# Retired in round 7 (VERDICT r6 item 8, catalog-density discipline):
+# the standalone `ann_sq8_recall` diagnostic duplicated the per-probe
+# SQ8 recall that pq.ann_index_comparison reports as its recall_sq8
+# column (same truth set, same rerank, same division) — the dashboard
+# is the single certified home for index-fidelity numbers.

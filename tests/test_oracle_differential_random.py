@@ -80,14 +80,12 @@ def _random_corpus(seed: int, n: int = 60):
 
 EMB_QUERIES = [
     "ann_pq_adc_rerank",
-    "ann_pq_recall",
     "ann_ivfpq_topk",
     "ann_index_comparison",
     "streaming_ann_lookup",
     "ann_random_projection_recall",
     "cosine_topk",
     "ann_sq8_rerank",
-    "ann_sq8_recall",
     "embedding_quantization_error",
     "embedding_dim_covariance",
     "embedding_near_dup",

@@ -254,6 +254,12 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "source_budget_waterfill": {"BroadcastNestedLoopJoin"},  # 1-row budget scalar + 1-row cut
         "source_length_emd": {"BroadcastNestedLoopJoin"},    # 100-row knot-table pairings + 1-row counts
         "hll_sliding_calibration": {"BroadcastNestedLoopJoin"},  # calendar-day grid range pairing
+        # the ONE deliberate Arrow pandas_udf in the relational catalog:
+        # per-doc winnowing (≈len(text) md5 + window-min steps) — the
+        # interpreted-HOF form never enters codegen and cost ~1.3 ms/doc
+        # (VERDICT r6 item 3); the Arrow batch path is the documented
+        # codec-style slow-path exception, not a row-at-a-time UDF
+        "fingerprint_collision_dedup": {"EvalPython"},
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics

@@ -161,9 +161,9 @@ def _compare_all(spark, con, tmp, qs, oracles) -> list:
             sdf = fn(spark, tmp)
             scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
             if name not in oracles:
-                # rows-only catalog entry (e.g. bpe_merge_table):
-                # executed for crash-safety; value check lives in its
-                # sequential-equivalence property test
+                # rows-only catalog entry (none since round 7 — every
+                # entry is oracle-gated; kept as a guard for future
+                # genuinely non-SQL-expressible additions)
                 print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
                 continue
             res = con.execute(oracles[name])
