@@ -31,6 +31,7 @@ SAMPLE = [
     "salted_segment_activity",     # salt explode must not change the join result
     "hll_sliding_7d_users",        # register max-merge across windows
     "ann_ivfpq_topk",              # codebook argmax encode + ADC + re-rank
+    "bpe_tokenize_corpus",         # frozen-table replace chain + token count
 ]
 
 

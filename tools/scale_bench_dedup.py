@@ -104,6 +104,11 @@ QUERIES = [
     "source_length_emd",
     # per-source decile normalization: tokenize + per-source windows
     "source_quality_harmonized",
+    # round-7: frozen-table BPE application — pure map-side replace
+    # chain + one token groupBy; wall should be flat-to-linear in docs
+    # (replica word prefixes grow the token alphabet, worst case for
+    # the count table)
+    "bpe_tokenize_corpus",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles
