@@ -181,10 +181,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     # 8. tokenizer induction on the TRAIN split only (never val — the
     # same leakage rule as any learned artifact): distributed BPE over
     # the vocab-reduced word table (operators/bpe.py)
-    from goconnect_spark.operators.bpe import bpe_merges
+    from goconnect_spark.operators.bpe import apply_bpe_replace, bpe_merges
 
     train_docs = split.where(F.col("split") == "train").select("doc_id", "text")
     merges = bpe_merges(train_docs, n_merges=8, min_freq=2)
+    # ...then APPLY the trained table corpus-wide via the replace-chain
+    # path (all-codegen string ops — the serving-speed twin of the
+    # fold; this train-once/apply-everywhere split is exactly the
+    # frozen-table pattern queries/_bpe_frozen.py ships at catalog
+    # scale)
+    n_bpe_tokens = (
+        apply_bpe_replace(train_docs, merges)
+        .select(F.sum(F.size("bpe_tokens")).alias("n"))
+        .collect()[0]["n"]
+    )
 
     print(f"  packed             : {n_packs} packs, {tok_total} tokens (cap {CAP})")
     print(
@@ -192,6 +202,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         + ", ".join(f"{a}+{b}({f})" for a, b, f in merges[:6])
         + (" …" if len(merges) > 6 else "")
     )
+    print(f"  bpe tokens (train) : {n_bpe_tokens} after {len(merges)} merges")
     for epoch, rows in shard_stats:
         layout = ", ".join(f"s{r.shard}:{r.packs}p/{r.tokens}t" for r in rows)
         print(f"  epoch {epoch} shards     : {layout}")
