@@ -55,6 +55,13 @@ LANGS = ["en", "de", "fr", "es", "zh"]
 def _random_corpus(seed: int, n: int = 60):
     rng = random.Random(seed)
     vocab = [f"w{i}" for i in range(40)]
+    # non-BMP hazard class (the ADVICE-r6 surrogate-split bug class):
+    # emoji / astral CJK / combining marks exercise every substr /
+    # length / split / md5 path under multi-code-unit characters —
+    # Spark counts UTF-16 pairs as ONE code point and DuckDB counts
+    # UTF-8 bytes as ONE code point, so any code-unit-based operator
+    # in a query/oracle pair hash-mismatches here
+    vocab += ["😀w", "𠀋", "naïve", "𝄞clef", "ü😀ü"]
     docs = []
     for i in range(n):
         ln = rng.choice([1, 2, 5, rng.randint(8, 60), rng.randint(8, 60)])
