@@ -31,7 +31,7 @@ tie-breaks, no RNG — byte-identical merge tables on any partitioning
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame

@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from goconnect_spark.queries.similarity import (
     _N_PROBES,
-    _Q,
     _QUANT_CTE,
     _TOP_K,
     _norms_cached,
