@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-end gate sequence (VERDICT r6 item 6: bench_diff wired as a
+# mechanical gate, plus every verification layer the round workflow
+# runs before handing the repo to the driver). Exits non-zero on the
+# first failing gate.
+#
+# Usage: tools/round_gates.sh <prev_bench_capture> [round_tag]
+#   e.g. tools/round_gates.sh tools/bench_captures/r7_local_sf01_stderr.txt r8
+#
+# Layers (each independently catches a class of regression):
+#   1. pytest              — unit/property/plan/invariance suites
+#   2. verify_local 0.001  — fast full-catalog oracle gate
+#   3. verify_local 0.01   — driver-scale oracle gate
+#   4. VERIFY_PLAIN 0.01   — same, under a bare driver-style session
+#   5. differential 0 1    — full catalog on pathological + random data
+#   6. bench sf0.1         — full-catalog timing, stderr capture kept
+#   7. bench_diff          — per-query wall regression vs prev round
+set -e
+cd "$(dirname "$0")/.."
+
+PREV="${1:?usage: round_gates.sh <prev_bench_capture> [round_tag]}"
+TAG="${2:-next}"
+CAP="tools/bench_captures/${TAG}_local_sf01_stderr.txt"
+
+echo "== gate 1/7: pytest =="
+python -m pytest tests/ -q
+
+echo "== gate 2/7: verify_local sf0.001 =="
+SPARK_GRAFT_CPUS=8 python tools/verify_local.py /root/testdata/sf0.001
+
+echo "== gate 3/7: verify_local sf0.01 =="
+SPARK_GRAFT_CPUS=16 python tools/verify_local.py /root/testdata/sf0.01
+
+echo "== gate 4/7: VERIFY_PLAIN sf0.01 (bare session) =="
+VERIFY_PLAIN=1 SPARK_GRAFT_CPUS=16 python tools/verify_local.py /root/testdata/sf0.01
+
+echo "== gate 5/7: randomized differential (seeds 0 1) =="
+python tools/differential_random_full.py 0 1
+
+echo "== gate 6/7: bench sf0.1 (capture -> $CAP) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  python bench.py 2>"$CAP"
+
+echo "== gate 7/7: bench_diff vs $PREV =="
+# deliberate scope changes (a query made bigger on purpose) will trip
+# the 1.5x gate: inspect the table, document the reason in the round
+# notes, and commit it under tools/bench_captures/
+python tools/bench_diff.py "$PREV" "$CAP" --threshold 1.5
+
+echo "ALL GATES GREEN"
