@@ -74,6 +74,11 @@ def test_apply_bpe_replace_equals_fold(spark, seed):
     # produce the IDENTICAL token stream as the per-word fold
     docs = spark.createDataFrame(_corpus(seed), "doc_id: long, text: string")
     merges = bpe_merges(docs, n_merges=10)
+    # the invariant the whole-document encoding's correctness rests
+    # on: a trained pair's FIRST symbol always has a successor inside
+    # some word, so it can never contain the word-final sentinel — a
+    # merge pattern therefore cannot straddle a word boundary
+    assert all("</w>" not in a for a, _, _ in merges), merges
     fold = {r.doc_id: r.bpe_tokens for r in apply_bpe(docs, merges).collect()}
     repl = {
         r.doc_id: r.bpe_tokens for r in apply_bpe_replace(docs, merges).collect()

@@ -35,6 +35,13 @@ def main():
     spark = get_spark()
     docs = load(spark, "documents", SF_DIR)
     merges = bpe_merges(docs, n_merges=N_MERGES, min_freq=2)
+    # the whole-document replace-chain encoding is only safe if no
+    # merge pattern can straddle a word boundary — i.e. no pair's
+    # FIRST symbol contains the word-final sentinel. True by
+    # construction (word-final symbols have no successor); refuse to
+    # freeze a table that ever violates it.
+    bad = [(a, b) for a, b, _ in merges if "</w>" in a]
+    assert not bad, f"boundary invariant violated: {bad}"
     rows = "\n".join(
         f"    ({a!r}, {b!r}, {pf})," for a, b, pf in merges
     )
