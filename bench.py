@@ -5,11 +5,14 @@ ONE JSON line:
    "queries": {...all catalog queries...},
    "all_queries_total_wall": M, "n_queries_all": K, "sf": ...}
 
-The primary metric stays the 31-query HEADLINE total (comparable
-round-over-round and against BASELINE.md); the same run also times the
-full catalog so regressions in non-headline queries are visible
-(`all_queries_total_wall`). Set BENCH_HEADLINE_ONLY=1 to skip the
-catalog tail while iterating locally.
+Since round 7 the headline set is 34 queries (the legacy 31 plus three
+round-6 family representatives), so `value` is the 34-query total; the
+ROUND-OVER-ROUND comparable number is `headline31_total_wall` (the
+legacy 31-query subset, apples-to-apples with r1-r6 captures and
+BASELINE.md). The same run also times the full catalog so regressions
+in non-headline queries are visible (`all_queries_total_wall`). Set
+BENCH_HEADLINE_ONLY=1 to skip the catalog tail while iterating
+locally.
 """
 
 from __future__ import annotations

@@ -185,7 +185,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     train_docs = split.where(F.col("split") == "train").select("doc_id", "text")
     merges = bpe_merges(train_docs, n_merges=8, min_freq=2)
-    # ...then APPLY the trained table corpus-wide via the replace-chain
+    # ...then APPLY the trained table across the train split via the replace-chain
     # path (all-codegen string ops — the serving-speed twin of the
     # fold; this train-once/apply-everywhere split is exactly the
     # frozen-table pattern queries/_bpe_frozen.py ships at catalog

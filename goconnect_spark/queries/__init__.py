@@ -251,6 +251,13 @@ def all_queries():
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(m.QUERIES)
+    # the priority list IS the certification mechanism (the driver
+    # certifies ~50/round in this order), and it is rebuilt by hand
+    # each round — a typo here would silently demote a query past the
+    # driver cap, so fail loudly instead
+    ghosts = set(_DRIVER_PRIORITY) - out.keys()
+    if ghosts:
+        raise ValueError(f"_DRIVER_PRIORITY names not in the registry: {ghosts}")
     ordered = {}
     for name in _DRIVER_PRIORITY:
         if name in out:

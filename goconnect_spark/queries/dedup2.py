@@ -389,7 +389,12 @@ def fingerprint_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         def winnow(texts: pd.Series) -> pd.Series:
             import hashlib
 
-            cache: dict = {}  # distinct 8-gram -> md5 hex, shared per batch
+            # distinct 8-gram -> md5 hex, shared across the Arrow batch;
+            # size-capped so a batch of long high-entropy docs cannot
+            # grow task memory unboundedly (2M entries ~ a couple hundred
+            # MB worst case; a reset only costs re-hashing, not accuracy)
+            cache: dict = {}
+            _CACHE_CAP = 2_000_000
 
             def doc_fps(s):
                 s = s or ""
@@ -400,6 +405,8 @@ def fingerprint_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     h = cache.get(g)
                     if h is None:
                         h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                        if len(cache) >= _CACHE_CAP:
+                            cache.clear()
                         cache[g] = h
                     hs.append(h)
                 # forward w-window minima (the oracle's ROWS BETWEEN
