@@ -177,6 +177,17 @@ def apply_bpe(
 _SEND = "\x02"  # symbol-end marker
 
 
+def _assert_no_straddle(merges) -> None:
+    """Whole-document replace-chain safety: a merge whose FIRST symbol
+    contains the `</w>` sentinel could match across a word boundary.
+    Trained tables can never produce one (a pair's first symbol always
+    has a successor inside some word) and the invariant is asserted at
+    freeze time — this guard makes AD-HOC merge lists fail loudly
+    instead of silently producing straddled tokens (ADVICE r7)."""
+    bad = [(a, b) for a, b, *_ in merges if _EOW in a]
+    assert not bad, f"merge first-symbol contains {_EOW!r} (would straddle word boundaries): {bad[:3]}"
+
+
 def _wrap(sym: str) -> str:
     return _SEP + sym + _SEND
 
@@ -203,6 +214,7 @@ def apply_bpe_replace(
     """Tokenize with a learned merge table via the replace chain —
     one `replace()` per merge, all in-row, all codegen. Produces the
     identical token stream as `apply_bpe` (property-tested)."""
+    _assert_no_straddle(merges)
     enc = encode_doc(F.col(text_col))
     for a, b, *_ in merges:
         enc = F.replace(enc, F.lit(_wrap(a) + _wrap(b)), F.lit(_wrap(a + b)))
@@ -215,6 +227,7 @@ def apply_bpe_replace_sql(text_expr: str, merges: List[Tuple[str, str]]) -> str:
     producing the encoded string (split on the chr(1)/chr(2) markers
     downstream). Kept beside the Spark builder so the two replace
     chains can never drift."""
+    _assert_no_straddle(merges)
 
     def wrap_sql(sym: str) -> str:
         lit = sym.replace("'", "''")

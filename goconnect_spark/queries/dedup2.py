@@ -397,7 +397,13 @@ def fingerprint_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _CACHE_CAP = 2_000_000
 
             def doc_fps(s):
-                s = s or ""
+                # pandas delivers null text as None OR float NaN
+                # depending on the Arrow batch's dtype; both map to ""
+                # explicitly (ADVICE r7 — `s or ""` would TypeError on
+                # NaN at len()). The testdata corpus has no null text;
+                # this pins the behavior for one that does.
+                if not isinstance(s, str):
+                    s = ""
                 m = max(len(s) - (_FP_K - 1), 1)
                 hs = []
                 for i in range(m):

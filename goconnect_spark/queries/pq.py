@@ -326,6 +326,24 @@ def _exact_rerank(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFram
 _NPROBE = 2  # catalog default: probe the top-2 cells per query vector
 
 
+def _probe_qarr_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted quantized array of the PROBE subset — the
+    three nprobe variants `ann_index_comparison` runs (and every
+    other `_probe_topcells` caller) share one scan + quantization
+    pass instead of re-reading the raw embeddings per call (ADVICE
+    r7). Probe-sized: |probes| rows."""
+    from goconnect_spark.queries.corpus import cached_table
+    from goconnect_spark.queries.similarity import _kmeans_qarr
+    from goconnect_spark.tables import load
+
+    return cached_table(
+        spark, sf_dir, "probe_qarr",
+        lambda: _kmeans_qarr(
+            load(spark, "embeddings", sf_dir).where(F.col("vec_id") < _N_PROBES)
+        ),
+    )
+
+
 def _probe_topcells(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     """(probe_id, cell): each probe's top-`nprobe` IVF cells by the
     SAME centroid score the best-cell assignment uses
@@ -335,18 +353,15 @@ def _probe_topcells(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     nprobe×|probes| rows, no window, no shuffle."""
     from goconnect_spark.queries.similarity import (
         _IVF_CENTROIDS_Q,
-        _kmeans_qarr,
         _kmeans_scores_expr,
     )
-    from goconnect_spark.tables import load
 
-    emb = load(spark, "embeddings", sf_dir).where(F.col("vec_id") < _N_PROBES)
     top = (
         f"slice(array_sort(zip_with({_kmeans_scores_expr()},"
         f" sequence(0, {len(_IVF_CENTROIDS_Q) - 1}),"
         " (s, c) -> struct(-s as negs, c as cell))), 1, %d)" % nprobe
     )
-    return _kmeans_qarr(emb).select(
+    return _probe_qarr_cached(spark, sf_dir).select(
         F.col("vec_id").alias("probe_id"),
         F.explode(F.expr(f"transform({top}, p -> p.cell)")).alias("cell"),
     )
