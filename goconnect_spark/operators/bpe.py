@@ -247,6 +247,75 @@ def apply_bpe_replace_sql(text_expr: str, merges: List[Tuple[str, str]]) -> str:
     return enc
 
 
+# --------------------------------------------------------------------
+# Word-level application: the MERGE-COUNT-SCALABLE production path
+# (VERDICT r7 item 2). The replace chain above is one full-document
+# string pass PER MERGE — fine at the frozen 24 merges, a scale-killer
+# at a production 32k-merge vocab (O(n_merges) passes over every
+# document, and a 32k-deep Catalyst expression tree besides). BPE is
+# deterministic per word, so the training trick applies to inference
+# too: tokenize each DISTINCT word once (vocab-sized work — any
+# per-merge loop is affordable there), then broadcast-join the
+# word→tokens map back onto the corpus. The corpus-side plan is then
+# INDEPENDENT of merge count: one posexplode, one equi-join, one
+# per-doc positional reassembly — identical whether the table has 24
+# merges or 32k. (At web scale the distinct-word table may outgrow a
+# broadcast; pass broadcast_vocab=False to fall back to a shuffle
+# equi-join on the word key — same plan shape, still merge-count-
+# independent.)
+# --------------------------------------------------------------------
+def tokenize_distinct_words(words: DataFrame, merges, word_col: str = "word", out_col: str = "toks") -> DataFrame:
+    """(word, toks): replace-chain tokenization of each row's word —
+    meant for a DISTINCT-word table, where the per-merge chain is
+    vocab-sized work. A single word encodes exactly like a one-word
+    document, so this IS `apply_bpe_replace` on the word column."""
+    return apply_bpe_replace(words, merges, text_col=word_col, out_col=out_col)
+
+
+def apply_bpe_wordlevel(
+    docs: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    id_cols: Tuple[str, ...] = ("doc_id",),
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Tokenize via the word-level path: distinct words -> replace
+    chain (vocab-sized) -> broadcast equi-join onto the posexploded
+    corpus -> per-doc positional reassembly. Produces the identical
+    token stream as `apply_bpe_replace` (property-tested): merges
+    never straddle word boundaries (`_assert_no_straddle`), so a
+    document's whole-text chain is exactly the concatenation of its
+    words' chains. `id_cols` must uniquely key `docs` (reassembly
+    groups on them). Docs with no words (empty/all-space/null text)
+    get an empty token array."""
+    _assert_no_straddle(merges)
+    ids = list(id_cols)
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    exploded = docs.select(*ids, F.posexplode(words).alias("pos", "word"))
+    vocab = exploded.select("word").distinct()
+    wt = tokenize_distinct_words(vocab, merges).select("word", "toks")
+    if broadcast_vocab:
+        wt = F.broadcast(wt)
+    # array_sort on (pos, toks) structs orders by pos (unique per doc),
+    # so reassembly is deterministic under any partitioning/arrival
+    # order of collect_list — the invariance-suite contract
+    agg = (
+        exploded.join(wt, "word")
+        .groupBy(*ids)
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list(struct(pos, toks))),"
+                " x -> x.toks))"
+            ).alias(out_col)
+        )
+    )
+    return docs.join(agg, ids, "left").withColumn(
+        out_col,
+        F.coalesce(F.col(out_col), F.expr("cast(array() as array<string>)")),
+    )
+
+
 def bpe_merges_py(
     word_freqs: dict, n_merges: int = 10, min_freq: int = 2
 ) -> List[Tuple[str, str, int]]:

@@ -42,75 +42,27 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
-# Rebuilt for round 7 per VERDICT r6 item 1 — priority = staleness:
-#   tier 0 — changed at HEAD this round (must re-certify);
+# Rebuilt for round 8 per VERDICT r7 item 1 — priority = staleness:
+#   tier 0 — changed at HEAD this round (must re-certify): the two
+#   word-level BPE entries (rewritten corpus plan + the new broadcast-
+#   join reassembly entry), the merged ann_retrieval_quality
+#   (ann_recall_at_k + ann_mrr, r8 density discipline), the winnowing
+#   NaN guard's consumer, and the two probe-cache consumers;
 #   then EVERY other query ordered by the ROUND OF ITS NEWEST GREEN
-#   DRIVER ROW, oldest first. The round-7 slate is dominated by the
-#   45-query r2/r3 cohort whose certificates predate round 4 AND whose
-#   code moved in the round-6 module re-org (AST-verbatim move, locally
-#   re-verified, but the driver gate is the hard signal); the 4 cohort
-#   members the r6 judge already oracle-spot-checked at HEAD are placed
-#   last within the cohort so a ~50-slot cap drops only them.
+#   DRIVER ROW, oldest first: user_sessions/retention_cohorts (last
+#   green r3 — the two the r7 50-slot cap dropped), the full 36-query
+#   r4 cohort, then the r5 block. Slots 1-50 = tier 0 + all 38
+#   certificates older than 2 rounds + the 6 first r5 entries, so a
+#   ~50-slot cap restores max certificate age to <=3 rounds.
 _DRIVER_PRIORITY = (
-    # --- tier 0: changed at HEAD in round 7 (new oracle-gated BPE entry;
-    #     pandas_udf winnowing; nprobe routing + the _kmeans_member
-    #     refactor it shares with every IVF consumer) ---
+    # --- tier 0: changed at HEAD in round 8 ---
+    "bpe_doc_tokens",
     "bpe_tokenize_corpus",
+    "ann_retrieval_quality",
     "fingerprint_collision_dedup",
     "ann_ivfpq_topk",
     "ann_index_comparison",
-    "streaming_ann_lookup",
-    "ann_ivf_kmeans_topk",
-    "semantic_dedup",
-    # --- certificate-age rotation (VERDICT r6 item 1): the r2/r3 cohort
-    #     whose newest driver rows predate round 4 AND the round-6 module
-    #     re-org — oldest certificates first; the four queries the r6
-    #     judge oracle-spot-checked at HEAD close the cohort ---
-    # last green: r2
-    "events_distinct_kmv",
-    "events_in_error_windows",
-    "events_latest_per_user",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q22_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "user_history_scd2",
-    "value_histogram_quantiles",
-    # last green: r3
-    "benchmark_contamination",
-    "daily_reconciliation",
-    "distinct_users_kmv_by_type",
-    "doc_length_buckets",
-    "doc_repetition_ratio",
-    "events_hourly",
-    "events_rollup_cascade",
-    "flatmap_word_counts",
-    "fold_global",
-    "funnel_view_click_purchase",
-    "kv_roundtrip",
-    "limit_events",
-    "map_filter",
-    "ordered_merge",
-    "orders_profile",
-    "orders_rollup",
-    "q5_region_revenue",
-    "referential_integrity",
-    "roundrobin_replay",
-    "sequence_packing",
-    "source_mix_weights",
-    "stratified_sample",
-    "text_quality_score",
-    "text_token_bpeish",
-    "text_token_stats",
-    "top_customers_per_segment",
-    "user_rolling_7d",
-    "value_outliers_mad",
-    "vocab_oov_rate",
-    "xml_extract_fold",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    # last green: r3 (the two the r7 cap dropped — oldest certificates)
     "user_sessions",
     "retention_cohorts",
     # last green: r4
@@ -150,9 +102,8 @@ _DRIVER_PRIORITY = (
     "token_budget_sample",
     "user_overlap_kmv",
     "weekly_active_users",
-    # last green: r5
-    "ann_mrr",
-    "ann_recall_at_k",
+    # last green: r5 (ann_mrr/ann_recall_at_k retired into the merged
+    # tier-0 ann_retrieval_quality)
     "ann_sq8_rerank",
     "bigram_cond_prob",
     "boilerplate_top_shingles",
@@ -241,6 +192,54 @@ _DRIVER_PRIORITY = (
     "source_quality_harmonized",
     "streaming_handoff_counts",
     "streaming_ivm_hourly_counts",
+    # last green: r7 (the freshest certificates — the r7 tier 0 plus
+    # the r2/r3 cohort the r7 slate rotated through the driver gate)
+    "ann_ivf_kmeans_topk",
+    "benchmark_contamination",
+    "daily_reconciliation",
+    "distinct_users_kmv_by_type",
+    "doc_length_buckets",
+    "doc_repetition_ratio",
+    "events_distinct_kmv",
+    "events_hourly",
+    "events_in_error_windows",
+    "events_latest_per_user",
+    "events_rollup_cascade",
+    "flatmap_word_counts",
+    "fold_global",
+    "funnel_view_click_purchase",
+    "kv_roundtrip",
+    "limit_events",
+    "map_filter",
+    "ordered_merge",
+    "orders_profile",
+    "orders_rollup",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "referential_integrity",
+    "roundrobin_replay",
+    "semantic_dedup",
+    "sequence_packing",
+    "source_mix_weights",
+    "stratified_sample",
+    "streaming_ann_lookup",
+    "text_quality_score",
+    "text_token_bpeish",
+    "text_token_stats",
+    "top_customers_per_segment",
+    "user_history_scd2",
+    "user_rolling_7d",
+    "value_histogram_quantiles",
+    "value_outliers_mad",
+    "vocab_oov_rate",
+    "xml_extract_fold",
 )
 
 

@@ -979,67 +979,34 @@ ORACLE["label_centroid_shift"] = _CENTROID_SHIFT_SQL
 # 100 TB this is THE gate run on a probe sample before switching the
 # retrieval path to the index.
 # --------------------------------------------------------------------
-def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per probe: |ivf_top3 ∩ brute_top3| / 3. Both sides reuse the
-    session-cached quantized tables; the intersection and the final
-    join are probe-sized (tiny). Recall divides identical integers in
-    both engines — bit-exact doubles."""
+def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 AND mean-reciprocal-rank evidence for the IVF search
+    in ONE probe-keyed diagnostic (r8 density discipline: the r5-era
+    standalone `ann_recall_at_k` / `ann_mrr` merged — they shared the
+    brute-force truth and the IVF top-3 scan, now computed once).
+    Per probe: |ivf_top3 ∩ brute_top3| / 3, plus where the TRUE
+    nearest neighbor (brute top-1) lands in the IVF list. Reciprocal
+    rank is kept in fixed point (1e6 DIV rank, 0 when missed) so the
+    per-probe rows are exact integers — the reader averages rr_fp/1e6
+    for the headline MRR without any cross-engine float-summation
+    hazard; recall divides identical integers in both engines —
+    bit-exact doubles. Probe-sized joins over the session-cached
+    quantized tables throughout."""
     truth = cosine_topk(spark, sf_dir).where(F.col("rk") <= 3).select(
-        "probe_id", "vec_id"
-    )
-    approx = ann_ivf_topk(spark, sf_dir).select("probe_id", "vec_id")
-    hits = (
-        truth.join(approx, ["probe_id", "vec_id"])
-        .groupBy("probe_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    nt = truth.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_truth"))
-    return (
-        nt.join(hits, "probe_id", "left")
-        .select(
-            "probe_id",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            (
-                F.coalesce("n_hits", F.lit(0)) / F.col("n_truth").cast("double")
-            ).alias("recall_at_3"),
-        )
-        .orderBy("probe_id")
-    )
-
-
-_ANN_RECALL_SQL = f"""
-WITH truth AS (SELECT probe_id, vec_id FROM ({_COSINE_TOPK_SQL}) t WHERE rk <= 3),
-approx AS (SELECT probe_id, vec_id FROM ({_ANN_IVF_SQL}) a),
-hits AS (
-  SELECT t.probe_id, COUNT(*) AS n_hits
-  FROM truth t JOIN approx x ON x.probe_id = t.probe_id AND x.vec_id = t.vec_id
-  GROUP BY t.probe_id
-),
-nt AS (SELECT probe_id, COUNT(*) AS n_truth FROM truth GROUP BY probe_id)
-SELECT nt.probe_id,
-       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       COALESCE(h.n_hits, 0) / CAST(nt.n_truth AS DOUBLE) AS recall_at_3
-FROM nt LEFT JOIN hits h ON h.probe_id = nt.probe_id
-ORDER BY nt.probe_id
-"""
-
-
-def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean-reciprocal-rank evidence for the IVF search: where does
-    each probe's TRUE nearest neighbor (brute-force top-1) land in
-    the IVF top-3 list? Reciprocal rank is kept in fixed point
-    (1e6 DIV rank, 0 when missed) so the per-probe rows are exact
-    integers — the reader averages rr_fp/1e6 for the headline MRR
-    without any cross-engine float-summation hazard. Probe-sized
-    joins over the session-cached quantized tables throughout."""
-    truth = cosine_topk(spark, sf_dir).where(F.col("rk") == 1).select(
-        "probe_id", "vec_id"
+        "probe_id", "vec_id", "rk"
     )
     ivf = ann_ivf_topk(spark, sf_dir).select(
         "probe_id", "vec_id", F.col("rk").alias("ivf_rk")
     )
-    return (
-        truth.join(ivf, ["probe_id", "vec_id"], "left")
+    hits = (
+        truth.join(ivf, ["probe_id", "vec_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    nt = truth.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    mrr = (
+        truth.where(F.col("rk") == 1)
+        .join(ivf, ["probe_id", "vec_id"], "left")
         .select(
             "probe_id",
             F.col("vec_id").alias("true_vec_id"),
@@ -1049,26 +1016,52 @@ def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " else 1000000 div ivf_rk end as bigint)"
             ).alias("rr_fp"),
         )
+    )
+    return (
+        nt.join(hits, "probe_id", "left")
+        .join(mrr, "probe_id")
+        .select(
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_truth").cast("double")
+            ).alias("recall_at_3"),
+            "true_vec_id",
+            "ivf_rank",
+            "rr_fp",
+        )
         .orderBy("probe_id")
     )
 
 
-_ANN_MRR_SQL = f"""
+_ANN_RETRIEVAL_SQL = f"""
 WITH truth AS (
-  SELECT probe_id, vec_id FROM ({_COSINE_TOPK_SQL}) t WHERE rk = 1
+  SELECT probe_id, vec_id, rk FROM ({_COSINE_TOPK_SQL}) t WHERE rk <= 3
 ),
-ivf AS (SELECT probe_id, vec_id, rk AS ivf_rk FROM ({_ANN_IVF_SQL}) a)
-SELECT t.probe_id, t.vec_id AS true_vec_id,
-       CAST(COALESCE(i.ivf_rk, 0) AS BIGINT) AS ivf_rank,
-       CAST(CASE WHEN i.ivf_rk IS NULL THEN 0
-                 ELSE 1000000 // i.ivf_rk END AS BIGINT) AS rr_fp
-FROM truth t LEFT JOIN ivf i
-  ON i.probe_id = t.probe_id AND i.vec_id = t.vec_id
-ORDER BY t.probe_id
+ivf AS (SELECT probe_id, vec_id, rk AS ivf_rk FROM ({_ANN_IVF_SQL}) a),
+hits AS (
+  SELECT t.probe_id, COUNT(*) AS n_hits
+  FROM truth t JOIN ivf x ON x.probe_id = t.probe_id AND x.vec_id = t.vec_id
+  GROUP BY t.probe_id
+),
+nt AS (SELECT probe_id, COUNT(*) AS n_truth FROM truth GROUP BY probe_id),
+mrr AS (
+  SELECT t.probe_id, t.vec_id AS true_vec_id,
+         CAST(COALESCE(i.ivf_rk, 0) AS BIGINT) AS ivf_rank,
+         CAST(CASE WHEN i.ivf_rk IS NULL THEN 0
+                   ELSE 1000000 // i.ivf_rk END AS BIGINT) AS rr_fp
+  FROM truth t LEFT JOIN ivf i
+    ON i.probe_id = t.probe_id AND i.vec_id = t.vec_id
+  WHERE t.rk = 1
+)
+SELECT nt.probe_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) / CAST(nt.n_truth AS DOUBLE) AS recall_at_3,
+       m.true_vec_id, m.ivf_rank, m.rr_fp
+FROM nt LEFT JOIN hits h ON h.probe_id = nt.probe_id
+JOIN mrr m ON m.probe_id = nt.probe_id
+ORDER BY nt.probe_id
 """
 
-QUERIES["ann_mrr"] = ann_mrr
-ORACLE["ann_mrr"] = _ANN_MRR_SQL
-
-QUERIES["ann_recall_at_k"] = ann_recall_at_k
-ORACLE["ann_recall_at_k"] = _ANN_RECALL_SQL
+QUERIES["ann_retrieval_quality"] = ann_retrieval_quality
+ORACLE["ann_retrieval_quality"] = _ANN_RETRIEVAL_SQL

@@ -613,21 +613,31 @@ ORACLE = {
 # APPLICATION of the frozen table — a pure replace chain (see
 # operators/bpe.py: boundary-marker encoding makes greedy
 # left-to-right merging exactly `replace()`), which the DuckDB oracle
-# replays character for character. All JVM string ops, no HOFs, no
-# shuffle until the corpus-wide token count.
-# Scale: tokenization is embarrassingly parallel map-side work; the
-# only shuffle is the final token groupBy (map-side combined).
+# replays character for character.
+# Scale (round 8, VERDICT r7 item 2): the SPARK side no longer runs
+# the replace chain over documents — that plan is O(n_merges) full-
+# document passes, fine at 24 merges but a scale-killer at a
+# production 32k-merge vocab. BPE is deterministic per word, so token
+# counts decompose: corpus reduces ONCE to (word, freq) — the same
+# merge-count-INDEPENDENT pass training uses — then only the DISTINCT
+# words run the replace chain (vocab-sized work), and token counts are
+# freq-weighted sums. Corpus-side cost is identical at 24 or 32k
+# merges. The DuckDB oracle still replays the WHOLE-DOCUMENT chain —
+# a structurally different derivation that agrees only if the
+# word-boundary invariant (merges never straddle words) truly holds,
+# making the cross-engine check strictly stronger than a mirror.
 # --------------------------------------------------------------------
 def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from goconnect_spark.operators.bpe import apply_bpe_replace
+    from goconnect_spark.operators.bpe import tokenize_distinct_words, word_freq_table
     from goconnect_spark.queries._bpe_frozen import BPE_MERGES
 
     docs = load(spark, "documents", sf_dir)
-    toked = apply_bpe_replace(docs, BPE_MERGES)
+    wf = word_freq_table(docs)  # the only corpus-sized pass
+    wt = tokenize_distinct_words(wf, BPE_MERGES)
     return (
-        toked.select(F.explode("bpe_tokens").alias("token"))
+        wt.select(F.explode("toks").alias("token"), "freq")
         .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum("freq").cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(100)
     )
@@ -653,5 +663,54 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------
+# Per-document BPE tokenization through the full word-level serving
+# path (operators/bpe.apply_bpe_wordlevel — VERDICT r7 item 2):
+# posexplode corpus words, broadcast-join the once-tokenized distinct-
+# word map, reassemble each document's token sequence positionally.
+# The md5 over the ORDERED token stream is the load-bearing column —
+# it certifies that broadcast-join reassembly reproduces the exact
+# in-order tokenization, not just the same token multiset. Corpus-side
+# plan (explode + join + groupBy) is independent of merge count; only
+# the vocab-sized distinct-word chain grows with the table. The oracle
+# replays the whole-document replace chain per doc (the small-vocab
+# path), so the two engines derive the sequence DIFFERENTLY and must
+# land on the same md5.
+# --------------------------------------------------------------------
+def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.operators.bpe import apply_bpe_wordlevel
+    from goconnect_spark.queries._bpe_frozen import BPE_MERGES
+
+    docs = load(spark, "documents", sf_dir)
+    toked = apply_bpe_wordlevel(docs, BPE_MERGES)
+    return toked.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("bpe_tokens")).cast("long").alias("n_token_types"),
+        F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("tokens_md5"),
+    ).orderBy("doc_id")
+
+
+def _bpe_doc_tokens_sql() -> str:
+    from goconnect_spark.operators.bpe import apply_bpe_replace_sql
+    from goconnect_spark.queries._bpe_frozen import BPE_MERGES
+
+    return f"""
+WITH enc AS (SELECT doc_id, {apply_bpe_replace_sql('text', BPE_MERGES)} AS e FROM documents),
+tl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(e, chr(1) || '|' || chr(2)), x -> x <> '') AS toks
+  FROM enc
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_token_types,
+       md5(array_to_string(toks, chr(31))) AS tokens_md5
+FROM tl ORDER BY doc_id
+"""
+
+
 QUERIES["bpe_tokenize_corpus"] = bpe_tokenize_corpus
 ORACLE["bpe_tokenize_corpus"] = _bpe_tokenize_sql()
+QUERIES["bpe_doc_tokens"] = bpe_doc_tokens
+ORACLE["bpe_doc_tokens"] = _bpe_doc_tokens_sql()

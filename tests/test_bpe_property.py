@@ -11,6 +11,7 @@ from goconnect_spark.operators.bpe import (
     apply_bpe,
     apply_bpe_replace,
     apply_bpe_replace_sql,
+    apply_bpe_wordlevel,
     bpe_merges,
     bpe_merges_py,
     word_freq_table,
@@ -140,6 +141,51 @@ def test_apply_bpe_replace_sql_matches_spark(spark):
         ).fetchall()
     }
     assert got == duck
+
+
+@pytest.mark.parametrize("seed,broadcast", [(5, True), (17, False)])
+def test_apply_bpe_wordlevel_equals_replace_chain(spark, seed, broadcast):
+    # the merge-count-scalable path (distinct words tokenized once,
+    # word->tokens joined back, positional reassembly) must produce
+    # the IDENTICAL per-doc token stream as the whole-document replace
+    # chain — on random stem corpora plus every edge shape the replace
+    # chain is tested on (multi-space runs, empty docs, non-BMP,
+    # newline-bearing words), with both the broadcast and the
+    # shuffle-join vocab paths
+    rows = _corpus(seed) + [
+        (100, "😀😀a 😀a 𝄞x𝄞x"),
+        (101, "  low   low  "),
+        (102, ""),
+        (103, "a\nb a\nb"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    merges = bpe_merges(docs, n_merges=10)
+    repl = {
+        r.doc_id: r.bpe_tokens for r in apply_bpe_replace(docs, merges).collect()
+    }
+    word = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_bpe_wordlevel(
+            docs, merges, broadcast_vocab=broadcast
+        ).collect()
+    }
+    # whole-doc chain yields [] for empty text; word-level must agree
+    assert word == repl
+    assert word[102] == []
+
+
+def test_apply_bpe_wordlevel_composite_id(spark):
+    # reassembly keys on id_cols — a composite key must group exactly
+    rows = [(0, "a", "low low"), (0, "b", "lower"), (1, "a", "low")]
+    docs = spark.createDataFrame(rows, "src: long, part: string, text: string")
+    merges = [("l", "o"), ("lo", "w")]
+    out = {
+        (r.src, r.part): r.bpe_tokens
+        for r in apply_bpe_wordlevel(docs, merges, id_cols=("src", "part")).collect()
+    }
+    assert out[(0, "a")] == ["low", "</w>", "low", "</w>"]
+    assert out[(0, "b")] == ["low", "e", "r", "</w>"]
+    assert out[(1, "a")] == ["low", "</w>"]
 
 
 def test_bpe_on_pathological_corpus(spark):

@@ -47,6 +47,7 @@ DOC_QUERIES = [
     "doc_chunking",
     "boilerplate_top_shingles",
     "bpe_tokenize_corpus",
+    "bpe_doc_tokens",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]
@@ -97,7 +98,7 @@ EMB_QUERIES = [
     "embedding_dim_covariance",
     "embedding_near_dup",
     "semantic_dedup",
-    "ann_mrr",
+    "ann_retrieval_quality",
 ]
 
 
