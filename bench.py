@@ -6,13 +6,25 @@ ONE JSON line:
    "all_queries_total_wall": M, "n_queries_all": K, "sf": ...}
 
 Since round 7 the headline set is 34 queries (the legacy 31 plus three
-round-6 family representatives), so `value` is the 34-query total; the
-ROUND-OVER-ROUND comparable number is `headline31_total_wall` (the
-legacy 31-query subset, apples-to-apples with r1-r6 captures and
-BASELINE.md). The same run also times the full catalog so regressions
-in non-headline queries are visible (`all_queries_total_wall`). Set
-BENCH_HEADLINE_ONLY=1 to skip the catalog tail while iterating
-locally.
+round-6 family representatives). Since round 8 `value` is BACK to the
+legacy 31-query total (ADVICE r7: it silently changed meaning to the
+34-query total in r7, making cross-round `value` comparisons read a
+spurious ~3-query regression) — the 34-query total is reported under
+`headline34_total_wall`, and `headline31_total_wall` stays as the
+explicit alias every r6+ consumer already reads. The same run also
+times the full catalog so regressions in non-headline queries are
+visible (`all_queries_total_wall`). Set BENCH_HEADLINE_ONLY=1 to skip
+the catalog tail while iterating locally.
+
+`calibration_wall` (round 8, VERDICT r7 item 3): a FIXED-WORK
+synthetic aggregate (sum over spark.range — constant rows, constant
+expression, no I/O, no shuffle) timed in the same session before the
+query passes. The r7 driver capture ran ~1.28x slower UNIFORMLY
+across all 31 common queries — indistinguishable from a real global
+regression without a yardstick. Dividing any round-over-round query
+ratio by the calibration ratio normalizes box-speed drift out
+mechanically; tools/bench_diff.py reports both raw and calibrated
+ratios when both artifacts carry a calibration.
 """
 
 from __future__ import annotations
@@ -92,6 +104,23 @@ def main():
     # warm up the JVM + parquet footer caches with one tiny action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # fixed-work box-speed yardstick: 2B-row codegen aggregate, no
+    # I/O, no shuffle, constant regardless of catalog/sf — the MIN of
+    # two runs, same noise insulation as the queries. Sized so the
+    # 32-thread driver box measures ~0.5-1 s (well above timer noise;
+    # r7's 1.28x drift needs resolution well under 10%)
+    calib = None
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(0, 2_000_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 7) as s"
+        ).collect()
+        dt = time.time() - t0
+        calib = dt if calib is None else min(calib, dt)
+    calib = round(calib, 3)
+    print(f"# calibration_wall {calib}s (2B-row fixed-work aggregate)",
+          file=sys.stderr)
+
     # two passes, keep the per-query MIN: the steady-state cost of the
     # plan, insulated from CI-box scheduler noise (observed ~30% total
     # swing between idle and loaded runs of identical code)
@@ -119,12 +148,14 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "headline_total_wall",
-                "value": headline_total,
+                "metric": "headline31_total_wall",
+                "value": headline31_total,
                 "unit": "sec",
                 "n_queries": sum(1 for n in times if n in HEADLINE),
                 "queries": {n: times[n] for n in HEADLINE if n in times},
                 "headline31_total_wall": headline31_total,
+                "headline34_total_wall": headline_total,
+                "calibration_wall": calib,
                 "all_queries_total_wall": all_total,
                 "n_queries_all": len(times),
                 "sf": sf_val,

@@ -46,6 +46,54 @@ def test_truncated_tail_recovery(tmp_path):
     assert got == {"q_whole": 0.33}
 
 
+def test_calibration_loads_from_all_shapes(tmp_path):
+    sys.path.insert(0, "tools")
+    import bench_diff
+
+    p1 = tmp_path / "cap.txt"
+    p1.write_text("# calibration_wall 0.8s (400M-row fixed-work aggregate)\n"
+                  '# all_query_times {"q": 1.0}\n')
+    assert bench_diff.load_calib(str(p1)) == 0.8
+    p2 = tmp_path / "line.json"
+    p2.write_text(json.dumps({"queries": {"q": 1.0}, "calibration_wall": 0.5}))
+    assert bench_diff.load_calib(str(p2)) == 0.5
+    p3 = tmp_path / "driver.json"
+    p3.write_text(json.dumps(
+        {"parsed": {"queries": {"q": 1.0}, "calibration_wall": 0.25}, "tail": ""}
+    ))
+    assert bench_diff.load_calib(str(p3)) == 0.25
+    p4 = tmp_path / "old.json"
+    p4.write_text(json.dumps({"queries": {"q": 1.0}}))
+    assert bench_diff.load_calib(str(p4)) is None
+
+
+def test_cli_calibrated_ratio_gates(tmp_path):
+    # a uniform 2x slowdown with a matching 2x calibration drift must
+    # NOT gate (the r7 driver-box scenario); without calibration the
+    # same numbers would
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps(
+        {"queries": {"q": 1.0, "r": 2.0}, "calibration_wall": 0.5}))
+    new.write_text(json.dumps(
+        {"queries": {"q": 2.0, "r": 4.0}, "calibration_wall": 1.0}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout
+    assert "box drift 2.00x" in r.stdout
+    # and a REAL regression on top of drift still gates: q 4x raw on a
+    # 2x-drift box is 2x calibrated > 1.5
+    new.write_text(json.dumps(
+        {"queries": {"q": 4.0, "r": 4.0}, "calibration_wall": 1.0}))
+    r2 = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r2.returncode == 1 and "q" in r2.stdout.split("regression(s)")[-1]
+
+
 def test_cli_regression_exit_code(tmp_path):
     old = tmp_path / "old.json"
     new = tmp_path / "new.json"

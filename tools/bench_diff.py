@@ -12,6 +12,14 @@ Prints a per-query table of (old_s, new_s, ratio) sorted worst-first,
 then a summary: total old/new, queries added/removed, and the list of
 regressions past the threshold. Exit code 1 if any regression — usable
 as a gate in round workflows.
+
+Calibration (round 8, VERDICT r7 item 3): when BOTH artifacts carry
+bench.py's fixed-work `calibration_wall` yardstick, every ratio is
+also reported CALIBRATED — divided by (calib_new / calib_old) — so
+uniform box-speed drift (the r7 driver capture ran ~1.28x slower on
+ALL 31 common queries, untouched ones included) is mechanically
+separable from real plan regressions. The regression gate then uses
+the calibrated ratio; raw stays printed beside it.
 """
 
 from __future__ import annotations
@@ -38,7 +46,8 @@ def load_times(path: str) -> dict[str, float]:
         import re
 
         meta = {"value", "sf", "n_queries", "n_queries_all",
-                "all_queries_total_wall", "headline31_total_wall"}
+                "all_queries_total_wall", "headline31_total_wall",
+                "headline34_total_wall", "calibration_wall"}
         pairs = {
             k: float(v)
             for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', obj.get("tail") or "")
@@ -55,6 +64,34 @@ def load_times(path: str) -> dict[str, float]:
     raise SystemExit(f"{path}: unrecognized bench artifact shape")
 
 
+def load_calib(path: str) -> float | None:
+    """The fixed-work `calibration_wall` yardstick, from any of the
+    three artifact shapes; None when the artifact predates it."""
+    with open(path) as f:
+        text = f.read()
+    lines = [l for l in text.splitlines()
+             if l.startswith("# calibration_wall ")]
+    if lines:
+        return float(lines[-1].split()[2].rstrip("s"))
+    try:
+        obj = json.loads(text)
+    except json.JSONDecodeError:
+        return None
+    if isinstance(obj, dict) and "parsed" in obj:
+        parsed = obj.get("parsed") or {}
+        v = parsed.get("calibration_wall") if isinstance(parsed, dict) else None
+        if v is None:
+            import re
+
+            m = re.findall(r'"calibration_wall":\s*([0-9.]+)', obj.get("tail") or "")
+            v = m[-1] if m else None
+        return float(v) if v is not None else None
+    if isinstance(obj, dict):
+        v = obj.get("calibration_wall")
+        return float(v) if v is not None else None
+    return None
+
+
 def main() -> None:
     import argparse
 
@@ -67,35 +104,50 @@ def main() -> None:
     ns = ap.parse_args()
     threshold = ns.threshold
     old, new = load_times(ns.old), load_times(ns.new)
+    cal_o, cal_n = load_calib(ns.old), load_calib(ns.new)
+    # box-speed drift factor: >1 means the new box/run was slower on
+    # the fixed workload; dividing query ratios by it normalizes drift
+    drift = (cal_n / cal_o) if (cal_o and cal_n) else None
     common = sorted(set(old) & set(new))
     rows = []
     for q in common:
         o, n = old[q], new[q]
         # sub-100ms noise floor: ratios on tiny times are meaningless
         ratio = n / o if o >= 0.1 else (1.0 if n < 0.1 else n / 0.1)
-        rows.append((ratio, q, o, n))
+        gate = ratio / drift if drift else ratio
+        rows.append((gate, ratio, q, o, n))
     rows.sort(reverse=True)
-    print(f"{'query':<42} {'old_s':>8} {'new_s':>8} {'ratio':>6}")
-    for ratio, q, o, n in rows:
-        flag = "  <-- REGRESSION" if ratio > threshold else ""
-        print(f"{q:<42} {o:>8.3f} {n:>8.3f} {ratio:>6.2f}{flag}")
+    cal_hdr = f" {'cal':>6}" if drift else ""
+    print(f"{'query':<42} {'old_s':>8} {'new_s':>8} {'ratio':>6}{cal_hdr}")
+    for gate, ratio, q, o, n in rows:
+        flag = "  <-- REGRESSION" if gate > threshold else ""
+        cal_col = f" {gate:>6.2f}" if drift else ""
+        print(f"{q:<42} {o:>8.3f} {n:>8.3f} {ratio:>6.2f}{cal_col}{flag}")
     tot_o = sum(old[q] for q in common)
     tot_n = sum(new[q] for q in common)
     if common and tot_o > 0:
+        raw = tot_n / tot_o
+        cal_txt = (f", calibrated {raw / drift:.2f}x" if drift else "")
         print(f"\ncommon {len(common)} queries: {tot_o:.2f}s -> {tot_n:.2f}s "
-              f"({tot_n / tot_o:.2f}x)")
+              f"({raw:.2f}x{cal_txt})")
     else:
         print(f"\nno comparable queries between the two runs "
               f"(old={len(old)}, new={len(new)} entries)")
+    if drift:
+        print(f"calibration: {cal_o:.3f}s -> {cal_n:.3f}s "
+              f"(box drift {drift:.2f}x; gate uses calibrated ratios)")
+    elif cal_o or cal_n:
+        print("calibration present in only one artifact — raw ratios gate")
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
-    regs = [q for ratio, q, o, n in rows if ratio > threshold]
+    regs = [q for gate, ratio, q, o, n in rows if gate > threshold]
     if regs:
-        print(f"\n{len(regs)} regression(s) past {threshold}x: {', '.join(regs)}")
+        print(f"\n{len(regs)} regression(s) past {threshold}x"
+              f"{' (calibrated)' if drift else ''}: {', '.join(regs)}")
         sys.exit(1)
 
 
