@@ -279,6 +279,7 @@ def apply_bpe_wordlevel(
     out_col: str = "bpe_tokens",
     id_cols: Tuple[str, ...] = ("doc_id",),
     broadcast_vocab: bool = True,
+    word_tokens: "DataFrame | None" = None,
 ) -> DataFrame:
     """Tokenize via the word-level path: distinct words -> replace
     chain (vocab-sized) -> broadcast equi-join onto the posexploded
@@ -288,13 +289,22 @@ def apply_bpe_wordlevel(
     document's whole-text chain is exactly the concatenation of its
     words' chains. `id_cols` must uniquely key `docs` (reassembly
     groups on them). Docs with no words (empty/all-space/null text)
-    get an empty token array."""
+    get an empty token array.
+
+    `word_tokens` optionally injects a pre-materialized (word, toks)
+    dictionary covering every corpus word — at 100 TB the tokenized
+    vocabulary is a versioned artifact built once per tokenizer
+    release and reused across datasets, so the per-run corpus plan is
+    JUST explode + join + reassembly, with zero per-merge work."""
     _assert_no_straddle(merges)
     ids = list(id_cols)
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     exploded = docs.select(*ids, F.posexplode(words).alias("pos", "word"))
-    vocab = exploded.select("word").distinct()
-    wt = tokenize_distinct_words(vocab, merges).select("word", "toks")
+    if word_tokens is not None:
+        wt = word_tokens.select("word", "toks")
+    else:
+        vocab = exploded.select("word").distinct()
+        wt = tokenize_distinct_words(vocab, merges).select("word", "toks")
     if broadcast_vocab:
         wt = F.broadcast(wt)
     # array_sort on (pos, toks) structs orders by pos (unique per doc),

@@ -174,6 +174,29 @@ def test_apply_bpe_wordlevel_equals_replace_chain(spark, seed, broadcast):
     assert word[102] == []
 
 
+def test_apply_bpe_wordlevel_injected_dictionary(spark):
+    # the word_tokens injection (pre-materialized word->tokens
+    # dictionary, the 100 TB versioned-artifact path) must produce
+    # the same result as building the dictionary in-plan
+    from goconnect_spark.operators.bpe import tokenize_distinct_words
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(_corpus(9), "doc_id: long, text: string")
+    merges = bpe_merges(docs, n_merges=8)
+    vocab = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("word")
+    ).distinct()
+    wt = tokenize_distinct_words(vocab, merges).localCheckpoint()
+    inline = {
+        r.doc_id: r.bpe_tokens for r in apply_bpe_wordlevel(docs, merges).collect()
+    }
+    injected = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_bpe_wordlevel(docs, merges, word_tokens=wt).collect()
+    }
+    assert inline == injected
+
+
 def test_apply_bpe_wordlevel_composite_id(spark):
     # reassembly keys on id_cols — a composite key must group exactly
     rows = [(0, "a", "low low"), (0, "b", "lower"), (1, "a", "low")]

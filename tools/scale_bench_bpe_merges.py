@@ -1,0 +1,201 @@
+"""BPE merge-count scaling measurement (VERDICT r7 item 2).
+
+The r7 verdict's one scale gap: the replace-chain application is
+O(n_merges) full-document string passes — fine at the frozen 24
+merges, a scale-killer at a production 32k-merge vocab. The word-level
+path (distinct words tokenized once, tokens joined back / counts
+freq-weighted) makes the CORPUS-side plan independent of merge count.
+This bench measures exactly that axis: the same corpus tokenized with
+the 24-merge catalog table vs a 240-merge table (tools/
+_bpe_merges_240.py, trained by the same distributed trainer on sf0.1),
+under three plans:
+
+End-to-end plans:
+- replace_chain: the r7 catalog plan — whole-document replace chain
+  over every doc, then token counts. Expected: wall grows roughly
+  linearly with merge count (10x merges -> several-x wall).
+- wordlevel_count: the r8 catalog plan (bpe_tokenize_corpus) — corpus
+  reduces once to (word, freq); only DISTINCT words run the chain;
+  counts are freq-weighted sums.
+- wordlevel_docs: the r8 serving path (bpe_doc_tokens /
+  apply_bpe_wordlevel) — posexplode + broadcast join + positional
+  reassembly producing per-doc token arrays.
+
+Staged measurements, separating the two cost terms the end-to-end
+numbers mix (this synthetic corpus is vocab-heavy — replica prefixes
+make every word unique per replica, so the vocab-side chain is a FAR
+larger corpus fraction than any Zipf-distributed real corpus):
+- vocab_chain: tokenize the distinct-word table alone, materialized.
+  Grows with merge count BY DESIGN — it is the vocab-sized term, and
+  at 100 TB it is a once-per-tokenizer-release artifact build
+  (word_tokens injection on apply_bpe_wordlevel), not per-run work.
+- corpus_count_given_vocab / corpus_docs_given_vocab: the CORPUS-side
+  plans with the word->tokens dictionary pre-materialized. These are
+  the merge-count-flat claims: identical join/reassembly work at 24
+  and 240 merges.
+
+The docs dimension (multiplier m, same replica-prefix synthesis as
+scale_bench_dedup) is measured alongside so the table shows BOTH axes.
+Record results in SCALING.md.
+
+Run: python tools/scale_bench_bpe_merges.py [multipliers...] (default 1 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+
+def synthesize(spark, m: int, out_dir: str) -> None:
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    reps = spark.range(m).select(F.col("id").cast("int").alias("k"))
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("k") * 10_000_000).alias("doc_id"),
+            F.array_join(
+                F.expr("transform(split(text, ' '), w -> concat('r', k, w))"), " "
+            ).alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+
+def token_counts_replace_chain(docs, merges):
+    from goconnect_spark.operators.bpe import apply_bpe_replace
+
+    toked = apply_bpe_replace(docs, merges)
+    return (
+        toked.select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def token_counts_wordlevel(docs, merges):
+    from goconnect_spark.operators.bpe import tokenize_distinct_words, word_freq_table
+
+    wt = tokenize_distinct_words(word_freq_table(docs), merges)
+    # explode_outer: see bpe_tokenize_corpus — plain explode's inferred
+    # size(toks)>0 filter pushes the whole chain below the aggregate
+    return (
+        wt.select(F.explode_outer("toks").alias("token"), "freq")
+        .where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+
+
+def doc_tokens_wordlevel(docs, merges):
+    from goconnect_spark.operators.bpe import apply_bpe_wordlevel
+
+    toked = apply_bpe_wordlevel(docs, merges)
+    # the filter REFERENCES the token column: without it, count() lets
+    # Catalyst eliminate the (provably unique-keyed, unreferenced)
+    # reassembly join entirely and the measurement times only the scan
+    return toked.select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
+    ).where(F.col("n_bpe_tokens") >= 0)
+
+
+PLANS = {
+    "replace_chain": token_counts_replace_chain,
+    "wordlevel_count": token_counts_wordlevel,
+    "wordlevel_docs": doc_tokens_wordlevel,
+}
+
+
+def main():
+    mults = [int(a) for a in sys.argv[1:]] or [1, 10]
+    from goconnect_spark.operators.bpe import (
+        apply_bpe_wordlevel,
+        tokenize_distinct_words,
+        word_freq_table,
+    )
+    from goconnect_spark.queries._bpe_frozen import BPE_MERGES
+    from goconnect_spark.session import get_spark
+    from tools._bpe_merges_240 import BPE_MERGES_240
+
+    tables = {24: BPE_MERGES, 240: BPE_MERGES_240}
+    spark = get_spark("bpe-merge-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def emit(plan, n_merges, m, n_docs, rows, t0):
+        print(
+            json.dumps(
+                {
+                    "plan": plan,
+                    "n_merges": n_merges,
+                    "multiplier": m,
+                    "docs": n_docs,
+                    "rows": rows,
+                    "sec": round(time.time() - t0, 2),
+                }
+            ),
+            flush=True,
+        )
+
+    for m in mults:
+        work = tempfile.mkdtemp(prefix=f"bpe_scale_m{m}_")
+        try:
+            synthesize(spark, m, work)
+            docs = spark.read.parquet(f"{work}/documents.parquet")
+            docs = docs.localCheckpoint()  # isolate plan cost from synth cost
+            n_docs = docs.count()
+            for n_merges, merges in tables.items():
+                for plan, fn in PLANS.items():
+                    t0 = time.time()
+                    rows = fn(docs, merges).count()
+                    emit(plan, n_merges, m, n_docs, rows, t0)
+                # staged: materialize the word->tokens dictionary, then
+                # time the corpus-side plans with zero per-merge work
+                vocab = (
+                    docs.select(
+                        F.explode(
+                            F.filter(F.split("text", " "), lambda w: w != "")
+                        ).alias("word")
+                    ).distinct()
+                )
+                t0 = time.time()
+                wt = tokenize_distinct_words(vocab, merges).localCheckpoint()
+                emit("vocab_chain", n_merges, m, n_docs, wt.count(), t0)
+                t0 = time.time()
+                rows = (
+                    word_freq_table(docs)
+                    .join(wt, "word")
+                    .select(F.explode("toks").alias("token"), "freq")
+                    .groupBy("token")
+                    .agg(F.sum("freq").cast("long").alias("n"))
+                    .count()
+                )
+                emit("corpus_count_given_vocab", n_merges, m, n_docs, rows, t0)
+                t0 = time.time()
+                rows = (
+                    apply_bpe_wordlevel(docs, merges, word_tokens=wt)
+                    .select(
+                        "doc_id",
+                        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+                    )
+                    .where(F.col("n_bpe_tokens") >= 0)
+                    .count()
+                )
+                emit("corpus_docs_given_vocab", n_merges, m, n_docs, rows, t0)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

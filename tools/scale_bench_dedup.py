@@ -104,11 +104,17 @@ QUERIES = [
     "source_length_emd",
     # per-source decile normalization: tokenize + per-source windows
     "source_quality_harmonized",
-    # round-7: frozen-table BPE application — pure map-side replace
-    # chain + one token groupBy; wall should be flat-to-linear in docs
-    # (replica word prefixes grow the token alphabet, worst case for
-    # the count table)
+    # round-7: frozen-table BPE application; round-8: rewritten to the
+    # word-level decomposition (corpus pass + vocab-sized chain +
+    # freq-weighted counts) — wall should be flat-to-linear in docs
+    # (replica word prefixes grow the vocab with m, worst case for the
+    # distinct-word chain)
     "bpe_tokenize_corpus",
+    # round-8: per-doc tokenization through the broadcast-join
+    # reassembly serving path — posexplode + join + one per-doc
+    # groupBy; linear in docs, independent of merge count (the
+    # merge-count axis is tools/scale_bench_bpe_merges.py)
+    "bpe_doc_tokens",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles
