@@ -289,8 +289,14 @@ def _exact_rerank(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFram
     qp = quant.where(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("qp_probe"), F.col("d").alias("pd"), F.col("q").alias("pq")
     )
+    # the candidate set is PROBE-bounded by construction (<= |probes|
+    # x top-R regardless of corpus size), so it is the broadcast side
+    # against the corpus-sized quant/norm tables — hinted explicitly
+    # because candidates arrive post-window/post-cache where the
+    # static optimizer has no size estimate
     dots = (
-        cand.join(quant.select("vec_id", "d", "q"), "vec_id")
+        cand.hint("broadcast")
+        .join(quant.select("vec_id", "d", "q"), "vec_id")
         .join(
             F.broadcast(qp),
             (F.col("probe_id") == F.col("qp_probe")) & (F.col("d") == F.col("pd")),
@@ -299,7 +305,7 @@ def _exact_rerank(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.sum(F.col("q") * F.col("pq")).alias("dot"))
     )
     cos = (
-        dots.join(norms, "vec_id")
+        dots.hint("broadcast").join(norms, "vec_id")
         .join(
             norms.select(
                 F.col("vec_id").alias("probe_id"), F.col("nrm").alias("pnrm")
@@ -503,16 +509,22 @@ def ann_index_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goconnect_spark.queries.similarity import cosine_topk
     from goconnect_spark.queries.similarity2 import ann_sq8_rerank
 
+    # every assembly join below is PROBE-bounded (groupBy probe_id of
+    # top-k candidate sets) — explicit broadcast hints, because the
+    # sides are post-aggregate / derived from session-cached tables
+    # whose sizes the static optimizer cannot estimate (AQE would fix
+    # them at runtime, but the declared plan should already be right)
     truth = cosine_topk(spark, sf_dir).select("probe_id", "vec_id")
     nt = truth.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_truth"))
 
     def recall_of(df: DataFrame, name: str) -> DataFrame:
         hits = (
-            truth.join(df.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+            truth.hint("broadcast")
+            .join(df.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
             .groupBy("probe_id")
             .agg(F.count(F.lit(1)).alias("h"))
         )
-        return nt.join(hits, "probe_id", "left").select(
+        return nt.join(F.broadcast(hits), "probe_id", "left").select(
             "probe_id",
             (
                 F.coalesce("h", F.lit(0)) / F.col("n_truth").cast("double")
@@ -521,11 +533,18 @@ def ann_index_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = (
         recall_of(ann_sq8_rerank(spark, sf_dir), "recall_sq8")
-        .join(recall_of(ann_pq_adc_rerank(spark, sf_dir), "recall_pq"), "probe_id")
+        .join(
+            F.broadcast(recall_of(ann_pq_adc_rerank(spark, sf_dir), "recall_pq")),
+            "probe_id",
+        )
     )
     for p in (1, 2, 4):
         out = out.join(
-            recall_of(ann_ivfpq_topk(spark, sf_dir, nprobe=p), f"recall_ivfpq_np{p}"),
+            F.broadcast(
+                recall_of(
+                    ann_ivfpq_topk(spark, sf_dir, nprobe=p), f"recall_ivfpq_np{p}"
+                )
+            ),
             "probe_id",
         )
     return out.orderBy("probe_id")

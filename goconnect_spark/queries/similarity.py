@@ -998,15 +998,20 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ann_ivf_topk(spark, sf_dir).select(
         "probe_id", "vec_id", F.col("rk").alias("ivf_rk")
     )
+    # probe-bounded assembly joins (top-k sets keyed by probe_id):
+    # explicit broadcast hints — post-aggregate sizes are opaque to
+    # the static optimizer, and the declared plan should not lean on
+    # AQE to repair them
     hits = (
-        truth.join(ivf, ["probe_id", "vec_id"])
+        truth.hint("broadcast")
+        .join(ivf, ["probe_id", "vec_id"])
         .groupBy("probe_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
     nt = truth.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_truth"))
     mrr = (
         truth.where(F.col("rk") == 1)
-        .join(ivf, ["probe_id", "vec_id"], "left")
+        .join(F.broadcast(ivf), ["probe_id", "vec_id"], "left")
         .select(
             "probe_id",
             F.col("vec_id").alias("true_vec_id"),
@@ -1018,8 +1023,8 @@ def ann_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        nt.join(hits, "probe_id", "left")
-        .join(mrr, "probe_id")
+        nt.join(F.broadcast(hits), "probe_id", "left")
+        .join(F.broadcast(mrr), "probe_id")
         .select(
             "probe_id",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
