@@ -709,14 +709,22 @@ def _bpe_doc_tokens_sql() -> str:
     return f"""
 WITH enc AS (SELECT doc_id, {apply_bpe_replace_sql('text', BPE_MERGES)} AS e FROM documents),
 tl AS (
+  -- COALESCE pins the null-text contract: NULL text tokenizes to the
+  -- EMPTY token sequence (the Spark side's word-level path finds no
+  -- words and coalesces to array()), not to NULL — so both engines
+  -- report 0 tokens and md5('') for such docs
   SELECT doc_id,
-         list_filter(string_split_regex(e, chr(1) || '|' || chr(2)), x -> x <> '') AS toks
+         list_filter(string_split_regex(COALESCE(e, ''), chr(1) || '|' || chr(2)), x -> x <> '') AS toks
   FROM enc
 )
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
        CAST(len(list_distinct(toks)) AS BIGINT) AS n_token_types,
-       md5(array_to_string(toks, chr(31))) AS tokens_md5
+       -- DuckDB's array_to_string follows string_agg semantics and
+       -- returns NULL for an empty list; Spark's concat_ws returns ''.
+       -- Empty/null-text docs therefore need the COALESCE so both
+       -- engines report md5('')
+       md5(COALESCE(array_to_string(toks, chr(31)), '')) AS tokens_md5
 FROM tl ORDER BY doc_id
 """
 
