@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import pandas as pd  # module-level: pandas_udf string hints resolve here
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -272,6 +273,79 @@ def tokenize_distinct_words(words: DataFrame, merges, word_col: str = "word", ou
     return apply_bpe_replace(words, merges, text_col=word_col, out_col=out_col)
 
 
+def tokenize_words_py(
+    words: DataFrame,
+    merges: List[Tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "toks",
+) -> DataFrame:
+    """Arrow pandas_udf twin of `tokenize_distinct_words` for merge
+    tables too LARGE for a SQL expression tree: the replace chain is
+    one nested `replace()` per merge — ideal at the frozen 24, hostile
+    to Catalyst at a production 32k (expression depth, codegen method
+    size). This path keeps the vocab-side work vocab-sized at ANY
+    table size: per word, merges are applied with EXACTLY the chain's
+    semantics — in table order, each greedily left-to-right — but
+    scheduled via a rank map so each step only scans the pairs
+    actually adjacent in the word (O(applied merges x |word|), not
+    O(|table|)). Rank monotonicity is load-bearing: a merge can
+    create a symbol that collides with an EARLIER merge's pattern
+    (e.g. (ab,c) producing "abc" where ("x","abc") has lower rank);
+    the chain never revisits passed merges, so neither does this —
+    only ranks strictly greater than the last applied are candidates.
+    Property-tested byte-identical to the chain, including that
+    collision shape. Catalog queries keep the SQL engine (oracle-
+    replayable); this is the scale path `apply_bpe_wordlevel(engine=
+    "python")` selects."""
+    _assert_no_straddle(merges)
+    pairs = [(a, b) for a, b, *_ in merges]
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def tok(col: pd.Series) -> pd.Series:  # batch-at-a-time over Arrow
+        from bisect import bisect_right
+
+        # pair -> ASCENDING rank list: a table may list the same pair
+        # twice (a later merge can recreate adjacency when a merged
+        # symbol string-collides with an original), and the chain
+        # applies every listed occurrence in order
+        ranks: dict = {}
+        for i, p in enumerate(pairs):
+            ranks.setdefault(p, []).append(i)
+
+        def one(w):
+            # empty/null word tokenizes to the empty sequence, exactly
+            # like encode_doc('') -> '' -> no tokens
+            if not isinstance(w, str) or w == "":
+                return []
+            syms = list(w) + [_EOW]  # list() splits per CODE POINT
+            last = -1
+            while True:
+                best = None
+                for i in range(len(syms) - 1):
+                    rs = ranks.get((syms[i], syms[i + 1]))
+                    if rs is None:
+                        continue
+                    j = bisect_right(rs, last)
+                    if j < len(rs) and (best is None or rs[j] < best):
+                        best = rs[j]
+                if best is None:
+                    return syms
+                a, b = pairs[best]
+                out = []
+                for s in syms:  # greedy left-to-right, non-overlapping
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+                last = best
+
+        return col.map(one)
+
+    return words.withColumn(out_col, tok(word_col))
+
+
 def apply_bpe_wordlevel(
     docs: DataFrame,
     merges: List[Tuple[str, str]],
@@ -280,6 +354,7 @@ def apply_bpe_wordlevel(
     id_cols: Tuple[str, ...] = ("doc_id",),
     broadcast_vocab: bool = True,
     word_tokens: "DataFrame | None" = None,
+    engine: str = "sql",
 ) -> DataFrame:
     """Tokenize via the word-level path: distinct words -> replace
     chain (vocab-sized) -> broadcast equi-join onto the posexploded
@@ -295,7 +370,13 @@ def apply_bpe_wordlevel(
     dictionary covering every corpus word — at 100 TB the tokenized
     vocabulary is a versioned artifact built once per tokenizer
     release and reused across datasets, so the per-run corpus plan is
-    JUST explode + join + reassembly, with zero per-merge work."""
+    JUST explode + join + reassembly, with zero per-merge work.
+
+    `engine` picks the vocab-side tokenizer: "sql" (default) is the
+    oracle-replayable replace chain — right for tables small enough
+    for an expression tree; "python" is the Arrow pandas_udf
+    (`tokenize_words_py`) whose cost per word is O(applied merges),
+    independent of table size — the 32k-merge production path."""
     _assert_no_straddle(merges)
     ids = list(id_cols)
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
@@ -304,7 +385,8 @@ def apply_bpe_wordlevel(
         wt = word_tokens.select("word", "toks")
     else:
         vocab = exploded.select("word").distinct()
-        wt = tokenize_distinct_words(vocab, merges).select("word", "toks")
+        tokenizer = {"sql": tokenize_distinct_words, "python": tokenize_words_py}[engine]
+        wt = tokenizer(vocab, merges).select("word", "toks")
     if broadcast_vocab:
         wt = F.broadcast(wt)
     # array_sort on (pos, toks) structs orders by pos (unique per doc),

@@ -197,6 +197,82 @@ def test_apply_bpe_wordlevel_injected_dictionary(spark):
     assert inline == injected
 
 
+@pytest.mark.parametrize("seed", [5, 17])
+def test_tokenize_words_py_equals_sql_chain(spark, seed):
+    # the Arrow python tokenizer (the 32k-merge scale path) must be
+    # byte-identical to the SQL replace chain per distinct word —
+    # random stems plus non-BMP/edge words, against BOTH the trained
+    # table and the 240-merge bench fixture
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.operators.bpe import (
+        tokenize_distinct_words,
+        tokenize_words_py,
+    )
+
+    docs = spark.createDataFrame(
+        _corpus(seed) + [(100, "😀😀a 😀a 𝄞x𝄞x low lower 𠀋𠀋𠀋")],
+        "doc_id: long, text: string",
+    )
+    merges = bpe_merges(docs, n_merges=12)
+    vocab = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("word")
+    ).distinct()
+    sql_t = {r.word: r.toks for r in tokenize_distinct_words(vocab, merges).collect()}
+    py_t = {r.word: r.toks for r in tokenize_words_py(vocab, merges).collect()}
+    assert py_t == sql_t
+    # the 240-merge fixture exercises long rank schedules
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+    from tools._bpe_merges_240 import BPE_MERGES_240
+
+    sql_t = {
+        r.word: r.toks
+        for r in tokenize_distinct_words(vocab, BPE_MERGES_240).collect()
+    }
+    py_t = {r.word: r.toks for r in tokenize_words_py(vocab, BPE_MERGES_240).collect()}
+    assert py_t == sql_t
+
+
+def test_tokenize_words_py_rank_monotone_on_symbol_collision(spark):
+    # adversarial table: merge 3 (ab,c) CREATES the symbol "abc" that
+    # merge 1's pattern (x, abc) wants — the chain never revisits a
+    # passed merge, so (x, abc) must NOT fire on the late-born "abc".
+    # A naive min-rank-iterating tokenizer (the HuggingFace shape)
+    # WOULD fire it; this pins the in-order semantics.
+    from goconnect_spark.operators.bpe import (
+        apply_bpe_replace,
+        tokenize_words_py,
+    )
+
+    merges = [("a", "b"), ("x", "abc"), ("ab", "c")]
+    docs = spark.createDataFrame([(0, "xabc xabc")], "doc_id: long, text: string")
+    chain = apply_bpe_replace(docs, merges).collect()[0].bpe_tokens
+    vocab = spark.createDataFrame([("xabc",)], "word: string")
+    py = tokenize_words_py(vocab, merges).collect()[0].toks
+    assert chain == py + py  # two identical words
+    # and the collision really is exercised: "abc" exists, yet x stays
+    assert "abc" in py and "xabc" not in py
+
+
+def test_apply_bpe_wordlevel_python_engine(spark):
+    from goconnect_spark.operators.bpe import apply_bpe_replace
+
+    docs = spark.createDataFrame(
+        _corpus(11) + [(102, "")], "doc_id: long, text: string"
+    )
+    merges = bpe_merges(docs, n_merges=10)
+    repl = {
+        r.doc_id: r.bpe_tokens for r in apply_bpe_replace(docs, merges).collect()
+    }
+    py = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_bpe_wordlevel(docs, merges, engine="python").collect()
+    }
+    assert py == repl
+
+
 def test_apply_bpe_wordlevel_composite_id(spark):
     # reassembly keys on id_cols — a composite key must group exactly
     rows = [(0, "a", "low low"), (0, "b", "lower"), (1, "a", "low")]

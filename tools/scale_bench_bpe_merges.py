@@ -171,6 +171,16 @@ def main():
                 t0 = time.time()
                 wt = tokenize_distinct_words(vocab, merges).localCheckpoint()
                 emit("vocab_chain", n_merges, m, n_docs, wt.count(), t0)
+                # the Arrow python tokenizer (apply_bpe_wordlevel
+                # engine="python"): per-word cost O(applied merges),
+                # independent of TABLE size — the 32k-merge path
+                from goconnect_spark.operators.bpe import tokenize_words_py
+
+                t0 = time.time()
+                n = tokenize_words_py(vocab, merges).select(
+                    F.explode_outer("toks")
+                ).count()
+                emit("vocab_chain_py", n_merges, m, n_docs, n, t0)
                 t0 = time.time()
                 rows = (
                     word_freq_table(docs)
