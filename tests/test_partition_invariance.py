@@ -32,6 +32,7 @@ SAMPLE = [
     "hll_sliding_7d_users",        # register max-merge across windows
     "ann_ivfpq_topk",              # codebook argmax encode + ADC + re-rank
     "bpe_tokenize_corpus",         # frozen-table replace chain + token count
+    "bpe_doc_tokens",              # collect_list reassembly: array_sort on (pos, toks) must kill arrival order
 ]
 
 

@@ -646,3 +646,41 @@ def test_windowed_agg_state_is_evicted_by_watermark(spark, tmp_path):
     # days past it; emitted rows cover those earlier days
     emitted = spark.sql("select sum(n) s from t_evict_win").collect()[0].s
     assert emitted >= 60  # the first two batches' windows all closed
+
+
+def test_streaming_bpe_tokenize_matches_batch(spark, sf_dir, tmp_path):
+    # BPE application is stateless map-side work — the ideal streaming
+    # shape: a document STREAM tokenized with the frozen merge table
+    # must produce exactly the batch token counts (batch/stream
+    # unification for the tokenizer family; no state, no watermark,
+    # the replace chain rides inside each micro-batch)
+    from goconnect_spark.operators.bpe import apply_bpe_replace
+    from goconnect_spark.queries._bpe_frozen import BPE_MERGES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/docs.parquet")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(f"{tmp_path}/docs.parquet")
+    )
+    toked = apply_bpe_replace(stream, BPE_MERGES).select(
+        F.explode("bpe_tokens").alias("token")
+    )
+    run_bounded(toked, "t_bpe_stream")
+    got = {
+        r.token: r.n
+        for r in spark.sql(
+            "select token, count(*) n from t_bpe_stream group by token"
+        ).collect()
+    }
+    want = {
+        r.token: r.n
+        for r in apply_bpe_replace(docs, BPE_MERGES)
+        .select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 10
