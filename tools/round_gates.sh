@@ -37,6 +37,13 @@ VERIFY_PLAIN=1 SPARK_GRAFT_CPUS=16 python tools/verify_local.py /root/testdata/s
 echo "== gate 5/7: randomized differential (seeds 0 1) =="
 python tools/differential_random_full.py 0 1
 
+echo "== gate 5.5: regenerate PLANS.md (plan audit always fresh) =="
+# informational, not failing: the shuffle/join counts land in git diff
+# for round-over-round review (plan_report has mild AQE run-to-run
+# variance on single counts — the bench gate is the cost arbiter)
+python tools/plan_report.py > PLANS.md
+git diff --stat PLANS.md || true
+
 echo "== gate 6/7: bench sf0.1 (capture -> $CAP) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   python bench.py 2>"$CAP"
