@@ -184,9 +184,14 @@ def _assert_no_straddle(merges) -> None:
     Trained tables can never produce one (a pair's first symbol always
     has a successor inside some word) and the invariant is asserted at
     freeze time — this guard makes AD-HOC merge lists fail loudly
-    instead of silently producing straddled tokens (ADVICE r7)."""
+    instead of silently producing straddled tokens (ADVICE r7).
+    ValueError, not assert: a safety guard must survive python -O."""
     bad = [(a, b) for a, b, *_ in merges if _EOW in a]
-    assert not bad, f"merge first-symbol contains {_EOW!r} (would straddle word boundaries): {bad[:3]}"
+    if bad:
+        raise ValueError(
+            f"merge first-symbol contains {_EOW!r} (would straddle word"
+            f" boundaries): {bad[:3]}"
+        )
 
 
 def _wrap(sym: str) -> str:
@@ -382,18 +387,41 @@ def apply_bpe_wordlevel(
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     exploded = docs.select(*ids, F.posexplode(words).alias("pos", "word"))
     if word_tokens is not None:
+        # an injected dictionary can be STALE (a new corpus word the
+        # artifact predates — the expected failure mode of a
+        # build-once, reuse-everywhere vocabulary). An inner join
+        # would silently DROP such words from the reassembled stream;
+        # instead left-join and raise in-plan on the first miss, so a
+        # stale dictionary fails the job loudly instead of corrupting
+        # token sequences.
         wt = word_tokens.select("word", "toks")
+        if broadcast_vocab:
+            wt = F.broadcast(wt)
+        joined = exploded.join(wt, "word", "left").withColumn(
+            "toks",
+            F.when(
+                F.col("toks").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("apply_bpe_wordlevel: word missing from the"
+                              " injected word_tokens dictionary: "),
+                        F.col("word"),
+                    )
+                ),
+            ).otherwise(F.col("toks")),
+        )
     else:
         vocab = exploded.select("word").distinct()
         tokenizer = {"sql": tokenize_distinct_words, "python": tokenize_words_py}[engine]
         wt = tokenizer(vocab, merges).select("word", "toks")
-    if broadcast_vocab:
-        wt = F.broadcast(wt)
+        if broadcast_vocab:
+            wt = F.broadcast(wt)
+        joined = exploded.join(wt, "word")
     # array_sort on (pos, toks) structs orders by pos (unique per doc),
     # so reassembly is deterministic under any partitioning/arrival
     # order of collect_list — the invariance-suite contract
     agg = (
-        exploded.join(wt, "word")
+        joined
         .groupBy(*ids)
         .agg(
             F.expr(

@@ -55,13 +55,16 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 #   certificates older than 2 rounds + the 6 first r5 entries, so a
 #   ~50-slot cap restores max certificate age to <=3 rounds.
 _DRIVER_PRIORITY = (
-    # --- tier 0: changed at HEAD in round 8 ---
+    # --- tier 0: changed at HEAD in round 8 (ann_pq_adc_rerank rides
+    #     the shared _exact_rerank whose joins gained broadcast hints,
+    #     same as the two IVFPQ consumers) ---
     "bpe_doc_tokens",
     "bpe_tokenize_corpus",
     "ann_retrieval_quality",
     "fingerprint_collision_dedup",
     "ann_ivfpq_topk",
     "ann_index_comparison",
+    "ann_pq_adc_rerank",
     # last green: r3 (the two the r7 cap dropped — oldest certificates)
     "user_sessions",
     "retention_cohorts",
@@ -146,8 +149,7 @@ _DRIVER_PRIORITY = (
     "word_graph_triangles",
     "word_pagerank",
     "zorder_pruning_stats",
-    # last green: r6
-    "ann_pq_adc_rerank",
+    # last green: r6 (ann_pq_adc_rerank promoted to tier 0)
     "ann_random_projection_recall",
     "bm25_keyword_topk",
     "corpus_drop_reasons",

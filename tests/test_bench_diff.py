@@ -94,6 +94,24 @@ def test_cli_calibrated_ratio_gates(tmp_path):
     assert r2.returncode == 1 and "q" in r2.stdout.split("regression(s)")[-1]
 
 
+def test_cli_faster_box_does_not_reinflate_noise_floor(tmp_path):
+    # faster new box (drift 0.5): a sub-100ms unchanged query must NOT
+    # gate — the noise floor applies to the calibrated time, not
+    # before the drift division (review r8: 1.0/0.5 = 2.0 would have
+    # tripped the 1.5x gate on an unchanged 50 ms query)
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps(
+        {"queries": {"tiny": 0.05, "big": 2.0}, "calibration_wall": 1.0}))
+    new.write_text(json.dumps(
+        {"queries": {"tiny": 0.05, "big": 1.0}, "calibration_wall": 0.5}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout
+
+
 def test_cli_regression_exit_code(tmp_path):
     old = tmp_path / "old.json"
     new = tmp_path / "new.json"

@@ -273,6 +273,49 @@ def test_apply_bpe_wordlevel_python_engine(spark):
     assert py == repl
 
 
+def test_apply_bpe_wordlevel_stale_dictionary_fails_loudly(spark):
+    # an injected dictionary missing a corpus word must RAISE, not
+    # silently drop the word from the reassembled stream (the build-
+    # once-reuse-everywhere artifact's expected failure mode is
+    # staleness)
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.operators.bpe import tokenize_distinct_words
+
+    docs = spark.createDataFrame(
+        [(0, "low low"), (1, "low newword")], "doc_id: long, text: string"
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    stale = tokenize_distinct_words(
+        spark.createDataFrame([("low",)], "word: string"), merges
+    ).localCheckpoint()
+    with pytest.raises(Exception, match="missing from the injected"):
+        apply_bpe_wordlevel(docs, merges, word_tokens=stale).collect()
+    # a COMPLETE dictionary still works through the same code path
+    full = tokenize_distinct_words(
+        docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+                "word"
+            )
+        ).distinct(),
+        merges,
+    ).localCheckpoint()
+    out = {
+        r.doc_id: r.bpe_tokens
+        for r in apply_bpe_wordlevel(docs, merges, word_tokens=full).collect()
+    }
+    assert out[0] == ["low", "</w>", "low", "</w>"]
+
+
+def test_assert_no_straddle_raises_value_error():
+    # ValueError (not assert) so the guard survives python -O
+    from goconnect_spark.operators.bpe import _assert_no_straddle
+
+    with pytest.raises(ValueError, match="straddle"):
+        _assert_no_straddle([("a</w>", "b")])
+    _assert_no_straddle([("a", "b</w>")])  # second symbol may end a word
+
+
 def test_apply_bpe_wordlevel_composite_id(spark):
     # reassembly keys on id_cols — a composite key must group exactly
     rows = [(0, "a", "low low"), (0, "b", "lower"), (1, "a", "low")]

@@ -109,12 +109,20 @@ def main() -> None:
     # the fixed workload; dividing query ratios by it normalizes drift
     drift = (cal_n / cal_o) if (cal_o and cal_n) else None
     common = sorted(set(old) & set(new))
+
+    def floored_ratio(o: float, n: float) -> float:
+        # sub-100ms noise floor: ratios on tiny times are meaningless
+        return n / o if o >= 0.1 else (1.0 if n < 0.1 else n / 0.1)
+
     rows = []
     for q in common:
         o, n = old[q], new[q]
-        # sub-100ms noise floor: ratios on tiny times are meaningless
-        ratio = n / o if o >= 0.1 else (1.0 if n < 0.1 else n / 0.1)
-        gate = ratio / drift if drift else ratio
+        ratio = floored_ratio(o, n)
+        # calibrate the TIME first, then apply the noise floor — the
+        # floor clamps tiny-time ratios to 1.0, and dividing that
+        # clamped 1.0 by a <1 drift factor would re-inflate sub-noise
+        # queries into spurious gate failures on a faster box
+        gate = floored_ratio(o, n / drift) if drift else ratio
         rows.append((gate, ratio, q, o, n))
     rows.sort(reverse=True)
     cal_hdr = f" {'cal':>6}" if drift else ""

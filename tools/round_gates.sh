@@ -40,8 +40,15 @@ python tools/differential_random_full.py 0 1
 echo "== gate 5.5: regenerate PLANS.md (plan audit always fresh) =="
 # informational, not failing: the shuffle/join counts land in git diff
 # for round-over-round review (plan_report has mild AQE run-to-run
-# variance on single counts — the bench gate is the cost arbiter)
-python tools/plan_report.py > PLANS.md
+# variance on single counts — the bench gate is the cost arbiter).
+# Temp-file + mv so a plan_report crash neither truncates the
+# committed audit nor aborts the chain under set -e.
+if python tools/plan_report.py > PLANS.md.tmp 2>/dev/null; then
+  mv PLANS.md.tmp PLANS.md
+else
+  rm -f PLANS.md.tmp
+  echo "plan_report failed — keeping the committed PLANS.md (informational gate)"
+fi
 git diff --stat PLANS.md || true
 
 echo "== gate 6/7: bench sf0.1 (capture -> $CAP) =="
