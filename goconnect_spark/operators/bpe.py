@@ -173,7 +173,14 @@ def apply_bpe(
 # character for character.
 # Assumes text contains no \x01/\x02 (true of any sane corpus; an
 # adversarial marker char shifts boundaries identically in both
-# engines, so the cross-engine contract still holds).
+# engines, so the cross-engine contract still holds). The `</w>`
+# sentinel carries the SAME corpus assumption (ADVICE r8): a corpus
+# whose text contains the literal substring "</w>" can train a
+# text-derived symbol that collides with the sentinel, and
+# `_assert_no_straddle` will then reject the (validly trained) table
+# with a ValueError — a loud, documented contract violation, never a
+# silent straddle. Sanitize such corpora (or remap the sentinel)
+# before training.
 # --------------------------------------------------------------------
 _SEND = "\x02"  # symbol-end marker
 
@@ -185,7 +192,11 @@ def _assert_no_straddle(merges) -> None:
     has a successor inside some word) and the invariant is asserted at
     freeze time — this guard makes AD-HOC merge lists fail loudly
     instead of silently producing straddled tokens (ADVICE r7).
-    ValueError, not assert: a safety guard must survive python -O."""
+    ValueError, not assert: a safety guard must survive python -O.
+    Contract note (ADVICE r8): the guard keys on the LITERAL `</w>`
+    substring, so a corpus whose raw text contains "</w>" can train a
+    first symbol this guard rejects — see the sentinel-collision
+    paragraph above `_SEND` for the documented corpus assumption."""
     bad = [(a, b) for a, b, *_ in merges if _EOW in a]
     if bad:
         raise ValueError(
@@ -319,9 +330,16 @@ def tokenize_words_py(
             ranks.setdefault(p, []).append(i)
 
         def one(w):
-            # empty/null word tokenizes to the empty sequence, exactly
+            # NULL word -> NULL toks, matching the SQL twin exactly
+            # (encode_doc propagates null through regexp_replace), so
+            # the two engines agree even when called directly on a
+            # word table containing nulls (ADVICE r8) — inside
+            # apply_bpe_wordlevel the vocab is null-free either way
+            if not isinstance(w, str):
+                return None
+            # empty word tokenizes to the empty sequence, exactly
             # like encode_doc('') -> '' -> no tokens
-            if not isinstance(w, str) or w == "":
+            if w == "":
                 return []
             syms = list(w) + [_EOW]  # list() splits per CODE POINT
             last = -1

@@ -256,6 +256,29 @@ def test_tokenize_words_py_rank_monotone_on_symbol_collision(spark):
     assert "abc" in py and "xabc" not in py
 
 
+def test_tokenize_engines_agree_on_null_and_empty_words(spark):
+    # ADVICE r8: when called DIRECTLY on a word table containing nulls
+    # (outside apply_bpe_wordlevel, whose vocab is null-free), the two
+    # engines must agree: NULL word -> NULL toks (the SQL chain
+    # propagates null through regexp_replace), '' -> empty sequence
+    from goconnect_spark.operators.bpe import (
+        tokenize_distinct_words,
+        tokenize_words_py,
+    )
+
+    vocab = spark.createDataFrame(
+        [("low",), (None,), ("",)], "word: string"
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    sql_t = {
+        r.word: r.toks for r in tokenize_distinct_words(vocab, merges).collect()
+    }
+    py_t = {r.word: r.toks for r in tokenize_words_py(vocab, merges).collect()}
+    assert py_t == sql_t
+    assert sql_t[None] is None
+    assert sql_t[""] == []
+
+
 def test_apply_bpe_wordlevel_python_engine(spark):
     from goconnect_spark.operators.bpe import apply_bpe_replace
 

@@ -46,8 +46,9 @@ def load_times(path: str) -> dict[str, float]:
         import re
 
         meta = {"value", "sf", "n_queries", "n_queries_all",
-                "all_queries_total_wall", "headline31_total_wall",
-                "headline34_total_wall", "calibration_wall"}
+                "n_queries_headline", "all_queries_total_wall",
+                "headline31_total_wall", "headline34_total_wall",
+                "calibration_wall"}
         pairs = {
             k: float(v)
             for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', obj.get("tail") or "")
