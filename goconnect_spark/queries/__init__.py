@@ -42,76 +42,24 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
-# Rebuilt for round 8 per VERDICT r7 item 1 — priority = staleness:
-#   tier 0 — changed at HEAD this round (must re-certify): the two
-#   word-level BPE entries (rewritten corpus plan + the new broadcast-
-#   join reassembly entry), the merged ann_retrieval_quality
-#   (ann_recall_at_k + ann_mrr, r8 density discipline), the winnowing
-#   NaN guard's consumer, and the two probe-cache consumers;
+# Rebuilt for round 9 per VERDICT r8 item 1 — priority = staleness:
+#   tier 0 — changed at HEAD this round (must re-certify): bpe_doc_tokens
+#   (now certifies BOTH vocab-side tokenizer engines — the SQL replace
+#   chain and the Arrow rank-schedule tokenizer — through the word-level
+#   serving path, VERDICT r8 item 2) and bpe_tokenize_corpus (shares
+#   operators/bpe.py helpers with it — promoted per the shared-helper
+#   rule even though its own plan is unchanged);
 #   then EVERY other query ordered by the ROUND OF ITS NEWEST GREEN
-#   DRIVER ROW, oldest first: user_sessions/retention_cohorts (last
-#   green r3 — the two the r7 50-slot cap dropped), the full 36-query
-#   r4 cohort, then the r5 block. Slots 1-50 = tier 0 + all 38
-#   certificates older than 2 rounds + the 6 first r5 entries, so a
-#   ~50-slot cap restores max certificate age to <=3 rounds.
+#   DRIVER ROW, oldest first: the 37-query r5 remainder (the r5 block
+#   minus the 5 entries r8's slots 46-50 certified), then the r6
+#   cohort, then r7, then the 48 r8-fresh certificates. Slots 1-50 =
+#   tier 0 + the full r5 remainder + the 11 first r6 entries, so a
+#   ~50-slot cap keeps max certificate age <= 3 rounds.
 _DRIVER_PRIORITY = (
-    # --- tier 0: changed at HEAD in round 8 (ann_pq_adc_rerank rides
-    #     the shared _exact_rerank whose joins gained broadcast hints,
-    #     same as the two IVFPQ consumers) ---
+    # --- tier 0: changed at HEAD in round 9 ---
     "bpe_doc_tokens",
     "bpe_tokenize_corpus",
-    "ann_retrieval_quality",
-    "fingerprint_collision_dedup",
-    "ann_ivfpq_topk",
-    "ann_index_comparison",
-    "ann_pq_adc_rerank",
-    # last green: r3 (the two the r7 cap dropped — oldest certificates)
-    "user_sessions",
-    "retention_cohorts",
-    # last green: r4
-    "ann_ivf_topk",
-    "bloom_prune_join",
-    "chunk_dedup_stats",
-    "corpus_novelty_curve",
-    "daily_new_users_cumulative",
-    "doc_chunking",
-    "doc_lexical_gini",
-    "duplicated_ngram_coverage",
-    "embedding_near_dup",
-    "embedding_outliers",
-    "event_hour_contingency",
-    "event_interarrival_gaps",
-    "event_transition_matrix",
-    "events_hourly_anomalies",
-    "events_user_lifecycle",
-    "gopher_quality_rules",
-    "key_skew_profile",
-    "knn_label_accuracy",
-    "label_centroid_shift",
-    "order_fulfillment_latency",
-    "orders_grouping_sets",
-    "phrase_search_top_trigram",
-    "priority_sample",
-    "q11_important_stock",
-    "q16_parts_supplier_counts",
-    "q20_potential_promotion",
-    "q21_late_suppliers",
-    "source_divergence_tv",
-    "source_epoch_plan",
-    "source_length_quantiles",
-    "source_overlap_jaccard",
-    "supplier_concentration_hhi",
-    "tfidf_top_terms",
-    "token_budget_sample",
-    "user_overlap_kmv",
-    "weekly_active_users",
-    # last green: r5 (ann_mrr/ann_recall_at_k retired into the merged
-    # tier-0 ann_retrieval_quality)
-    "ann_sq8_rerank",
-    "bigram_cond_prob",
-    "boilerplate_top_shingles",
-    "brand_basket_lift",
-    "containment_dedup",
+    # last green: r5 (the block r8's 50-slot cap could not reach)
     "corpus_snapshot_diff",
     "cosine_topk",
     "customer_rfm_segments",
@@ -149,7 +97,7 @@ _DRIVER_PRIORITY = (
     "word_graph_triangles",
     "word_pagerank",
     "zorder_pruning_stats",
-    # last green: r6 (ann_pq_adc_rerank promoted to tier 0)
+    # last green: r6
     "ann_random_projection_recall",
     "bm25_keyword_topk",
     "corpus_drop_reasons",
@@ -194,8 +142,7 @@ _DRIVER_PRIORITY = (
     "source_quality_harmonized",
     "streaming_handoff_counts",
     "streaming_ivm_hourly_counts",
-    # last green: r7 (the freshest certificates — the r7 tier 0 plus
-    # the r2/r3 cohort the r7 slate rotated through the driver gate)
+    # last green: r7
     "ann_ivf_kmeans_topk",
     "benchmark_contamination",
     "daily_reconciliation",
@@ -242,6 +189,55 @@ _DRIVER_PRIORITY = (
     "value_outliers_mad",
     "vocab_oov_rate",
     "xml_extract_fold",
+    # last green: r8 (the freshest certificates)
+    "ann_index_comparison",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_rerank",
+    "ann_retrieval_quality",
+    "ann_sq8_rerank",
+    "bigram_cond_prob",
+    "bloom_prune_join",
+    "boilerplate_top_shingles",
+    "brand_basket_lift",
+    "chunk_dedup_stats",
+    "containment_dedup",
+    "corpus_novelty_curve",
+    "daily_new_users_cumulative",
+    "doc_chunking",
+    "doc_lexical_gini",
+    "duplicated_ngram_coverage",
+    "embedding_near_dup",
+    "embedding_outliers",
+    "event_hour_contingency",
+    "event_interarrival_gaps",
+    "event_transition_matrix",
+    "events_hourly_anomalies",
+    "events_user_lifecycle",
+    "fingerprint_collision_dedup",
+    "gopher_quality_rules",
+    "key_skew_profile",
+    "knn_label_accuracy",
+    "label_centroid_shift",
+    "order_fulfillment_latency",
+    "orders_grouping_sets",
+    "phrase_search_top_trigram",
+    "priority_sample",
+    "q11_important_stock",
+    "q16_parts_supplier_counts",
+    "q20_potential_promotion",
+    "q21_late_suppliers",
+    "retention_cohorts",
+    "source_divergence_tv",
+    "source_epoch_plan",
+    "source_length_quantiles",
+    "source_overlap_jaccard",
+    "supplier_concentration_hhi",
+    "tfidf_top_terms",
+    "token_budget_sample",
+    "user_overlap_kmv",
+    "user_sessions",
+    "weekly_active_users",
 )
 
 

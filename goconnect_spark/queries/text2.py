@@ -687,6 +687,15 @@ LIMIT 100
 # replays the whole-document replace chain per doc (the small-vocab
 # path), so the two engines derive the sequence DIFFERENTLY and must
 # land on the same md5.
+# Round 9 (VERDICT r8 item 2): the entry now certifies BOTH vocab-side
+# tokenizer engines through the same serving path — `tokens_md5` from
+# the oracle-replayable SQL replace chain, `tokens_md5_py` from the
+# Arrow pandas_udf rank-schedule tokenizer (`tokenize_words_py`, the
+# 32k-merge production path, previously property-pinned only). The
+# oracle emits its whole-document-chain md5 under BOTH column names,
+# so a divergence in EITHER engine (or between them) fails the hash
+# gate. Running both engines in one entry is a certification
+# diagnostic: a production job picks one engine and pays one pass.
 # --------------------------------------------------------------------
 def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goconnect_spark.operators.bpe import apply_bpe_wordlevel
@@ -694,12 +703,17 @@ def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, "documents", sf_dir)
     toked = apply_bpe_wordlevel(docs, BPE_MERGES)
-    return toked.select(
+    sql_side = toked.select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct("bpe_tokens")).cast("long").alias("n_token_types"),
         F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("tokens_md5"),
-    ).orderBy("doc_id")
+    )
+    py_side = apply_bpe_wordlevel(docs, BPE_MERGES, engine="python").select(
+        "doc_id",
+        F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("tokens_md5_py"),
+    )
+    return sql_side.join(py_side, "doc_id").orderBy("doc_id")
 
 
 def _bpe_doc_tokens_sql() -> str:
@@ -724,7 +738,12 @@ SELECT doc_id,
        -- returns NULL for an empty list; Spark's concat_ws returns ''.
        -- Empty/null-text docs therefore need the COALESCE so both
        -- engines report md5('')
-       md5(COALESCE(array_to_string(toks, chr(31)), '')) AS tokens_md5
+       md5(COALESCE(array_to_string(toks, chr(31)), '')) AS tokens_md5,
+       -- the SAME chain-derived md5 under the python-engine column
+       -- name: the Spark side computes tokens_md5_py via the Arrow
+       -- rank-schedule tokenizer, so this one oracle value gates BOTH
+       -- engines' ordered token streams
+       md5(COALESCE(array_to_string(toks, chr(31)), '')) AS tokens_md5_py
 FROM tl ORDER BY doc_id
 """
 

@@ -9,21 +9,39 @@
 #
 # Layers (each independently catches a class of regression):
 #   1. pytest              — unit/property/plan/invariance suites
+#                            (measured total appended to the round's
+#                            gates-summary file so round notes can't
+#                            drift from what actually ran — VERDICT r8
+#                            item 6)
 #   2. verify_local 0.001  — fast full-catalog oracle gate
 #   3. verify_local 0.01   — driver-scale oracle gate
 #   4. VERIFY_PLAIN 0.01   — same, under a bare driver-style session
+#   4.5 verify_local 0.1   — full-catalog oracle sweep at the BENCH
+#                            scale factor (standing since r9 — VERDICT
+#                            r8 item 8: the only value check at the
+#                            bench-graded scale)
 #   5. differential 0 1    — full catalog on pathological + random data
 #   6. bench sf0.1         — full-catalog timing, stderr capture kept
 #   7. bench_diff          — per-query wall regression vs prev round
-set -e
+# pipefail is load-bearing: gates 1 and 4.5 pipe through tee/sed to
+# record their measured totals, and without it a failing pytest or
+# verify run would be masked by the recorder's exit 0
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 
 PREV="${1:?usage: round_gates.sh <prev_bench_capture> [round_tag]}"
 TAG="${2:-next}"
 CAP="tools/bench_captures/${TAG}_local_sf01_stderr.txt"
+SUMMARY="tools/bench_captures/${TAG}_gates_summary.txt"
+
+echo "round_gates $TAG: started $(date -u +%FT%TZ)" > "$SUMMARY"
 
 echo "== gate 1/7: pytest =="
-python -m pytest tests/ -q
+python -m pytest tests/ -q | tee /tmp/round_gates_pytest.out
+# the measured totals line (e.g. "252 passed, 1 skipped in 654s") —
+# recorded so COVERAGE.md round notes quote a number that actually ran
+grep -E '[0-9]+ passed' /tmp/round_gates_pytest.out | tail -1 \
+  | sed 's/^/pytest: /' >> "$SUMMARY"
 
 echo "== gate 2/7: verify_local sf0.001 =="
 SPARK_GRAFT_CPUS=8 python tools/verify_local.py /root/testdata/sf0.001
@@ -33,6 +51,11 @@ SPARK_GRAFT_CPUS=16 python tools/verify_local.py /root/testdata/sf0.01
 
 echo "== gate 4/7: VERIFY_PLAIN sf0.01 (bare session) =="
 VERIFY_PLAIN=1 SPARK_GRAFT_CPUS=16 python tools/verify_local.py /root/testdata/sf0.01
+
+echo "== gate 4.5: verify_local sf0.1 (full catalog at bench scale) =="
+SPARK_GRAFT_CPUS=32 python tools/verify_local.py /root/testdata/sf0.1 \
+  | tee /tmp/round_gates_verify_sf01.out
+tail -1 /tmp/round_gates_verify_sf01.out | sed 's/^/verify_sf0.1: /' >> "$SUMMARY"
 
 echo "== gate 5/7: randomized differential (seeds 0 1) =="
 python tools/differential_random_full.py 0 1
@@ -59,6 +82,12 @@ echo "== gate 7/7: bench_diff vs $PREV =="
 # deliberate scope changes (a query made bigger on purpose) will trip
 # the 1.5x gate: inspect the table, document the reason in the round
 # notes, and commit it under tools/bench_captures/
-python tools/bench_diff.py "$PREV" "$CAP" --threshold 1.5
+python tools/bench_diff.py "$PREV" "$CAP" --threshold 1.5 \
+  | tee /tmp/round_gates_bench_diff.out
+grep -E '^(common|calibration)' /tmp/round_gates_bench_diff.out \
+  >> "$SUMMARY" || true
 
 echo "ALL GATES GREEN"
+echo "round_gates $TAG: ALL GATES GREEN $(date -u +%FT%TZ)" >> "$SUMMARY"
+echo "-- summary ($SUMMARY) --"
+cat "$SUMMARY"
