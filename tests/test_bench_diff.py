@@ -112,6 +112,46 @@ def test_cli_faster_box_does_not_reinflate_noise_floor(tmp_path):
     assert r.returncode == 0, r.stdout
 
 
+def test_cli_allow_waives_documented_scope_change(tmp_path):
+    # --allow QUERY=REASON waives a deliberate scope change (r9:
+    # bpe_doc_tokens grew a second certification engine) but still
+    # prints it; an undocumented regression alongside still gates, a
+    # reason-less allow is rejected, and a stale allow is surfaced
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"metric": "x", "queries": {"q": 1.0, "r": 1.0}}))
+    new.write_text(json.dumps({"metric": "x", "queries": {"q": 3.0, "r": 1.0}}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new),
+         "--allow", "q=dual-engine certification"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout
+    assert "ALLOWED (scope change: dual-engine certification)" in r.stdout
+    # a second, unallowed regression still fails
+    new.write_text(json.dumps({"metric": "x", "queries": {"q": 3.0, "r": 3.0}}))
+    r2 = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new),
+         "--allow", "q=dual-engine certification"],
+        capture_output=True, text=True,
+    )
+    assert r2.returncode == 1 and "r" in r2.stdout.split("regression(s)")[-1]
+    # reason-less allow is a usage error
+    r3 = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new),
+         "--allow", "q"],
+        capture_output=True, text=True,
+    )
+    assert r3.returncode != 0
+    # an allow that no longer trips is reported stale
+    r4 = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(old),
+         "--allow", "q=left over"],
+        capture_output=True, text=True,
+    )
+    assert r4.returncode == 0 and "stale --allow" in r4.stdout
+
+
 def test_cli_regression_exit_code(tmp_path):
     old = tmp_path / "old.json"
     new = tmp_path / "new.json"

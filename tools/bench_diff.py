@@ -1,6 +1,14 @@
 """Mechanical round-over-round bench comparison (VERDICT r5 item 7).
 
 Usage: python tools/bench_diff.py OLD NEW [--threshold 1.5]
+           [--allow QUERY=REASON ...]
+
+--allow marks a DELIBERATE per-query scope change (round 9: a query
+made bigger on purpose, e.g. bpe_doc_tokens growing a second
+certification engine): the query's ratio is still printed (flagged
+ALLOWED with the reason) but does not fail the gate. The reason is
+mandatory — an allowance must document itself in the diff table the
+round commits.
 
 OLD/NEW each accept any of the three bench artifact shapes:
 - a driver BENCH_r{N}.json ({"parsed": {"queries": {...}}, "tail": ...});
@@ -102,8 +110,21 @@ def main() -> None:
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument(
+        "--allow", action="append", default=[], metavar="QUERY=REASON",
+        help="deliberate scope change: exempt QUERY from the gate, "
+             "printing REASON beside its ratio",
+    )
     ns = ap.parse_args()
     threshold = ns.threshold
+    allowed: dict[str, str] = {}
+    for item in ns.allow:
+        if "=" not in item:
+            raise SystemExit(f"--allow needs QUERY=REASON, got {item!r}")
+        q, reason = item.split("=", 1)
+        if not reason.strip():
+            raise SystemExit(f"--allow {q}: empty reason")
+        allowed[q] = reason.strip()
     old, new = load_times(ns.old), load_times(ns.new)
     cal_o, cal_n = load_calib(ns.old), load_calib(ns.new)
     # box-speed drift factor: >1 means the new box/run was slower on
@@ -129,7 +150,12 @@ def main() -> None:
     cal_hdr = f" {'cal':>6}" if drift else ""
     print(f"{'query':<42} {'old_s':>8} {'new_s':>8} {'ratio':>6}{cal_hdr}")
     for gate, ratio, q, o, n in rows:
-        flag = "  <-- REGRESSION" if gate > threshold else ""
+        if gate > threshold and q in allowed:
+            flag = f"  <-- ALLOWED (scope change: {allowed[q]})"
+        elif gate > threshold:
+            flag = "  <-- REGRESSION"
+        else:
+            flag = ""
         cal_col = f" {gate:>6.2f}" if drift else ""
         print(f"{q:<42} {o:>8.3f} {n:>8.3f} {ratio:>6.2f}{cal_col}{flag}")
     tot_o = sum(old[q] for q in common)
@@ -153,7 +179,20 @@ def main() -> None:
         print(f"added ({len(added)}): {', '.join(added)}")
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
-    regs = [q for gate, ratio, q, o, n in rows if gate > threshold]
+    waived = [q for gate, ratio, q, o, n in rows
+              if gate > threshold and q in allowed]
+    if waived:
+        print(f"{len(waived)} allowed scope change(s): "
+              + ", ".join(f"{q} ({allowed[q]})" for q in waived))
+    stale = sorted(set(allowed) - set(waived))
+    if stale:
+        # an allowance that no longer trips the gate (or names an
+        # unknown query) is stale — surface it so it gets removed from
+        # the round workflow instead of silently waiving future runs
+        print(f"stale --allow entries (did not trip the gate): "
+              + ", ".join(stale))
+    regs = [q for gate, ratio, q, o, n in rows
+            if gate > threshold and q not in allowed]
     if regs:
         print(f"\n{len(regs)} regression(s) past {threshold}x"
               f"{' (calibrated)' if drift else ''}: {', '.join(regs)}")

@@ -6,6 +6,8 @@
 #
 # Usage: tools/round_gates.sh <prev_bench_capture> [round_tag]
 #   e.g. tools/round_gates.sh tools/bench_captures/r7_local_sf01_stderr.txt r8
+# Extra args after the tag go to bench_diff (e.g. a documented
+# "--allow query=reason" for a deliberate scope change).
 #
 # Layers (each independently catches a class of regression):
 #   1. pytest              — unit/property/plan/invariance suites
@@ -82,7 +84,7 @@ echo "== gate 7/7: bench_diff vs $PREV =="
 # deliberate scope changes (a query made bigger on purpose) will trip
 # the 1.5x gate: inspect the table, document the reason in the round
 # notes, and commit it under tools/bench_captures/
-python tools/bench_diff.py "$PREV" "$CAP" --threshold 1.5 \
+python tools/bench_diff.py "$PREV" "$CAP" --threshold 1.5 "${@:3}" \
   | tee /tmp/round_gates_bench_diff.out
 grep -E '^(common|calibration)' /tmp/round_gates_bench_diff.out \
   >> "$SUMMARY" || true
