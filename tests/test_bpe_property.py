@@ -235,6 +235,49 @@ def test_tokenize_words_py_equals_sql_chain(spark, seed):
     assert py_t == sql_t
 
 
+def test_tokenize_words_py_at_2400_merges_matches_sequential_chain(spark):
+    # at the 2,400-merge bench fixture the SQL twin cannot even be
+    # BUILT (2,400 nested replace() Column nodes overflow the JVM
+    # stack at plan construction — the measured boundary that
+    # motivates the Arrow engine), so the engine-equivalence pin at
+    # this size runs against a DIRECT sequential application of the
+    # chain semantics: every merge in table order, each greedily
+    # left-to-right — the definitional loop the rank schedule
+    # optimizes
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+    from tools._bpe_merges_2400 import BPE_MERGES_2400
+
+    from goconnect_spark.operators.bpe import tokenize_words_py
+
+    def seq(word):
+        syms = list(word) + ["</w>"]
+        for a, b, *_ in BPE_MERGES_2400:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    # words the fixture's 100x-prefix training vocabulary covers
+    # (deep merge cascades), partially-covered stems, unseen words,
+    # non-BMP, and a word colliding with merged-symbol spellings
+    words = (
+        ["r5sparkles", "r42lower", "r99data", "r0atlas", "r7parked"]
+        + ["sparkles", "lower", "unseen", "a", "😀a𝄞", "r5", "r5r5"]
+    )
+    vocab = spark.createDataFrame([(w,) for w in words], "word: string")
+    got = {r.word: r.toks for r in tokenize_words_py(vocab, BPE_MERGES_2400).collect()}
+    want = {w: seq(w) for w in words}
+    assert got == want
+    # the deep cascade really fired: a fully-covered word compresses
+    assert len(got["r5sparkles"]) < len("r5sparkles") + 1
+
+
 def test_tokenize_words_py_rank_monotone_on_symbol_collision(spark):
     # adversarial table: merge 3 (ab,c) CREATES the symbol "abc" that
     # merge 1's pattern (x, abc) wants — the chain never revisits a

@@ -38,7 +38,24 @@ The docs dimension (multiplier m, same replica-prefix synthesis as
 scale_bench_dedup) is measured alongside so the table shows BOTH axes.
 Record results in SCALING.md.
 
-Run: python tools/scale_bench_bpe_merges.py [multipliers...] (default 1 10)
+Round 9 adds the THIRD merge-count point: a 2,400-merge fixture
+(tools/_bpe_merges_2400.py, built by tools/build_bpe_merges_2400.py
+on the 100x synthesis) — one decade closer to a production 32k
+vocabulary. At this size the SQL chain (2,400 nested replace()
+Column nodes) OVERFLOWS THE JVM STACK at plan-construction time
+(java.lang.StackOverflowError in the Column-node-to-expression
+converter), so every SQL-chain plan at 2,400 is expected to emit an
+`error` record — that measured boundary IS the result motivating the
+Arrow engine (`tokenize_words_py` / `apply_bpe_wordlevel(
+engine="python")`), which is measured alongside and stays flat.
+Failures are caught per plan and emitted as JSON, never crashes;
+replace_chain is skipped above 240 merges (O(n_merges) full-document
+passes — minutes of wall to re-prove the point the 240 row already
+makes).
+
+Run: python tools/scale_bench_bpe_merges.py [multipliers...]
+         [--tables 24,240,2400]
+     (defaults: multipliers 1 10, tables 24,240)
 """
 
 from __future__ import annotations
@@ -110,42 +127,91 @@ def doc_tokens_wordlevel(docs, merges):
     ).where(F.col("n_bpe_tokens") >= 0)
 
 
+def doc_tokens_wordlevel_py(docs, merges):
+    """The production serving path at large tables:
+    apply_bpe_wordlevel(engine="python") — Arrow tokenizer on the
+    distinct vocab, same explode/join/reassembly corpus side."""
+    from goconnect_spark.operators.bpe import apply_bpe_wordlevel
+
+    toked = apply_bpe_wordlevel(docs, merges, engine="python")
+    return toked.select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
+    ).where(F.col("n_bpe_tokens") >= 0)
+
+
 PLANS = {
     "replace_chain": token_counts_replace_chain,
     "wordlevel_count": token_counts_wordlevel,
     "wordlevel_docs": doc_tokens_wordlevel,
+    "wordlevel_docs_py": doc_tokens_wordlevel_py,
 }
 
 
 def main():
-    mults = [int(a) for a in sys.argv[1:]] or [1, 10]
+    args = sys.argv[1:]
+    table_keys = [24, 240]
+    if "--tables" in args:
+        i = args.index("--tables")
+        table_keys = [int(t) for t in args[i + 1].split(",")]
+        del args[i:i + 2]
+    mults = [int(a) for a in args] or [1, 10]
     from goconnect_spark.operators.bpe import (
         apply_bpe_wordlevel,
         tokenize_distinct_words,
+        tokenize_words_py,
         word_freq_table,
     )
     from goconnect_spark.queries._bpe_frozen import BPE_MERGES
     from goconnect_spark.session import get_spark
-    from tools._bpe_merges_240 import BPE_MERGES_240
 
-    tables = {24: BPE_MERGES, 240: BPE_MERGES_240}
+    all_tables = {24: lambda: BPE_MERGES}
+
+    def _t240():
+        from tools._bpe_merges_240 import BPE_MERGES_240
+
+        return BPE_MERGES_240
+
+    def _t2400():
+        from tools._bpe_merges_2400 import BPE_MERGES_2400
+
+        return BPE_MERGES_2400
+
+    all_tables[240] = _t240
+    all_tables[2400] = _t2400
+    tables = {k: all_tables[k]() for k in table_keys}
     spark = get_spark("bpe-merge-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def emit(plan, n_merges, m, n_docs, rows, t0):
-        print(
-            json.dumps(
-                {
-                    "plan": plan,
-                    "n_merges": n_merges,
-                    "multiplier": m,
-                    "docs": n_docs,
-                    "rows": rows,
-                    "sec": round(time.time() - t0, 2),
-                }
-            ),
-            flush=True,
-        )
+    def emit(plan, n_merges, m, n_docs, rows, t0, error=None):
+        rec = {
+            "plan": plan,
+            "n_merges": n_merges,
+            "multiplier": m,
+            "docs": n_docs,
+            "rows": rows,
+            "sec": round(time.time() - t0, 2),
+        }
+        if error:
+            rec["error"] = error
+        print(json.dumps(rec), flush=True)
+
+    def timed(plan, n_merges, m, n_docs, thunk):
+        """Run one measurement; a plan that cannot even be BUILT at
+        this table size (the 2,400-merge SQL chain overflows the JVM
+        stack in Column-node conversion) is a RESULT, not a crash —
+        emit the error record and keep measuring the other plans."""
+        t0 = time.time()
+        try:
+            rows = thunk()
+        except Exception as e:  # noqa: BLE001 — recorded, not hidden
+            cause = type(e).__name__
+            msg = str(e)
+            if "StackOverflowError" in msg:
+                cause = "java.lang.StackOverflowError (plan construction)"
+            emit(plan, n_merges, m, n_docs, None, t0, error=cause)
+            return None
+        emit(plan, n_merges, m, n_docs, rows, t0)
+        return rows
 
     for m in mults:
         work = tempfile.mkdtemp(prefix=f"bpe_scale_m{m}_")
@@ -156,9 +222,14 @@ def main():
             n_docs = docs.count()
             for n_merges, merges in tables.items():
                 for plan, fn in PLANS.items():
-                    t0 = time.time()
-                    rows = fn(docs, merges).count()
-                    emit(plan, n_merges, m, n_docs, rows, t0)
+                    if plan == "replace_chain" and n_merges > 240:
+                        # O(n_merges) full-document passes: minutes of
+                        # wall to re-prove what the 240 row shows
+                        emit(plan, n_merges, m, n_docs, None, time.time(),
+                             error="skipped (O(n_merges) doc passes)")
+                        continue
+                    timed(plan, n_merges, m, n_docs,
+                          lambda fn=fn: fn(docs, merges).count())
                 # staged: materialize the word->tokens dictionary, then
                 # time the corpus-side plans with zero per-merge work
                 vocab = (
@@ -168,40 +239,56 @@ def main():
                         ).alias("word")
                     ).distinct()
                 )
-                t0 = time.time()
-                wt = tokenize_distinct_words(vocab, merges).localCheckpoint()
-                emit("vocab_chain", n_merges, m, n_docs, wt.count(), t0)
+                wt_holder = {}
+
+                def _build_sql_dict():
+                    wt = tokenize_distinct_words(vocab, merges).localCheckpoint()
+                    wt_holder["wt"] = wt
+                    return wt.count()
+
+                timed("vocab_chain", n_merges, m, n_docs, _build_sql_dict)
                 # the Arrow python tokenizer (apply_bpe_wordlevel
                 # engine="python"): per-word cost O(applied merges),
                 # independent of TABLE size — the 32k-merge path
-                from goconnect_spark.operators.bpe import tokenize_words_py
 
-                t0 = time.time()
-                n = tokenize_words_py(vocab, merges).select(
-                    F.explode_outer("toks")
-                ).count()
-                emit("vocab_chain_py", n_merges, m, n_docs, n, t0)
-                t0 = time.time()
-                rows = (
-                    word_freq_table(docs)
-                    .join(wt, "word")
-                    .select(F.explode("toks").alias("token"), "freq")
-                    .groupBy("token")
-                    .agg(F.sum("freq").cast("long").alias("n"))
-                    .count()
+                def _build_py_dict():
+                    df = tokenize_words_py(vocab, merges)
+                    if "wt" not in wt_holder:
+                        # the SQL chain could not build a dictionary
+                        # at this table size; the corpus-side stages
+                        # below are engine-agnostic, so feed them this
+                        # one (checkpoint only in that fallback, to
+                        # keep the timing comparable round-over-round)
+                        wt_holder["wt"] = df = df.localCheckpoint()
+                    return df.select(F.explode_outer("toks")).count()
+
+                timed("vocab_chain_py", n_merges, m, n_docs, _build_py_dict)
+                wt = wt_holder.get("wt")
+                if wt is None:
+                    continue  # both dictionary builds failed
+                timed(
+                    "corpus_count_given_vocab", n_merges, m, n_docs,
+                    lambda: (
+                        word_freq_table(docs)
+                        .join(wt, "word")
+                        .select(F.explode("toks").alias("token"), "freq")
+                        .groupBy("token")
+                        .agg(F.sum("freq").cast("long").alias("n"))
+                        .count()
+                    ),
                 )
-                emit("corpus_count_given_vocab", n_merges, m, n_docs, rows, t0)
-                t0 = time.time()
-                rows = (
-                    apply_bpe_wordlevel(docs, merges, word_tokens=wt)
-                    .select(
-                        "doc_id",
-                        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
-                    )
-                    .where(F.col("n_bpe_tokens") >= 0)
-                    .count()
+                timed(
+                    "corpus_docs_given_vocab", n_merges, m, n_docs,
+                    lambda: (
+                        apply_bpe_wordlevel(docs, merges, word_tokens=wt)
+                        .select(
+                            "doc_id",
+                            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+                        )
+                        .where(F.col("n_bpe_tokens") >= 0)
+                        .count()
+                    ),
                 )
-                emit("corpus_docs_given_vocab", n_merges, m, n_docs, rows, t0)
         finally:
             shutil.rmtree(work, ignore_errors=True)
     spark.stop()
