@@ -184,6 +184,17 @@ def apply_bpe(
 # --------------------------------------------------------------------
 _SEND = "\x02"  # symbol-end marker
 
+# Soft cap on the Spark-side replace chain: each merge adds one nested
+# replace() Column node, and the JVM's Column-node-to-expression
+# conversion recurses per node — measured on this runtime (default
+# thread stack), 300 nested replaces build fine and 350 overflow the
+# stack (java.lang.StackOverflowError at PLAN CONSTRUCTION, before any
+# data moves). The cap turns that opaque crash into a contract error
+# pointing at the table-size-independent Arrow engine. It is a
+# per-call parameter, not a hard limit: the true boundary depends on
+# -Xss, so callers on a deeper stack may raise it deliberately.
+SQL_CHAIN_MAX_MERGES = 300
+
 
 def _assert_no_straddle(merges) -> None:
     """Whole-document replace-chain safety: a merge whose FIRST symbol
@@ -227,10 +238,30 @@ def apply_bpe_replace(
     merges: List[Tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    max_sql_merges: "int | None" = SQL_CHAIN_MAX_MERGES,
 ) -> DataFrame:
     """Tokenize with a learned merge table via the replace chain —
     one `replace()` per merge, all in-row, all codegen. Produces the
-    identical token stream as `apply_bpe` (property-tested)."""
+    identical token stream as `apply_bpe` (property-tested).
+
+    Refuses tables beyond `max_sql_merges` (default
+    SQL_CHAIN_MAX_MERGES): past ~300-350 nested replaces the JVM
+    overflows its stack while CONVERTING the Column tree, an opaque
+    crash this guard replaces with a pointed error. Large tables
+    belong on the Arrow engine (`tokenize_words_py` /
+    `apply_bpe_wordlevel(engine="python")`), whose per-word cost is
+    independent of table size; pass `max_sql_merges=None` (or a
+    higher cap on a deeper-stack JVM) to build the chain anyway."""
+    if max_sql_merges is not None and len(merges) > max_sql_merges:
+        raise ValueError(
+            f"SQL replace chain at {len(merges)} merges exceeds "
+            f"max_sql_merges={max_sql_merges}: the nested replace() "
+            "Column tree overflows the JVM stack at plan construction "
+            "(measured boundary 300-350 on a default thread stack). "
+            "Use tokenize_words_py / apply_bpe_wordlevel("
+            "engine='python') for large tables, or raise the cap "
+            "explicitly if your JVM stack allows it."
+        )
     _assert_no_straddle(merges)
     enc = encode_doc(F.col(text_col))
     for a, b, *_ in merges:
@@ -281,12 +312,22 @@ def apply_bpe_replace_sql(text_expr: str, merges: List[Tuple[str, str]]) -> str:
 # equi-join on the word key — same plan shape, still merge-count-
 # independent.)
 # --------------------------------------------------------------------
-def tokenize_distinct_words(words: DataFrame, merges, word_col: str = "word", out_col: str = "toks") -> DataFrame:
+def tokenize_distinct_words(
+    words: DataFrame,
+    merges,
+    word_col: str = "word",
+    out_col: str = "toks",
+    max_sql_merges: "int | None" = SQL_CHAIN_MAX_MERGES,
+) -> DataFrame:
     """(word, toks): replace-chain tokenization of each row's word —
     meant for a DISTINCT-word table, where the per-merge chain is
     vocab-sized work. A single word encodes exactly like a one-word
-    document, so this IS `apply_bpe_replace` on the word column."""
-    return apply_bpe_replace(words, merges, text_col=word_col, out_col=out_col)
+    document, so this IS `apply_bpe_replace` on the word column
+    (including its `max_sql_merges` expression-depth contract)."""
+    return apply_bpe_replace(
+        words, merges, text_col=word_col, out_col=out_col,
+        max_sql_merges=max_sql_merges,
+    )
 
 
 def tokenize_words_py(

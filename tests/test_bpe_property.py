@@ -373,6 +373,36 @@ def test_apply_bpe_wordlevel_stale_dictionary_fails_loudly(spark):
     assert out[0] == ["low", "</w>", "low", "</w>"]
 
 
+def test_sql_chain_soft_cap_refuses_large_tables(spark):
+    # past ~300-350 nested replaces the JVM overflows its stack while
+    # CONVERTING the Column tree (measured on this runtime); the
+    # max_sql_merges contract turns that opaque crash into a pointed
+    # error naming the Arrow engine, and stays overridable for
+    # deeper-stack JVMs
+    from goconnect_spark.operators.bpe import (
+        SQL_CHAIN_MAX_MERGES,
+        apply_bpe_replace,
+        apply_bpe_wordlevel,
+        tokenize_distinct_words,
+    )
+
+    big = [("a", "b")] * (SQL_CHAIN_MAX_MERGES + 1)
+    docs = spark.createDataFrame([(0, "ab")], "doc_id: long, text: string")
+    vocab = spark.createDataFrame([("ab",)], "word: string")
+    with pytest.raises(ValueError, match="max_sql_merges"):
+        apply_bpe_replace(docs, big)
+    with pytest.raises(ValueError, match="engine='python'"):
+        tokenize_distinct_words(vocab, big)
+    # the sql engine inside the serving path hits the same contract...
+    with pytest.raises(ValueError, match="max_sql_merges"):
+        apply_bpe_wordlevel(docs, big, engine="sql").collect()
+    # ...and the python engine handles the same table fine
+    out = apply_bpe_wordlevel(docs, big, engine="python").collect()
+    assert out[0].bpe_tokens == ["ab", "</w>"]
+    # explicit override still builds a (small) chain
+    assert apply_bpe_replace(docs, big[:2], max_sql_merges=None).count() == 1
+
+
 def test_assert_no_straddle_raises_value_error():
     # ValueError (not assert) so the guard survives python -O
     from goconnect_spark.operators.bpe import _assert_no_straddle

@@ -208,6 +208,10 @@ def main():
             msg = str(e)
             if "StackOverflowError" in msg:
                 cause = "java.lang.StackOverflowError (plan construction)"
+            elif isinstance(e, ValueError):
+                # the operator's max_sql_merges contract refusing the
+                # chain — the guarded form of the same boundary
+                cause = f"ValueError: {msg[:100]}"
             emit(plan, n_merges, m, n_docs, None, t0, error=cause)
             return None
         emit(plan, n_merges, m, n_docs, rows, t0)
