@@ -419,6 +419,7 @@ def apply_bpe_wordlevel(
     broadcast_vocab: bool = True,
     word_tokens: "DataFrame | None" = None,
     engine: str = "sql",
+    max_sql_merges: "int | None" = SQL_CHAIN_MAX_MERGES,
 ) -> DataFrame:
     """Tokenize via the word-level path: distinct words -> replace
     chain (vocab-sized) -> broadcast equi-join onto the posexploded
@@ -440,7 +441,13 @@ def apply_bpe_wordlevel(
     oracle-replayable replace chain — right for tables small enough
     for an expression tree; "python" is the Arrow pandas_udf
     (`tokenize_words_py`) whose cost per word is O(applied merges),
-    independent of table size — the 32k-merge production path."""
+    independent of table size — the 32k-merge production path.
+    `max_sql_merges` threads through to the sql engine's
+    expression-depth contract (see `apply_bpe_replace`) so a
+    deeper-stack JVM can raise the cap from here; ignored by the
+    python engine and the word_tokens injection path. `id_cols` must
+    be NON-NULL as well as unique: a null key never equi-joins, so
+    reassembly would silently hand such a doc an empty token array."""
     _assert_no_straddle(merges)
     ids = list(id_cols)
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
@@ -471,8 +478,15 @@ def apply_bpe_wordlevel(
         )
     else:
         vocab = exploded.select("word").distinct()
-        tokenizer = {"sql": tokenize_distinct_words, "python": tokenize_words_py}[engine]
-        wt = tokenizer(vocab, merges).select("word", "toks")
+        if engine == "sql":
+            wt = tokenize_distinct_words(
+                vocab, merges, max_sql_merges=max_sql_merges
+            )
+        elif engine == "python":
+            wt = tokenize_words_py(vocab, merges)
+        else:
+            raise ValueError(f"unknown engine {engine!r} (want 'sql' or 'python')")
+        wt = wt.select("word", "toks")
         if broadcast_vocab:
             wt = F.broadcast(wt)
         joined = exploded.join(wt, "word")

@@ -401,6 +401,19 @@ def test_sql_chain_soft_cap_refuses_large_tables(spark):
     assert out[0].bpe_tokens == ["ab", "</w>"]
     # explicit override still builds a (small) chain
     assert apply_bpe_replace(docs, big[:2], max_sql_merges=None).count() == 1
+    # the cap THREADS THROUGH the serving path (review r9): a
+    # tightened cap reaches the sql tokenizer, a loosened one unblocks
+    # it — the documented override is reachable where the error
+    # message suggests it
+    with pytest.raises(ValueError, match="max_sql_merges"):
+        apply_bpe_wordlevel(docs, big[:2], engine="sql", max_sql_merges=1)
+    ok = apply_bpe_wordlevel(
+        docs, big[:2], engine="sql", max_sql_merges=10
+    ).collect()
+    assert ok[0].bpe_tokens == ["ab", "</w>"]
+    # unknown engine fails loudly instead of a KeyError
+    with pytest.raises(ValueError, match="unknown engine"):
+        apply_bpe_wordlevel(docs, big[:2], engine="rust")
 
 
 def test_assert_no_straddle_raises_value_error():

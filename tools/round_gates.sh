@@ -84,10 +84,19 @@ echo "== gate 7/7: bench_diff vs $PREV =="
 # deliberate scope changes (a query made bigger on purpose) will trip
 # the 1.5x gate: inspect the table, document the reason in the round
 # notes, and commit it under tools/bench_captures/
+DIFF_OK=0
 python tools/bench_diff.py "$PREV" "$CAP" --threshold 1.5 "${@:3}" \
-  | tee /tmp/round_gates_bench_diff.out
-grep -E '^(common|calibration)' /tmp/round_gates_bench_diff.out \
-  >> "$SUMMARY" || true
+  | tee /tmp/round_gates_bench_diff.out || DIFF_OK=$?
+# record the totals AND the verdict lines (regressions / allowances /
+# stale allows) BEFORE gating on the exit code, so the summary alone
+# tells whether and WHY the gate passed or failed — round notes must
+# never need a hand-appended verdict
+grep -E '^(common|calibration|[0-9]+ regression|[0-9]+ allowed|stale --allow)' \
+  /tmp/round_gates_bench_diff.out >> "$SUMMARY" || true
+if [ "$DIFF_OK" -ne 0 ]; then
+  echo "round_gates $TAG: FAILED at gate 7 (bench_diff exit $DIFF_OK)" >> "$SUMMARY"
+  exit "$DIFF_OK"
+fi
 
 echo "ALL GATES GREEN"
 echo "round_gates $TAG: ALL GATES GREEN $(date -u +%FT%TZ)" >> "$SUMMARY"

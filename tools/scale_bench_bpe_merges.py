@@ -152,6 +152,8 @@ def main():
     table_keys = [24, 240]
     if "--tables" in args:
         i = args.index("--tables")
+        if i + 1 >= len(args):
+            raise SystemExit("--tables needs a value, e.g. --tables 24,240,2400")
         table_keys = [int(t) for t in args[i + 1].split(",")]
         del args[i:i + 2]
     mults = [int(a) for a in args] or [1, 10]
@@ -255,18 +257,22 @@ def main():
                 # engine="python"): per-word cost O(applied merges),
                 # independent of TABLE size — the 32k-merge path
 
-                def _build_py_dict():
-                    df = tokenize_words_py(vocab, merges)
-                    if "wt" not in wt_holder:
-                        # the SQL chain could not build a dictionary
-                        # at this table size; the corpus-side stages
-                        # below are engine-agnostic, so feed them this
-                        # one (checkpoint only in that fallback, to
-                        # keep the timing comparable round-over-round)
-                        wt_holder["wt"] = df = df.localCheckpoint()
-                    return df.select(F.explode_outer("toks")).count()
-
-                timed("vocab_chain_py", n_merges, m, n_docs, _build_py_dict)
+                py_ok = timed(
+                    "vocab_chain_py", n_merges, m, n_docs,
+                    lambda: tokenize_words_py(vocab, merges)
+                    .select(F.explode_outer("toks"))
+                    .count(),
+                )
+                if "wt" not in wt_holder and py_ok is not None:
+                    # the SQL chain could not build a dictionary at
+                    # this table size; the corpus-side stages below
+                    # are engine-agnostic, so feed them the Arrow one —
+                    # built OUTSIDE the timed region, so every
+                    # vocab_chain_py cell times tokenize+count only and
+                    # the merge-count axis stays cross-size comparable
+                    wt_holder["wt"] = tokenize_words_py(
+                        vocab, merges
+                    ).localCheckpoint()
                 wt = wt_holder.get("wt")
                 if wt is None:
                     continue  # both dictionary builds failed
