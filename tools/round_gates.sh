@@ -18,14 +18,15 @@
 #   2. verify_local 0.001  — fast full-catalog oracle gate
 #   3. verify_local 0.01   — driver-scale oracle gate
 #   4. VERIFY_PLAIN 0.01   — same, under a bare driver-style session
-#   4.5 verify_local 0.1   — full-catalog oracle sweep at the BENCH
-#                            scale factor (standing since r9 — VERDICT
-#                            r8 item 8: the only value check at the
-#                            bench-graded scale)
-#   5. differential 0 1    — full catalog on pathological + random data
-#   6. bench sf0.1         — full-catalog timing, stderr capture kept
-#   7. bench_diff          — per-query wall regression vs prev round
-# pipefail is load-bearing: gates 1 and 4.5 pipe through tee/sed to
+#   5. verify_local 0.1    — full-catalog oracle sweep at the BENCH
+#                            scale factor (standing since r9, formerly
+#                            "gate 4.5" — VERDICT r8 item 8: the only
+#                            value check at the bench-graded scale)
+#   6. differential 0 1    — full catalog on pathological + random data
+#   (informational: regenerate PLANS.md — formerly "gate 5.5")
+#   7. bench sf0.1         — full-catalog timing, stderr capture kept
+#   8. bench_diff          — per-query wall regression vs prev round
+# pipefail is load-bearing: gates 1 and 5 pipe through tee/sed to
 # record their measured totals, and without it a failing pytest or
 # verify run would be masked by the recorder's exit 0
 set -e -o pipefail
@@ -38,31 +39,40 @@ SUMMARY="tools/bench_captures/${TAG}_gates_summary.txt"
 
 echo "round_gates $TAG: started $(date -u +%FT%TZ)" > "$SUMMARY"
 
-echo "== gate 1/7: pytest =="
+# any gate abort (set -e) records a FAILED line, so a partially-written
+# summary is never ambiguous about whether the chain died or is still
+# running (ADVICE r9); gate 8/8 writes its own more specific line
+# before its explicit exit, which does not retrigger ERR
+trap 'echo "round_gates $TAG: FAILED $(date -u +%FT%TZ) (see last gate header in the chain log)" >> "$SUMMARY"' ERR
+
+echo "== gate 1/8: pytest =="
 python -m pytest tests/ -q | tee /tmp/round_gates_pytest.out
 # the measured totals line (e.g. "252 passed, 1 skipped in 654s") —
-# recorded so COVERAGE.md round notes quote a number that actually ran
+# recorded so COVERAGE.md round notes quote a number that actually ran;
+# `|| echo` so a pytest run with no 'N passed' token (all-skipped /
+# deselected) can't abort a green chain under pipefail (ADVICE r9)
 grep -E '[0-9]+ passed' /tmp/round_gates_pytest.out | tail -1 \
-  | sed 's/^/pytest: /' >> "$SUMMARY"
+  | sed 's/^/pytest: /' >> "$SUMMARY" \
+  || echo 'pytest: (no passed-total line found)' >> "$SUMMARY"
 
-echo "== gate 2/7: verify_local sf0.001 =="
+echo "== gate 2/8: verify_local sf0.001 =="
 SPARK_GRAFT_CPUS=8 python tools/verify_local.py /root/testdata/sf0.001
 
-echo "== gate 3/7: verify_local sf0.01 =="
+echo "== gate 3/8: verify_local sf0.01 =="
 SPARK_GRAFT_CPUS=16 python tools/verify_local.py /root/testdata/sf0.01
 
-echo "== gate 4/7: VERIFY_PLAIN sf0.01 (bare session) =="
+echo "== gate 4/8: VERIFY_PLAIN sf0.01 (bare session) =="
 VERIFY_PLAIN=1 SPARK_GRAFT_CPUS=16 python tools/verify_local.py /root/testdata/sf0.01
 
-echo "== gate 4.5: verify_local sf0.1 (full catalog at bench scale) =="
+echo "== gate 5/8: verify_local sf0.1 (full catalog at bench scale) =="
 SPARK_GRAFT_CPUS=32 python tools/verify_local.py /root/testdata/sf0.1 \
   | tee /tmp/round_gates_verify_sf01.out
 tail -1 /tmp/round_gates_verify_sf01.out | sed 's/^/verify_sf0.1: /' >> "$SUMMARY"
 
-echo "== gate 5/7: randomized differential (seeds 0 1) =="
+echo "== gate 6/8: randomized differential (seeds 0 1) =="
 python tools/differential_random_full.py 0 1
 
-echo "== gate 5.5: regenerate PLANS.md (plan audit always fresh) =="
+echo "== informational gate: regenerate PLANS.md =="
 # informational, not failing: the shuffle/join counts land in git diff
 # for round-over-round review (plan_report has mild AQE run-to-run
 # variance on single counts — the bench gate is the cost arbiter).
@@ -76,11 +86,11 @@ else
 fi
 git diff --stat PLANS.md || true
 
-echo "== gate 6/7: bench sf0.1 (capture -> $CAP) =="
+echo "== gate 7/8: bench sf0.1 (capture -> $CAP) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   python bench.py 2>"$CAP"
 
-echo "== gate 7/7: bench_diff vs $PREV =="
+echo "== gate 8/8: bench_diff vs $PREV =="
 # deliberate scope changes (a query made bigger on purpose) will trip
 # the 1.5x gate: inspect the table, document the reason in the round
 # notes, and commit it under tools/bench_captures/
@@ -94,7 +104,7 @@ python tools/bench_diff.py "$PREV" "$CAP" --threshold 1.5 "${@:3}" \
 grep -E '^(common|calibration|[0-9]+ regression|[0-9]+ allowed|stale --allow)' \
   /tmp/round_gates_bench_diff.out >> "$SUMMARY" || true
 if [ "$DIFF_OK" -ne 0 ]; then
-  echo "round_gates $TAG: FAILED at gate 7 (bench_diff exit $DIFF_OK)" >> "$SUMMARY"
+  echo "round_gates $TAG: FAILED at gate 8 (bench_diff exit $DIFF_OK)" >> "$SUMMARY"
   exit "$DIFF_OK"
 fi
 
