@@ -59,7 +59,7 @@ HEADLINE = [
     "embedding_near_dup",
     "text_lang_id",
     "text_quality_score",
-    "text_token_bpeish",
+    "text_token_stats",
     "doc_fingerprint",
     "sequence_packing",
     # round-2 tail: range join, sketches, co-occurrence, funnel

@@ -270,29 +270,81 @@ def apply_bpe_replace(
     return docs.withColumn(out_col, toks)
 
 
+def _wrap_sql(sym: str) -> str:
+    lit = sym.replace("'", "''")
+    return f"chr(1) || '{lit}' || chr(2)"
+
+
+def _encode_sql(text_expr: str) -> str:
+    """DuckDB twin of `encode_doc`: marker-wrap every code point,
+    rewrite wrapped spaces into end-of-word sentinels."""
+    norm = f"TRIM(regexp_replace({text_expr}, ' +', ' ', 'g'))"
+    enc = (
+        f"CASE WHEN {norm} = '' THEN '' "
+        f"ELSE regexp_replace({norm}, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g')"
+        f" || {_wrap_sql(' ')} END"
+    )
+    # the marked string still has wrapped spaces; rewrite them (and
+    # the appended trailing one) into sentinels in one replace
+    return f"replace({enc}, {_wrap_sql(' ')}, {_wrap_sql(_EOW)})"
+
+
 def apply_bpe_replace_sql(text_expr: str, merges: List[Tuple[str, str]]) -> str:
     """The DuckDB twin of `apply_bpe_replace` as a SQL expression
     producing the encoded string (split on the chr(1)/chr(2) markers
     downstream). Kept beside the Spark builder so the two replace
     chains can never drift."""
     _assert_no_straddle(merges)
-
-    def wrap_sql(sym: str) -> str:
-        lit = sym.replace("'", "''")
-        return f"chr(1) || '{lit}' || chr(2)"
-
-    norm = f"TRIM(regexp_replace({text_expr}, ' +', ' ', 'g'))"
-    enc = (
-        f"CASE WHEN {norm} = '' THEN '' "
-        f"ELSE regexp_replace({norm}, '(?s)(.)', chr(1) || '\\1' || chr(2), 'g')"
-        f" || {wrap_sql(' ')} END"
-    )
-    # the marked string still has wrapped spaces; rewrite them (and
-    # the appended trailing one) into sentinels in one replace
-    enc = f"replace({enc}, {wrap_sql(' ')}, {wrap_sql(_EOW)})"
+    enc = _encode_sql(text_expr)
     for a, b, *_ in merges:
-        enc = f"replace({enc}, {wrap_sql(a)} || {wrap_sql(b)}, {wrap_sql(a + b)})"
+        enc = f"replace({enc}, {_wrap_sql(a)} || {_wrap_sql(b)}, {_wrap_sql(a + b)})"
     return enc
+
+
+# DuckDB refuses to BIND a function-call tree deeper than 128 nested
+# calls (BinderException "Maximum recursion depth exceeded (Maximum:
+# 128)", probed round 10 on this runtime; unaffected by
+# max_expression_depth, which governs the parser) — its own, much
+# earlier analogue of the Spark-side JVM boundary measured in round 9
+# (300 build / 350 StackOverflow). Deep oracle chains therefore stage
+# the merges through chained CTEs, <= this many nested replace() calls
+# per SELECT. 100 leaves headroom under 128 for the encode expression
+# the first stage nests inside its replaces.
+DUCKDB_STAGE_MERGES = 100
+
+
+def apply_bpe_replace_sql_staged(
+    text_expr: str,
+    merges: List[Tuple[str, str]],
+    source: str,
+    carry_cols: Tuple[str, ...] = ("word",),
+    cte_prefix: str = "bpe",
+    stage: int = DUCKDB_STAGE_MERGES,
+) -> Tuple[str, str]:
+    """The deep-table DuckDB twin: the SAME replace chain as
+    `apply_bpe_replace_sql`, staged through chained CTEs so tables far
+    beyond DuckDB's 128-deep binder limit (240, 2,400 merges — the
+    sizes whose Spark side is the Arrow `tokenize_words_py` engine)
+    remain oracle-expressible. Sequential composition is exactly
+    nested composition — replace N applies to the full result of
+    replace N-1 either way — so staging changes nothing semantically;
+    every stage is just a named prefix of the one chain.
+
+    Returns (cte_sql, last_cte_name): `cte_sql` is a fragment to
+    splice into a WITH list; the last CTE exposes `carry_cols` plus
+    the encoded string as `e`. `source` must provide `text_expr` and
+    the carry columns."""
+    _assert_no_straddle(merges)
+    cols = ", ".join(carry_cols)
+    ctes = [f"{cte_prefix}0 AS (SELECT {cols}, {_encode_sql(text_expr)} AS e FROM {source})"]
+    for k, i in enumerate(range(0, len(merges), stage), start=1):
+        expr = "e"
+        for a, b, *_ in merges[i : i + stage]:
+            expr = f"replace({expr}, {_wrap_sql(a)} || {_wrap_sql(b)}, {_wrap_sql(a + b)})"
+        ctes.append(
+            f"{cte_prefix}{k} AS (SELECT {cols}, {expr} AS e FROM {cte_prefix}{k - 1})"
+        )
+    return ",\n".join(ctes), f"{cte_prefix}{len(ctes) - 1}"
 
 
 # --------------------------------------------------------------------

@@ -42,24 +42,105 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
-# Rebuilt for round 9 per VERDICT r8 item 1 — priority = staleness:
-#   tier 0 — changed at HEAD this round (must re-certify): bpe_doc_tokens
-#   (now certifies BOTH vocab-side tokenizer engines — the SQL replace
-#   chain and the Arrow rank-schedule tokenizer — through the word-level
-#   serving path, VERDICT r8 item 2) and bpe_tokenize_corpus (shares
-#   operators/bpe.py helpers with it — promoted per the shared-helper
-#   rule even though its own plan is unchanged);
+# Rebuilt for round 10 per VERDICT r9 item 1 — priority = staleness:
+#   tier 0 — changed at HEAD this round (must re-certify):
+#   bpe_vocab_deep_tokens (NEW — Arrow tokenizer certified against the
+#   CTE-staged DuckDB chain at 240 AND 2,400 merges, VERDICT r9 item
+#   3) and text_token_stats (absorbed the retired text_token_bpeish —
+#   the paired merge for the addition, catalog-density discipline);
 #   then EVERY other query ordered by the ROUND OF ITS NEWEST GREEN
-#   DRIVER ROW, oldest first: the 37-query r5 remainder (the r5 block
-#   minus the 5 entries r8's slots 46-50 certified), then the r6
-#   cohort, then r7, then the 48 r8-fresh certificates. Slots 1-50 =
-#   tier 0 + the full r5 remainder + the 11 first r6 entries, so a
+#   DRIVER ROW, oldest first: the 33-query r6 remainder (the r6 block
+#   minus the 11 entries r9's slots 40-50 certified), then r7 (its
+#   oldest 15 fill the cap), then the r9- and r8-fresh certificates.
+#   Slots 1-50 = tier 0 + the full r6 remainder + 15 r7 entries, so a
 #   ~50-slot cap keeps max certificate age <= 3 rounds.
 _DRIVER_PRIORITY = (
-    # --- tier 0: changed at HEAD in round 9 ---
+    # --- tier 0: changed at HEAD in round 10 ---
+    "bpe_vocab_deep_tokens",
+    "text_token_stats",
+    # last green: r6 (the 33-query remainder r9's 50-slot cap could not reach)
+    "dedup_quality_keepers",
+    "distinct_users_by_type",
+    "doc_lm_score",
+    "epoch_shard_assignment",
+    "events_daily_pivot",
+    "events_distinct_hll",
+    "events_error_context",
+    "events_hourly_gapfill",
+    "events_json_buckets",
+    "hll_sliding_7d_users",
+    "hll_sliding_calibration",
+    "hourly_seasonal_residuals",
+    "ivm_join_view_delta",
+    "ivm_merge_hourly_counts",
+    "lineitem_cube",
+    "orders_unpivot",
+    "purchases_asof_signup",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_trade_volume",
+    "quantity_percentiles",
+    "salted_segment_activity",
+    "source_budget_waterfill",
+    "source_containment_matrix",
+    "source_length_emd",
+    "source_quality_harmonized",
+    "streaming_handoff_counts",
+    "streaming_ivm_hourly_counts",
+    # last green: r7 (oldest 15 — fills the ~50-slot driver cap)
+    "ann_ivf_kmeans_topk",
+    "benchmark_contamination",
+    "daily_reconciliation",
+    "distinct_users_kmv_by_type",
+    "doc_length_buckets",
+    "doc_repetition_ratio",
+    "events_distinct_kmv",
+    "events_hourly",
+    "events_in_error_windows",
+    "events_latest_per_user",
+    "events_rollup_cascade",
+    "flatmap_word_counts",
+    "fold_global",
+    "funnel_view_click_purchase",
+    "kv_roundtrip",
+    # last green: r7 (rest)
+    "limit_events",
+    "map_filter",
+    "ordered_merge",
+    "orders_profile",
+    "orders_rollup",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "referential_integrity",
+    "roundrobin_replay",
+    "semantic_dedup",
+    "sequence_packing",
+    "source_mix_weights",
+    "stratified_sample",
+    "streaming_ann_lookup",
+    "text_quality_score",
+    "top_customers_per_segment",
+    "user_history_scd2",
+    "user_rolling_7d",
+    "value_histogram_quantiles",
+    "value_outliers_mad",
+    "vocab_oov_rate",
+    "xml_extract_fold",
+    # last green: r9
     "bpe_doc_tokens",
     "bpe_tokenize_corpus",
-    # last green: r5 (the block r8's 50-slot cap could not reach)
     "corpus_snapshot_diff",
     "cosine_topk",
     "customer_rfm_segments",
@@ -97,7 +178,6 @@ _DRIVER_PRIORITY = (
     "word_graph_triangles",
     "word_pagerank",
     "zorder_pruning_stats",
-    # last green: r6
     "ann_random_projection_recall",
     "bm25_keyword_topk",
     "corpus_drop_reasons",
@@ -109,87 +189,7 @@ _DRIVER_PRIORITY = (
     "dedup_cluster_size_histogram",
     "dedup_connected_components",
     "dedup_filtered_corpus",
-    "dedup_quality_keepers",
-    "distinct_users_by_type",
-    "doc_lm_score",
-    "epoch_shard_assignment",
-    "events_daily_pivot",
-    "events_distinct_hll",
-    "events_error_context",
-    "events_hourly_gapfill",
-    "events_json_buckets",
-    "hll_sliding_7d_users",
-    "hll_sliding_calibration",
-    "hourly_seasonal_residuals",
-    "ivm_join_view_delta",
-    "ivm_merge_hourly_counts",
-    "lineitem_cube",
-    "orders_unpivot",
-    "purchases_asof_signup",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_trade_volume",
-    "quantity_percentiles",
-    "salted_segment_activity",
-    "source_budget_waterfill",
-    "source_containment_matrix",
-    "source_length_emd",
-    "source_quality_harmonized",
-    "streaming_handoff_counts",
-    "streaming_ivm_hourly_counts",
-    # last green: r7
-    "ann_ivf_kmeans_topk",
-    "benchmark_contamination",
-    "daily_reconciliation",
-    "distinct_users_kmv_by_type",
-    "doc_length_buckets",
-    "doc_repetition_ratio",
-    "events_distinct_kmv",
-    "events_hourly",
-    "events_in_error_windows",
-    "events_latest_per_user",
-    "events_rollup_cascade",
-    "flatmap_word_counts",
-    "fold_global",
-    "funnel_view_click_purchase",
-    "kv_roundtrip",
-    "limit_events",
-    "map_filter",
-    "ordered_merge",
-    "orders_profile",
-    "orders_rollup",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q1_pricing_summary",
-    "q22_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "referential_integrity",
-    "roundrobin_replay",
-    "semantic_dedup",
-    "sequence_packing",
-    "source_mix_weights",
-    "stratified_sample",
-    "streaming_ann_lookup",
-    "text_quality_score",
-    "text_token_bpeish",
-    "text_token_stats",
-    "top_customers_per_segment",
-    "user_history_scd2",
-    "user_rolling_7d",
-    "value_histogram_quantiles",
-    "value_outliers_mad",
-    "vocab_oov_rate",
-    "xml_extract_fold",
-    # last green: r8 (the freshest certificates)
+    # last green: r8
     "ann_index_comparison",
     "ann_ivf_topk",
     "ann_ivfpq_topk",

@@ -28,34 +28,77 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# Token statistics per source.
+# Token statistics per source — BOTH token-counting estimators of the
+# SURVEY mandate ("whitespace + a BPE-ish regex") in one entry since
+# round 10: the whitespace stats carry the per-source corpus shape,
+# and the BPE-ish columns (regex word extraction + fixed 4-char
+# subword chunking, the cheap pre-BPE token-count estimator) ride the
+# same bounded per-source grain. Absorbed the retired
+# `text_token_bpeish` entry (catalog-density discipline: the real-BPE
+# family gained bpe_vocab_deep_tokens this round, so the two token-
+# count diagnostics merged — the r8 ann_recall_at_k + ann_mrr
+# pattern). Two scans of documents (different tokenizations), two
+# map-side-combined aggregates, one broadcast join on the bounded
+# source key — same total corpus cost the two separate entries paid.
+# LEFT join both engines: a source whose text has whitespace tokens
+# but no [a-z0-9]+ words keeps its row with NULL piece columns.
 # --------------------------------------------------------------------
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     toks = _tokens(docs)
-    return (
-        toks.groupBy("source")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("total_tokens"),
-            F.countDistinct("w").alias("distinct_tokens"),
-            (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias("avg_tokens_per_doc"),
-        )
-        .orderBy("source")
+    base = toks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("w").alias("distinct_tokens"),
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias("avg_tokens_per_doc"),
     )
+    words = docs.select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias("w"),
+    )
+    sub = words.select(
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, CAST(ceil(length(w) / 4.0) AS INT)), i -> substr(w, (i-1)*4 + 1, 4))")
+        ).alias("piece"),
+    )
+    bpeish = sub.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pieces"),
+        F.countDistinct("piece").alias("n_distinct_pieces"),
+        F.max(F.length("piece")).alias("max_piece_len"),
+    )
+    # post-aggregate sides are both source-bounded; broadcast the
+    # piece stats explicitly (session-cached inputs have unknown
+    # stats, and a bounded dim must never SMJ)
+    return base.join(F.broadcast(bpeish), "source", "left").orderBy("source")
 
 
 _TOKEN_STATS_SQL = """
 WITH toks AS (
   SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+), base AS (
+  SELECT source,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS total_tokens,
+         COUNT(DISTINCT w) AS distinct_tokens,
+         (CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id)) AS avg_tokens_per_doc
+  FROM toks WHERE w <> ''
+  GROUP BY source
+), words AS (
+  SELECT source, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS w
+  FROM documents
+), sub AS (
+  SELECT source, substr(w, (i-1)*4 + 1, 4) AS piece
+  FROM words, unnest(generate_series(1, CAST(ceil(length(w) / 4.0) AS INT))) AS t(i)
+), bp AS (
+  SELECT source, COUNT(*) AS n_pieces,
+         COUNT(DISTINCT piece) AS n_distinct_pieces,
+         MAX(LENGTH(piece)) AS max_piece_len
+  FROM sub GROUP BY source
 )
-SELECT source,
-       COUNT(DISTINCT doc_id) AS n_docs,
-       COUNT(*) AS total_tokens,
-       COUNT(DISTINCT w) AS distinct_tokens,
-       (CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id)) AS avg_tokens_per_doc
-FROM toks WHERE w <> ''
-GROUP BY source ORDER BY source
+SELECT base.*, bp.n_pieces, bp.n_distinct_pieces, bp.max_piece_len
+FROM base LEFT JOIN bp USING (source)
+ORDER BY source
 """
 
 
@@ -296,51 +339,8 @@ ORACLE = {
 }
 
 
-# --------------------------------------------------------------------
-# BPE-ish token counting: regex word extraction, then fixed 4-char
-# subword chunking — the cheap token-count estimator a training-data
-# pipeline runs before real BPE. Pure regexp/substr expressions.
-# --------------------------------------------------------------------
-def text_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
-    words = docs.select(
-        "doc_id",
-        F.explode(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).alias("w"),
-    )
-    sub = words.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, CAST(ceil(length(w) / 4.0) AS INT)), i -> substr(w, (i-1)*4 + 1, 4))")
-        ).alias("piece"),
-    )
-    return (
-        sub.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_pieces"),
-            F.countDistinct("piece").alias("n_distinct_pieces"),
-            F.max(F.length("piece")).alias("max_piece_len"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-_BPEISH_SQL = """
-WITH words AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS w
-  FROM documents
-), sub AS (
-  SELECT doc_id, substr(w, (i-1)*4 + 1, 4) AS piece
-  FROM words, unnest(generate_series(1, CAST(ceil(length(w) / 4.0) AS INT))) AS t(i)
-)
-SELECT doc_id, COUNT(*) AS n_pieces,
-       COUNT(DISTINCT piece) AS n_distinct_pieces,
-       MAX(LENGTH(piece)) AS max_piece_len
-FROM sub GROUP BY doc_id ORDER BY doc_id
-"""
-
-
-QUERIES["text_token_bpeish"] = text_token_bpeish
-ORACLE["text_token_bpeish"] = _BPEISH_SQL
+# (text_token_bpeish — the standalone per-doc BPE-ish chunking entry —
+# was merged into text_token_stats in round 10; see its docstring.)
 
 
 # --------------------------------------------------------------------

@@ -748,7 +748,90 @@ FROM tl ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------
+# Deep-merge-table certification of the Arrow tokenizer (round 10,
+# VERDICT r9 item 3). The catalog certified `tokenize_words_py` only
+# at the frozen 24-merge table; its deep behavior (240 / 2,400
+# merges — the production-vocab regime where the SQL chain cannot
+# exist: the JVM overflows past ~300 nested replaces) was pinned only
+# by property tests. DuckDB has its own, much earlier nesting
+# boundary (binder recursion limit 128, probed r10) — but unlike the
+# JVM cliff it is PURELY syntactic, so the oracle stages the
+# identical chain through chained CTEs (operators/bpe.
+# apply_bpe_replace_sql_staged: sequential composition == nested
+# composition) and replays all 240 and all 2,400 merges exactly.
+# Spark side: the corpus reduces once to (word, freq), then the
+# Arrow rank-schedule engine tokenizes each distinct word under BOTH
+# deep tables — per-word O(applied merges), merge-count-flat corpus
+# cost, the measured 100 TB serving plan (SCALING.md r9 axis). The
+# md5 over each word's ORDERED token stream at each depth is the
+# load-bearing column: a single mis-scheduled merge at ANY rank in
+# either table diverges the hash. This is one decade (and two)
+# deeper than the previous strongest certificate (VERDICT r9 item 3
+# asked for >= 240).
+# --------------------------------------------------------------------
+def bpe_vocab_deep_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.operators.bpe import tokenize_words_py, word_freq_table
+    from goconnect_spark.queries._bpe_frozen240 import BPE_MERGES_240
+    from goconnect_spark.queries._bpe_frozen2400 import BPE_MERGES_2400
+
+    docs = load(spark, "documents", sf_dir)
+    wf = word_freq_table(docs)  # the only corpus-sized pass
+    wt = tokenize_words_py(wf, BPE_MERGES_240, out_col="toks240")
+    wt = tokenize_words_py(wt, BPE_MERGES_2400, out_col="toks2400")
+    return (
+        wt.select(
+            "word",
+            F.col("freq").cast("long").alias("freq"),
+            F.size("toks240").cast("long").alias("n_toks_240"),
+            F.md5(F.concat_ws("\x1f", "toks240")).alias("toks_md5_240"),
+            F.size("toks2400").cast("long").alias("n_toks_2400"),
+            F.md5(F.concat_ws("\x1f", "toks2400")).alias("toks_md5_2400"),
+        )
+        .orderBy("word")
+    )
+
+
+def _bpe_vocab_deep_sql() -> str:
+    from goconnect_spark.operators.bpe import apply_bpe_replace_sql_staged
+    from goconnect_spark.queries._bpe_frozen240 import BPE_MERGES_240
+    from goconnect_spark.queries._bpe_frozen2400 import BPE_MERGES_2400
+
+    ctes_a, last_a = apply_bpe_replace_sql_staged(
+        "word", BPE_MERGES_240, source="words", carry_cols=("word", "freq"),
+        cte_prefix="d240_",
+    )
+    ctes_b, last_b = apply_bpe_replace_sql_staged(
+        "word", BPE_MERGES_2400, source="words", carry_cols=("word",),
+        cte_prefix="d2400_",
+    )
+    tok_list = (
+        "list_filter(string_split_regex(e, chr(1) || '|' || chr(2)),"
+        " x -> x <> '')"
+    )
+    return f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+{ctes_a},
+{ctes_b},
+a AS (SELECT word, freq, {tok_list} AS toks FROM {last_a}),
+b AS (SELECT word, {tok_list} AS toks FROM {last_b})
+SELECT a.word AS word, a.freq AS freq,
+       CAST(len(a.toks) AS BIGINT) AS n_toks_240,
+       md5(array_to_string(a.toks, chr(31))) AS toks_md5_240,
+       CAST(len(b.toks) AS BIGINT) AS n_toks_2400,
+       md5(array_to_string(b.toks, chr(31))) AS toks_md5_2400
+FROM a JOIN b ON a.word = b.word
+ORDER BY word
+"""
+
+
 QUERIES["bpe_tokenize_corpus"] = bpe_tokenize_corpus
 ORACLE["bpe_tokenize_corpus"] = _bpe_tokenize_sql()
 QUERIES["bpe_doc_tokens"] = bpe_doc_tokens
 ORACLE["bpe_doc_tokens"] = _bpe_doc_tokens_sql()
+QUERIES["bpe_vocab_deep_tokens"] = bpe_vocab_deep_tokens
+ORACLE["bpe_vocab_deep_tokens"] = _bpe_vocab_deep_sql()

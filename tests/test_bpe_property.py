@@ -225,7 +225,7 @@ def test_tokenize_words_py_equals_sql_chain(spark, seed):
     import sys as _sys, os as _os
 
     _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
-    from tools._bpe_merges_240 import BPE_MERGES_240
+    from goconnect_spark.queries._bpe_frozen240 import BPE_MERGES_240
 
     sql_t = {
         r.word: r.toks
@@ -247,7 +247,7 @@ def test_tokenize_words_py_at_2400_merges_matches_sequential_chain(spark):
     import sys as _sys, os as _os
 
     _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
-    from tools._bpe_merges_2400 import BPE_MERGES_2400
+    from goconnect_spark.queries._bpe_frozen2400 import BPE_MERGES_2400
 
     from goconnect_spark.operators.bpe import tokenize_words_py
 

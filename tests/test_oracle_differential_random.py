@@ -48,6 +48,8 @@ DOC_QUERIES = [
     "boilerplate_top_shingles",
     "bpe_tokenize_corpus",
     "bpe_doc_tokens",
+    "bpe_vocab_deep_tokens",
+    "text_token_stats",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]

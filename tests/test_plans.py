@@ -268,6 +268,12 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         # (VERDICT r8 item 2). The udf touches only the DISTINCT-word
         # vocab, never corpus-sized rows
         "bpe_doc_tokens": {"EvalPython"},
+        # deep-table certification (r10): the 240/2400-merge tables
+        # CANNOT be a SQL chain (JVM boundary at ~300 nested
+        # replaces), so the Arrow rank-schedule tokenizer is the only
+        # Spark-side engine; the udf touches only the distinct-word
+        # vocab, never corpus-sized rows
+        "bpe_vocab_deep_tokens": {"EvalPython"},
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics

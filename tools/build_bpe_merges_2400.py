@@ -24,7 +24,7 @@ honest offline tool — the corpus-sized reduction to (word, freq) is
 still the distributed step.
 
 Usage: python tools/build_bpe_merges_2400.py
-Rewrites tools/_bpe_merges_2400.py.
+Rewrites goconnect_spark/queries/_bpe_frozen2400.py.
 """
 
 from __future__ import annotations
@@ -34,7 +34,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_bpe_merges_2400.py")
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                   "goconnect_spark", "queries", "_bpe_frozen2400.py")
 N_MERGES = 2400
 
 
@@ -70,10 +71,11 @@ reference trainer `bpe_merges_py` (property-pinned byte-identical to
 the distributed trainer operators/bpe.bpe_merges) on the (word, freq)
 table of the 100x replica-prefixed synthesis of /root/testdata/sf0.1
 documents, n_merges={N_MERGES} requested, min_freq=2 ({len(merges)}
-yielded before pair exhaustion). NOT a catalog artifact: the
-catalog's oracle-replayable table stays the 24-merge
-queries/_bpe_frozen.py. DO NOT EDIT BY HAND; retrain via this
-header's recipe to change."""
+yielded before pair exhaustion). Since round 10 this IS also a
+catalog artifact: `bpe_vocab_deep_tokens` certifies the Arrow
+tokenizer against the DuckDB CTE-staged replace chain at this depth
+(the 24-merge queries/_bpe_frozen.py stays the corpus-level table).
+DO NOT EDIT BY HAND; retrain via this header's recipe to change."""
 
 BPE_MERGES_2400 = [
 {rows}

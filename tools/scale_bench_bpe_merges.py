@@ -7,7 +7,7 @@ path (distinct words tokenized once, tokens joined back / counts
 freq-weighted) makes the CORPUS-side plan independent of merge count.
 This bench measures exactly that axis: the same corpus tokenized with
 the 24-merge catalog table vs a 240-merge table (tools/
-_bpe_merges_240.py, trained by the same distributed trainer on sf0.1),
+queries/_bpe_frozen240.py, trained by the same distributed trainer on sf0.1),
 under three plans:
 
 End-to-end plans:
@@ -39,7 +39,7 @@ scale_bench_dedup) is measured alongside so the table shows BOTH axes.
 Record results in SCALING.md.
 
 Round 9 adds the THIRD merge-count point: a 2,400-merge fixture
-(tools/_bpe_merges_2400.py, built by tools/build_bpe_merges_2400.py
+(queries/_bpe_frozen2400.py, built by tools/build_bpe_merges_2400.py
 on the 100x synthesis) — one decade closer to a production 32k
 vocabulary. At this size the SQL chain (2,400 nested replace()
 Column nodes) OVERFLOWS THE JVM STACK at plan-construction time
@@ -169,12 +169,12 @@ def main():
     all_tables = {24: lambda: BPE_MERGES}
 
     def _t240():
-        from tools._bpe_merges_240 import BPE_MERGES_240
+        from goconnect_spark.queries._bpe_frozen240 import BPE_MERGES_240
 
         return BPE_MERGES_240
 
     def _t2400():
-        from tools._bpe_merges_2400 import BPE_MERGES_2400
+        from goconnect_spark.queries._bpe_frozen2400 import BPE_MERGES_2400
 
         return BPE_MERGES_2400
 

@@ -115,6 +115,12 @@ QUERIES = [
     # groupBy; linear in docs, independent of merge count (the
     # merge-count axis is tools/scale_bench_bpe_merges.py)
     "bpe_doc_tokens",
+    # round-10: deep-table Arrow-engine certification entry — corpus
+    # pass reduces to (word, freq), then per-distinct-word Arrow
+    # tokenization under the 240- AND 2400-merge tables; wall is
+    # vocab-sized, so replica word prefixes (vocab x m) are the worst
+    # case while the corpus term stays one groupBy
+    "bpe_vocab_deep_tokens",
 ]
 
 # subset via env, e.g. SCALE_QUERIES=word_graph_triangles
