@@ -451,3 +451,56 @@ def test_bpe_on_pathological_corpus(spark):
     got = bpe_merges(df, n_merges=6, min_freq=2)
     wf = {r.word: r.freq for r in word_freq_table(df).collect()}
     assert got == bpe_merges_py(wf, n_merges=6, min_freq=2)
+
+
+def test_staged_oracle_chain_equals_flat_chain():
+    """apply_bpe_replace_sql_staged must be the SAME chain as
+    apply_bpe_replace_sql, only syntactically staged — verified by
+    running both in DuckDB over edge-shape words (empty, 1-char,
+    repeated-char, multi-space, marker-free unicode) with a stage
+    size small enough to force many CTE hops."""
+    import duckdb
+
+    from goconnect_spark.operators.bpe import (
+        apply_bpe_replace_sql,
+        apply_bpe_replace_sql_staged,
+    )
+    from goconnect_spark.queries._bpe_frozen import BPE_MERGES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE words AS SELECT * FROM (VALUES "
+        "(''), ('a'), ('aaaaaa'), ('low lower'), ('x  y'), ('héllo🌍')"
+        ") t(word)"
+    )
+    flat = apply_bpe_replace_sql("word", BPE_MERGES)
+    ctes, last = apply_bpe_replace_sql_staged(
+        "word", BPE_MERGES, source="words", stage=5
+    )
+    a = con.execute(f"SELECT word, {flat} AS e FROM words ORDER BY word").fetchall()
+    b = con.execute(f"WITH {ctes} SELECT word, e FROM {last} ORDER BY word").fetchall()
+    assert a == b
+
+
+def test_staged_oracle_chain_binds_past_duckdb_limit():
+    """The flat 240-merge chain exceeds DuckDB's binder recursion
+    limit (128 nested calls — the boundary that motivated staging);
+    the staged form binds and runs. Pins both halves of the round-10
+    oracle-depth contract."""
+    import duckdb
+    import pytest as _pytest
+
+    from goconnect_spark.operators.bpe import (
+        apply_bpe_replace_sql,
+        apply_bpe_replace_sql_staged,
+    )
+    from goconnect_spark.queries._bpe_frozen240 import BPE_MERGES_240
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE words AS SELECT 'lower' AS word")
+    flat = apply_bpe_replace_sql("word", BPE_MERGES_240)
+    with _pytest.raises(duckdb.BinderException, match="recursion"):
+        con.execute(f"SELECT {flat} FROM words")
+    ctes, last = apply_bpe_replace_sql_staged("word", BPE_MERGES_240, source="words")
+    (enc,) = con.execute(f"WITH {ctes} SELECT e FROM {last}").fetchone()
+    assert enc  # non-empty encoded stream; depth certified by the catalog oracle

@@ -115,6 +115,11 @@ QUERIES = [
     # groupBy; linear in docs, independent of merge count (the
     # merge-count axis is tools/scale_bench_bpe_merges.py)
     "bpe_doc_tokens",
+    # round-10: merged token-count estimators (whitespace stats +
+    # BPE-ish piece counts) — two corpus scans, two map-side-combined
+    # aggregates, one bounded broadcast join; wall should be linear in
+    # docs with no join-side growth (source key is bounded)
+    "text_token_stats",
     # round-10: deep-table Arrow-engine certification entry — corpus
     # pass reduces to (word, freq), then per-distinct-word Arrow
     # tokenization under the 240- AND 2400-merge tables; wall is
