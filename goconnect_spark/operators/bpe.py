@@ -308,8 +308,10 @@ def apply_bpe_replace_sql(text_expr: str, merges: List[Tuple[str, str]]) -> str:
 # earlier analogue of the Spark-side JVM boundary measured in round 9
 # (300 build / 350 StackOverflow). Deep oracle chains therefore stage
 # the merges through chained CTEs, <= this many nested replace() calls
-# per SELECT. 100 leaves headroom under 128 for the encode expression
-# the first stage nests inside its replaces.
+# per SELECT (stage 0 carries only the shallow encode expression; each
+# merge stage nests its replaces around the bare `e` column reference).
+# 100 leaves headroom under 128 for the handful of wrapper calls a
+# consumer SELECT puts around `e` (split/filter/md5).
 DUCKDB_STAGE_MERGES = 100
 
 
