@@ -332,3 +332,37 @@ def test_parse_media_headers_stays_jvm_side(spark):
     df = spark.createDataFrame([(1, _png(2, 2))], "media_id long, media binary")
     plan = parse_media_headers(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_decode_png_property_random_roundtrip():
+    """Property pin: ANY pixel array, any dims/channels/depth, any
+    per-row filter assignment must round-trip exactly through the
+    test encoder + stdlib decoder (bounded example count: the
+    per-filter and spec-vector tests above carry the targeted
+    coverage; this sweeps the cross-product)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from goconnect_spark.operators.multimodal import decode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        depth=st.sampled_from([8, 16]),
+        data=st.data(),
+    )
+    def check(w, h, channels, depth, data):
+        stride = w * channels * (depth // 8)
+        px = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=h * stride,
+                               max_size=h * stride))
+        )
+        filters = data.draw(st.lists(st.sampled_from([0, 1, 2, 3, 4]),
+                                     min_size=h, max_size=h))
+        out = decode_png(_encode_png(px, w, h, channels, depth=depth,
+                                     filters=filters))
+        assert out == (w, h, channels, depth, px)
+
+    check()
