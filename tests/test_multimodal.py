@@ -366,3 +366,30 @@ def test_decode_png_property_random_roundtrip():
         assert out == (w, h, channels, depth, px)
 
     check()
+
+
+def test_mixed_corpus_header_route_then_real_decode(spark):
+    """The documented mixed-corpus pattern end-to-end: classify with
+    the JVM-side header parse, filter to decodable formats, THEN run
+    the real decoder — jpeg/unknown rows never reach the Python
+    stage, so one undecodable blob can't fail a 100 TB job."""
+    from goconnect_spark.operators.multimodal import (
+        extract_features,
+        parse_media_headers,
+    )
+
+    px = _pixels(4 * 3 * 3, seed=5)
+    rows = [
+        (1, _encode_png(px, 4, 3, 3)),
+        (2, _wav_pcm(22050, 1, [5, -5, 300, -300])),
+        (3, b"\xff\xd8\xff\xe0 jpeg blob"),       # would raise in decode
+        (4, b"not media at all"),                  # would raise in decode
+    ]
+    df = parse_media_headers(
+        spark.createDataFrame(rows, "media_id long, media binary"))
+    decodable = df.where(F.col("media_meta.format").isin("png", "wav"))
+    out = {r.media_id: r for r in
+           extract_features(decodable, decode_stub=False).collect()}
+    assert set(out) == {1, 2}
+    assert abs(sum(out[1].features) - 1.0) < 1e-3
+    assert abs(sum(out[2].features) - 1.0) < 1e-3
