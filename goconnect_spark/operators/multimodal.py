@@ -100,6 +100,10 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
     - JPEG: FF D8 FF signature — format detection only (dimensions
             live in variable-position SOF markers; a real pipeline
             scans them in the decode UDF).
+    - MP4:  ISO BMFF 'ftyp' box at byte offset 4 — format detection
+            only (track metadata lives in the moov box, demuxer
+            territory). Keeps the routing story consistent with
+            decode_features, which names av/ffmpeg for mp4.
 
     Everything is whole-stage-codegen Spark SQL (substring/conv/hex),
     so header classification of a 100 TB corpus never leaves the JVM
@@ -111,11 +115,14 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
         F.hex(F.substring(c, 9, 4)) == "57415645"
     )
     is_jpeg = F.hex(F.substring(c, 1, 3)) == "FFD8FF"
+    is_mp4 = F.hex(F.substring(c, 5, 4)) == "66747970"
     fmt = (
-        F.when(is_png, "png").when(is_wav, "wav").when(is_jpeg, "jpeg").otherwise("unknown")
+        F.when(is_png, "png").when(is_wav, "wav").when(is_jpeg, "jpeg")
+        .when(is_mp4, "mp4").otherwise("unknown")
     )
     kind = (
-        F.when(is_png | is_jpeg, "image").when(is_wav, "audio").otherwise("unknown")
+        F.when(is_png | is_jpeg, "image").when(is_wav, "audio")
+        .when(is_mp4, "video").otherwise("unknown")
     )
     width = F.when(is_png, _be_u32(c, 17)).cast("int")
     height = F.when(is_png, _be_u32(c, 21)).cast("int")

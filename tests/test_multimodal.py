@@ -314,6 +314,7 @@ def test_parse_media_headers_real_containers(spark):
         (4, _wav(16000, 1)),
         (5, b"\xff\xd8\xff\xe0 jpeg-ish"),
         (6, b"plain bytes"),
+        (7, b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00 mp4-ish"),
     ]
     df = spark.createDataFrame(rows, "media_id long, media binary")
     out = {r.media_id: r.media_meta for r in parse_media_headers(df).collect()}
@@ -324,6 +325,8 @@ def test_parse_media_headers_real_containers(spark):
     assert out[4].n_bytes == 44 and out[4].n_frames is None
     assert (out[5].format, out[5].kind) == ("jpeg", "image")
     assert out[6].format == "unknown" and out[6].width is None
+    assert (out[7].format, out[7].kind) == ("mp4", "video")
+    assert out[7].width is None and out[7].sample_rate is None
 
 
 def test_parse_media_headers_stays_jvm_side(spark):
