@@ -42,73 +42,17 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
-# Rebuilt for round 10 per VERDICT r9 item 1 — priority = staleness:
-#   tier 0 — changed at HEAD this round (must re-certify):
-#   bpe_vocab_deep_tokens (NEW — Arrow tokenizer certified against the
-#   CTE-staged DuckDB chain at 240 AND 2,400 merges, VERDICT r9 item
-#   3) and text_token_stats (absorbed the retired text_token_bpeish —
-#   the paired merge for the addition, catalog-density discipline);
-#   then EVERY other query ordered by the ROUND OF ITS NEWEST GREEN
-#   DRIVER ROW, oldest first: the 33-query r6 remainder (the r6 block
-#   minus the 11 entries r9's slots 40-50 certified), then r7 (its
-#   oldest 15 fill the cap), then the r9- and r8-fresh certificates.
-#   Slots 1-50 = tier 0 + the full r6 remainder + 15 r7 entries, so a
-#   ~50-slot cap keeps max certificate age <= 3 rounds.
+# Rebuilt for round 11 per VERDICT r10 item 1 — priority = staleness:
+#   no catalog query changed at HEAD this round (round 11's product
+#   changes are multimodal fast-parse hardening; grep-verified no
+#   catalog module imports operators/multimodal), so tier 0 is empty
+#   and the slate is EVERY query ordered by the ROUND OF ITS NEWEST
+#   GREEN DRIVER ROW, oldest first (computed from CORRECTNESS_r*.json):
+#   the 29-query r7 remainder, then the r8 cohort (its oldest 21 fill
+#   the ~50-slot cap), then the r9- and r10-fresh certificates.
+#   Slots 1-50 = 29 r7 + 21 r8, so max certificate age stays <= 3 rounds.
 _DRIVER_PRIORITY = (
-    # --- tier 0: changed at HEAD in round 10 ---
-    "bpe_vocab_deep_tokens",
-    "text_token_stats",
-    # last green: r6 (the 33-query remainder r9's 50-slot cap could not reach)
-    "dedup_quality_keepers",
-    "distinct_users_by_type",
-    "doc_lm_score",
-    "epoch_shard_assignment",
-    "events_daily_pivot",
-    "events_distinct_hll",
-    "events_error_context",
-    "events_hourly_gapfill",
-    "events_json_buckets",
-    "hll_sliding_7d_users",
-    "hll_sliding_calibration",
-    "hourly_seasonal_residuals",
-    "ivm_join_view_delta",
-    "ivm_merge_hourly_counts",
-    "lineitem_cube",
-    "orders_unpivot",
-    "purchases_asof_signup",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_trade_volume",
-    "quantity_percentiles",
-    "salted_segment_activity",
-    "source_budget_waterfill",
-    "source_containment_matrix",
-    "source_length_emd",
-    "source_quality_harmonized",
-    "streaming_handoff_counts",
-    "streaming_ivm_hourly_counts",
-    # last green: r7 (oldest 15 — fills the ~50-slot driver cap)
-    "ann_ivf_kmeans_topk",
-    "benchmark_contamination",
-    "daily_reconciliation",
-    "distinct_users_kmv_by_type",
-    "doc_length_buckets",
-    "doc_repetition_ratio",
-    "events_distinct_kmv",
-    "events_hourly",
-    "events_in_error_windows",
-    "events_latest_per_user",
-    "events_rollup_cascade",
-    "flatmap_word_counts",
-    "fold_global",
-    "funnel_view_click_purchase",
-    "kv_roundtrip",
-    # last green: r7 (rest)
+    # last green: r7
     "limit_events",
     "map_filter",
     "ordered_merge",
@@ -138,6 +82,55 @@ _DRIVER_PRIORITY = (
     "value_outliers_mad",
     "vocab_oov_rate",
     "xml_extract_fold",
+    # last green: r8
+    "ann_index_comparison",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_rerank",
+    "ann_retrieval_quality",
+    "ann_sq8_rerank",
+    "bigram_cond_prob",
+    "bloom_prune_join",
+    "boilerplate_top_shingles",
+    "brand_basket_lift",
+    "chunk_dedup_stats",
+    "containment_dedup",
+    "corpus_novelty_curve",
+    "daily_new_users_cumulative",
+    "doc_chunking",
+    "doc_lexical_gini",
+    "duplicated_ngram_coverage",
+    "embedding_near_dup",
+    "embedding_outliers",
+    "event_hour_contingency",
+    "event_interarrival_gaps",
+    "event_transition_matrix",
+    "events_hourly_anomalies",
+    "events_user_lifecycle",
+    "fingerprint_collision_dedup",
+    "gopher_quality_rules",
+    "key_skew_profile",
+    "knn_label_accuracy",
+    "label_centroid_shift",
+    "order_fulfillment_latency",
+    "orders_grouping_sets",
+    "phrase_search_top_trigram",
+    "priority_sample",
+    "q11_important_stock",
+    "q16_parts_supplier_counts",
+    "q20_potential_promotion",
+    "q21_late_suppliers",
+    "retention_cohorts",
+    "source_divergence_tv",
+    "source_epoch_plan",
+    "source_length_quantiles",
+    "source_overlap_jaccard",
+    "supplier_concentration_hhi",
+    "tfidf_top_terms",
+    "token_budget_sample",
+    "user_overlap_kmv",
+    "user_sessions",
+    "weekly_active_users",
     # last green: r9
     "bpe_doc_tokens",
     "bpe_tokenize_corpus",
@@ -189,55 +182,57 @@ _DRIVER_PRIORITY = (
     "dedup_cluster_size_histogram",
     "dedup_connected_components",
     "dedup_filtered_corpus",
-    # last green: r8
-    "ann_index_comparison",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_rerank",
-    "ann_retrieval_quality",
-    "ann_sq8_rerank",
-    "bigram_cond_prob",
-    "bloom_prune_join",
-    "boilerplate_top_shingles",
-    "brand_basket_lift",
-    "chunk_dedup_stats",
-    "containment_dedup",
-    "corpus_novelty_curve",
-    "daily_new_users_cumulative",
-    "doc_chunking",
-    "doc_lexical_gini",
-    "duplicated_ngram_coverage",
-    "embedding_near_dup",
-    "embedding_outliers",
-    "event_hour_contingency",
-    "event_interarrival_gaps",
-    "event_transition_matrix",
-    "events_hourly_anomalies",
-    "events_user_lifecycle",
-    "fingerprint_collision_dedup",
-    "gopher_quality_rules",
-    "key_skew_profile",
-    "knn_label_accuracy",
-    "label_centroid_shift",
-    "order_fulfillment_latency",
-    "orders_grouping_sets",
-    "phrase_search_top_trigram",
-    "priority_sample",
-    "q11_important_stock",
-    "q16_parts_supplier_counts",
-    "q20_potential_promotion",
-    "q21_late_suppliers",
-    "retention_cohorts",
-    "source_divergence_tv",
-    "source_epoch_plan",
-    "source_length_quantiles",
-    "source_overlap_jaccard",
-    "supplier_concentration_hhi",
-    "tfidf_top_terms",
-    "token_budget_sample",
-    "user_overlap_kmv",
-    "user_sessions",
-    "weekly_active_users",
+    # last green: r10
+    "bpe_vocab_deep_tokens",
+    "text_token_stats",
+    "dedup_quality_keepers",
+    "distinct_users_by_type",
+    "doc_lm_score",
+    "epoch_shard_assignment",
+    "events_daily_pivot",
+    "events_distinct_hll",
+    "events_error_context",
+    "events_hourly_gapfill",
+    "events_json_buckets",
+    "hll_sliding_7d_users",
+    "hll_sliding_calibration",
+    "hourly_seasonal_residuals",
+    "ivm_join_view_delta",
+    "ivm_merge_hourly_counts",
+    "lineitem_cube",
+    "orders_unpivot",
+    "purchases_asof_signup",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_trade_volume",
+    "quantity_percentiles",
+    "salted_segment_activity",
+    "source_budget_waterfill",
+    "source_containment_matrix",
+    "source_length_emd",
+    "source_quality_harmonized",
+    "streaming_handoff_counts",
+    "streaming_ivm_hourly_counts",
+    "ann_ivf_kmeans_topk",
+    "benchmark_contamination",
+    "daily_reconciliation",
+    "distinct_users_kmv_by_type",
+    "doc_length_buckets",
+    "doc_repetition_ratio",
+    "events_distinct_kmv",
+    "events_hourly",
+    "events_in_error_windows",
+    "events_latest_per_user",
+    "events_rollup_cascade",
+    "flatmap_word_counts",
+    "fold_global",
+    "funnel_view_click_purchase",
+    "kv_roundtrip",
 )
 
 
