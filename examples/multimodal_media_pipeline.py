@@ -33,6 +33,7 @@ from goconnect_spark.operators.multimodal import (  # noqa: E402
     extract_features,
     media_repartition,
     parse_media_headers,
+    with_jpeg_dimensions,
 )
 from goconnect_spark.session import get_spark  # noqa: E402
 
@@ -71,7 +72,12 @@ def main() -> None:
         rows.append((i, make_png(8 + i % 5, 6 + i % 3, seed=i)))
     for i in range(12, 22):
         rows.append((i, make_wav(8000 * (1 + i % 3), seed=i)))
-    rows.append((22, b"\xff\xd8\xff\xe0 pretend jpeg payload"))
+    # a structurally-valid JPEG header (SOI/APP0/SOF0/SOS) — undecodable
+    # here (no libjpeg), but its dimensions ARE routable via the
+    # bounded SOF scan
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 200, 320) + bytes([1, 1, 0x11, 0])
+    rows.append((22, b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+                 + sof + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00 entropy"))
     rows.append((23, b"\x00\x00\x00\x18ftypisom pretend mp4"))
     rows.append((24, b"not media at all"))
     corpus = spark.createDataFrame(rows, "media_id long, media binary")
@@ -81,6 +87,15 @@ def main() -> None:
     print("-- header classification (pure column exprs) --")
     classified.groupBy("media_meta.kind", "media_meta.format").count() \
         .orderBy("kind", "format").show()
+
+    # 2b. JPEG dimensions via the bounded-prefix SOF scan (Arrow UDF
+    # over the leading bytes only) — routable size for a format the
+    # container can't decode
+    classified = with_jpeg_dimensions(classified)
+    print("-- image rows routable by dimensions (incl. jpeg via SOF scan) --")
+    classified.where(F.col("media_meta.kind") == "image") \
+        .select("media_id", "media_meta.format", "media_meta.width", "media_meta.height") \
+        .where(F.col("width") >= 8).orderBy("media_id").show()
 
     # 3. + 4. route, size-balance, REAL decode on the decodable slice
     decodable = classified.where(F.col("media_meta.format").isin("png", "wav"))

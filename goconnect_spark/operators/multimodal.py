@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from typing import Iterator, Optional
 
+import pandas as pd  # module-level: pandas_udf string hints resolve in module globals
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -94,12 +95,16 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
     - PNG:  signature 89 50 4E 47 0D 0A 1A 0A; IHDR is always the
             first chunk, so width/height are the big-endian u32s at
             byte offsets 16/20 (PNG spec §5.3, §11.2.2).
-    - WAV:  'RIFF' .... 'WAVE'; in the canonical layout the 'fmt '
-            chunk follows at offset 12, with channels (LE u16 @22)
-            and sample rate (LE u32 @24) (RIFF/WAVE spec).
-    - JPEG: FF D8 FF signature — format detection only (dimensions
-            live in variable-position SOF markers; a real pipeline
-            scans them in the decode UDF).
+    - WAV:  'RIFF' .... 'WAVE'; the fixed-offset channels (LE u16
+            @22) / sample rate (LE u32 @24) fields are trusted ONLY
+            when 'fmt ' really is the first chunk (bytes 12-16) — a
+            valid WAV with e.g. a LIST/INFO chunk first still gets
+            format='wav' but NULL rate/channels rather than garbage
+            read out of the wrong chunk (the Python `decode_wav`
+            does the full chunk walk for those).
+    - JPEG: FF D8 FF signature — format detection only here
+            (dimensions live in variable-position SOF markers; use
+            `with_jpeg_dimensions` for a bounded-prefix Arrow scan).
     - MP4:  ISO BMFF 'ftyp' box at byte offset 4 — format detection
             only (track metadata lives in the moov box, demuxer
             territory). Keeps the routing story consistent with
@@ -124,10 +129,14 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
         F.when(is_png | is_jpeg, "image").when(is_wav, "audio")
         .when(is_mp4, "video").otherwise("unknown")
     )
+    # the fixed offsets below are only valid when 'fmt ' is the first
+    # chunk after the WAVE tag (the canonical layout); otherwise keep
+    # format='wav' but refuse to emit fields read from the wrong chunk
+    wav_fmt_first = is_wav & (F.hex(F.substring(c, 13, 4)) == "666D7420")
     width = F.when(is_png, _be_u32(c, 17)).cast("int")
     height = F.when(is_png, _be_u32(c, 21)).cast("int")
-    sample_rate = F.when(is_wav, _le_u32(c, 25)).cast("int")
-    n_channels = F.when(is_wav, _le_u16(c, 23)).cast("int")
+    sample_rate = F.when(wav_fmt_first, _le_u32(c, 25)).cast("int")
+    n_channels = F.when(wav_fmt_first, _le_u16(c, 23)).cast("int")
     return df.withColumn(
         "media_meta",
         F.struct(
@@ -144,13 +153,139 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
 
 
+# JPEG markers that are a Start-Of-Frame carrying dimensions (ITU T.81
+# table B.1): C0-CF minus C4 (DHT), C8 (reserved JPG), CC (DAC).
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg_dimensions(data: Optional[bytes], max_scan: int = 65536
+                          ) -> Optional[tuple[int, int]]:
+    """Bounded JPEG marker walk to the first SOF segment; returns
+    (width, height) or None. Pure stdlib and reads AT MOST `max_scan`
+    bytes — dimensions live in a variable-position SOF marker, so this
+    is the cheapest honest way to get them without a codec (segment
+    header: marker FFCx, u16 length, u8 precision, u16 height, u16
+    width — ITU T.81 §B.2.2). Stops at SOS (entropy-coded data) or the
+    scan bound; never decodes pixels."""
+    if data is None or len(data) < 4 or bytes(data[:3]) != b"\xff\xd8\xff":
+        return None
+    buf = bytes(data[:max_scan])
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None  # desynced from the marker stream — bail, don't guess
+        marker = buf[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (§B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            pos += 2  # standalone markers carry no length field
+            continue
+        seglen = (buf[pos + 2] << 8) | buf[pos + 3]
+        if seglen < 2:
+            return None
+        if marker in _JPEG_SOF_MARKERS:
+            if pos + 9 > len(buf):
+                return None
+            height = (buf[pos + 5] << 8) | buf[pos + 6]
+            width = (buf[pos + 7] << 8) | buf[pos + 8]
+            return (width, height)
+        if marker == 0xDA:
+            return None  # SOS: SOF must precede it; past here is entropy data
+        pos += 2 + seglen
+    return None
+
+
+def with_jpeg_dimensions(df: DataFrame, media_col: str = "media",
+                         meta_col: str = "media_meta",
+                         scan_bytes: int = 65536) -> DataFrame:
+    """Fill width/height for rows `parse_media_headers` classified as
+    jpeg, so image pipelines can route/filter on size BEFORE hitting
+    decode's honest NotImplementedError.
+
+    Scale shape: the Arrow pandas_udf receives only
+    `substring(media, 1, scan_bytes)` — and only for jpeg rows (others
+    are passed NULL) — so the full binary payload never crosses into
+    the Python worker and non-jpeg rows cost a null check. Non-jpeg
+    rows keep their existing meta untouched via coalesce."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<width:int,height:int>")
+    def _dims(prefix: pd.Series) -> pd.DataFrame:
+        ws, hs = [], []
+        for b in prefix:
+            r = parse_jpeg_dimensions(None if b is None else bytes(b), max_scan=scan_bytes)
+            ws.append(None if r is None else r[0])
+            hs.append(None if r is None else r[1])
+        return pd.DataFrame(
+            {"width": pd.array(ws, dtype="Int32"), "height": pd.array(hs, dtype="Int32")}
+        )
+
+    m = F.col(meta_col)
+    d = _dims(
+        F.when(m["format"] == "jpeg", F.substring(F.col(media_col), 1, scan_bytes))
+    )
+    return df.withColumn(
+        meta_col,
+        F.struct(
+            m["kind"].alias("kind"),
+            m["format"].alias("format"),
+            F.coalesce(m["width"], d["width"]).cast("int").alias("width"),
+            F.coalesce(m["height"], d["height"]).cast("int").alias("height"),
+            m["sample_rate"].alias("sample_rate"),
+            m["n_channels"].alias("n_channels"),
+            m["n_frames"].alias("n_frames"),
+            m["duration_ms"].alias("duration_ms"),
+            m["n_bytes"].alias("n_bytes"),
+        ),
+    )
+
+
 def media_repartition(df: DataFrame, media_col: str = "media",
                       target_bytes: int = 256 * 1024 * 1024) -> DataFrame:
     """Repartition so each partition carries ~target_bytes of media.
     At 100 TB this is the difference between 400k balanced decode
-    tasks and a handful of OOMing ones."""
+    tasks and a handful of OOMing ones.
+
+    CAVEAT (scale): sizing here is a full `sum(length(media))` pass
+    over the binary column BEFORE the decode pass — exact, but at
+    100 TB that extra read is real money. Prefer
+    `media_repartition_by_files`, which sizes from file-level
+    metadata without touching the payload, when the DataFrame is
+    file-backed."""
     total = df.agg(F.sum(F.length(media_col))).collect()[0][0] or 0
     n = max(1, int(total / target_bytes) + 1)
+    return df.repartition(n)
+
+
+def media_repartition_by_files(df: DataFrame, media_col: str = "media",
+                               target_bytes: int = 256 * 1024 * 1024,
+                               bytes_ratio: float = 1.0) -> DataFrame:
+    """`media_repartition` without the payload scan: size the decode
+    stage from FILE-LEVEL metadata (`df.inputFiles()` + the Hadoop
+    FileSystem's file status), so the only pre-decode work is a
+    listing/namenode call — no pass over the binary column.
+
+    File bytes upper-bound the media column's bytes (the files also
+    hold the other columns), which errs toward slightly smaller —
+    i.e. safer — partitions; `bytes_ratio` rescales when the
+    media-bytes : file-bytes ratio is known (e.g. 0.9 if ~90% of each
+    file is payload, or >1 if the decoded form inflates). Falls back
+    to the exact-scan variant for non-file-backed plans (in-memory
+    test DataFrames), where a scan is cheap by construction."""
+    files = df.inputFiles()
+    if not files:
+        return media_repartition(df, media_col=media_col, target_bytes=target_bytes)
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    total = int(total * bytes_ratio)
+    n = max(1, total // target_bytes + 1)
     return df.repartition(n)
 
 
@@ -279,8 +414,12 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
         cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated WAV data chunk")
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned (RIFF spec)
     if fmt is None or pcm is None:
@@ -335,7 +474,10 @@ def decode_features(data: bytes, dim: int = 8) -> list[float]:
         return _sample_histogram(samples, 0, 255, dim)
     if head[:3] == b"\xff\xd8\xff":
         raise NotImplementedError("JPEG decode requires PIL/libjpeg (not installed)")
-    if len(head) >= 12 and head[4:8] == b"ftyp":
+    # >= 8, not 12: parse_media_headers classifies on bytes 4-8 alone,
+    # and the two mp4 detectors must agree so routed rows get the
+    # documented NotImplementedError, never the unrecognized ValueError
+    if len(head) >= 8 and head[4:8] == b"ftyp":
         raise NotImplementedError("MP4 decode requires av/ffmpeg (not installed)")
     raise ValueError("unrecognized media container")
 

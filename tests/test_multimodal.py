@@ -396,3 +396,138 @@ def test_mixed_corpus_header_route_then_real_decode(spark):
     assert set(out) == {1, 2}
     assert abs(sum(out[1].features) - 1.0) < 1e-3
     assert abs(sum(out[2].features) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------
+# Round 11 hardening: non-canonical WAV headers, bounded JPEG SOF scan,
+# metadata-based repartition, detector-agreement + truncation guards.
+# ---------------------------------------------------------------------
+
+
+def _wav_list_first(sample_rate, channels):
+    """A VALID WAV whose first chunk is LIST/INFO, with 'fmt ' second —
+    legal RIFF, but the fixed-offset fast parse must not trust it."""
+    import struct
+
+    info = b"INFOINAM" + struct.pack("<I", 4) + b"t\x00st\x00"[:4]
+    fmt = struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = (b"LIST" + struct.pack("<I", len(info)) + info
+            + b"fmt " + fmt
+            + b"data" + struct.pack("<I", 0))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_parse_media_headers_noncanonical_wav_nulls_fields(spark):
+    """A LIST-chunk-first WAV keeps format='wav' but gets NULL
+    rate/channels — the fast parse refuses to read fields out of the
+    wrong chunk (the canonical layout keeps its real values)."""
+    from goconnect_spark.operators.multimodal import decode_wav, parse_media_headers
+
+    rows = [(1, _wav_list_first(48000, 2)), (2, _wav(44100, 2))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {r.media_id: r.media_meta for r in parse_media_headers(df).collect()}
+    assert (out[1].format, out[1].kind) == ("wav", "audio")
+    assert out[1].sample_rate is None and out[1].n_channels is None
+    assert (out[2].format, out[2].sample_rate, out[2].n_channels) == ("wav", 44100, 2)
+    # the Python chunk walk DOES recover the truth from the same bytes
+    rate, ch, bits, _ = decode_wav(_wav_list_first(48000, 2))
+    assert (rate, ch, bits) == (48000, 2, 16)
+
+
+def _jpeg(w, h, progressive=False, app0_pad=0):
+    """Minimal structurally-valid JPEG header stream: SOI, APP0(JFIF),
+    SOF0/SOF2 with the given dimensions, SOS, EOI."""
+    import struct
+
+    app0_body = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00" + b"\x00" * app0_pad
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0_body)) + app0_body
+    sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes(
+        [3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sof = (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof_body)) + sof_body
+    sos = b"\xff\xda" + struct.pack(">H", 12) + bytes(10)
+    return b"\xff\xd8" + app0 + sof + sos + b"\x12\x34" * 8 + b"\xff\xd9"
+
+
+def test_parse_jpeg_dimensions_marker_walk():
+    from goconnect_spark.operators.multimodal import parse_jpeg_dimensions
+
+    assert parse_jpeg_dimensions(_jpeg(640, 480)) == (640, 480)
+    assert parse_jpeg_dimensions(_jpeg(31, 4097, progressive=True)) == (31, 4097)
+    # bounded: an SOF past max_scan is honestly None, never a full scan
+    far = _jpeg(100, 100, app0_pad=3000)
+    assert parse_jpeg_dimensions(far) == (100, 100)
+    assert parse_jpeg_dimensions(far, max_scan=1024) is None
+    # non-jpeg / truncated / desynced inputs are None, not exceptions
+    assert parse_jpeg_dimensions(None) is None
+    assert parse_jpeg_dimensions(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_jpeg_dimensions(b"\xff\xd8\xff") is None
+    assert parse_jpeg_dimensions(b"\xff\xd8\xff\xe0\x00\x04\x00\x00garbage") is None
+
+
+def test_with_jpeg_dimensions_populates_meta(spark):
+    """JPEG rows get routable width/height from the bounded Arrow
+    prefix scan; PNG dims and WAV audio fields are untouched."""
+    from goconnect_spark.operators.multimodal import (
+        parse_media_headers,
+        with_jpeg_dimensions,
+    )
+
+    rows = [
+        (1, _jpeg(320, 200)),
+        (2, _png(640, 480)),
+        (3, _wav(44100, 2)),
+        (4, b"not media at all"),
+        (5, b"\xff\xd8\xff\x00broken jpeg"),
+    ]
+    df = with_jpeg_dimensions(parse_media_headers(
+        spark.createDataFrame(rows, "media_id long, media binary")))
+    assert df.schema["media_meta"].dataType.simpleString() == MEDIA_META_SCHEMA
+    out = {r.media_id: r.media_meta for r in df.collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("jpeg", 320, 200)
+    assert (out[2].format, out[2].width, out[2].height) == ("png", 640, 480)
+    assert (out[3].format, out[3].sample_rate, out[3].n_channels) == ("wav", 44100, 2)
+    assert out[4].format == "unknown" and out[4].width is None
+    assert (out[5].format, out[5].width) == ("jpeg", None)  # unparseable: null, not garbage
+
+
+def test_decode_features_mp4_detectors_agree():
+    """An 8-byte ftyp blob is classified mp4 by parse_media_headers, so
+    decode_features must give the documented NotImplementedError naming
+    the dependency — not the unrecognized-container ValueError."""
+    from goconnect_spark.operators.multimodal import decode_features
+
+    with pytest.raises(NotImplementedError, match="av|ffmpeg"):
+        decode_features(b"\x00\x00\x00\x08ftyp")  # exactly 8 bytes
+
+
+def test_decode_wav_truncated_chunks_raise_valueerror():
+    """Corrupt containers fail with the decoder's ValueError contract
+    (what extract_features callers match on), never a struct.error."""
+    import struct
+
+    from goconnect_spark.operators.multimodal import decode_wav
+
+    short_fmt = (b"RIFF" + struct.pack("<I", 14) + b"WAVE"
+                 + b"fmt " + struct.pack("<I", 10) + b"\x01\x00\x01\x00AAAABB")
+    with pytest.raises(ValueError, match="truncated WAV fmt chunk"):
+        decode_wav(short_fmt)
+    good = _wav_pcm(8000, 1, [1, 2, 3, 4])
+    lying_data = good[:-4]  # data chunk declares 8 bytes, carries 4
+    with pytest.raises(ValueError, match="truncated WAV data chunk"):
+        decode_wav(lying_data)
+
+
+def test_media_repartition_by_files(spark, tmp_path, media_df):
+    """The metadata-based variant sizes from file lengths — no pass
+    over the binary column — and matches the exact variant's shape."""
+    from goconnect_spark.operators.multimodal import media_repartition_by_files
+
+    path = str(tmp_path / "media.parquet")
+    media_df.write.mode("overwrite").parquet(path)
+    on_disk = spark.read.parquet(path)
+    df = media_repartition_by_files(on_disk, target_bytes=5000)
+    assert df.rdd.getNumPartitions() >= 2
+    # non-file-backed plans fall back to the exact scan, still balanced
+    assert media_repartition_by_files(media_df, target_bytes=5000).rdd.getNumPartitions() >= 2
