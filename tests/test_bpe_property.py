@@ -483,12 +483,15 @@ def test_staged_oracle_chain_equals_flat_chain():
 
 
 def test_staged_oracle_chain_binds_past_duckdb_limit():
-    """The flat 240-merge chain exceeds DuckDB's binder recursion
-    limit (128 nested calls — the boundary that motivated staging);
-    the staged form binds and runs. Pins both halves of the round-10
-    oracle-depth contract."""
+    """The staged form binds and runs at 240 merges — the load-bearing
+    half of the round-10 oracle-depth contract. The flat chain's
+    binder refusal (128 nested calls on this runtime) documents WHY
+    staging exists, but is this DuckDB build's limit, not ours: if a
+    future DuckDB binds the flat chain, that's a relaxation, not a
+    regression — warn and move on rather than fail."""
+    import warnings
+
     import duckdb
-    import pytest as _pytest
 
     from goconnect_spark.operators.bpe import (
         apply_bpe_replace_sql,
@@ -499,8 +502,43 @@ def test_staged_oracle_chain_binds_past_duckdb_limit():
     con = duckdb.connect()
     con.execute("CREATE TABLE words AS SELECT 'lower' AS word")
     flat = apply_bpe_replace_sql("word", BPE_MERGES_240)
-    with _pytest.raises(duckdb.BinderException, match="recursion"):
+    try:
         con.execute(f"SELECT {flat} FROM words")
+    except duckdb.BinderException:
+        pass  # the boundary that motivated staging, as measured in r10
+    else:
+        warnings.warn(
+            "DuckDB now binds a 240-deep flat replace chain — its binder "
+            "limit was raised; staging is no longer strictly required at 240"
+        )
     ctes, last = apply_bpe_replace_sql_staged("word", BPE_MERGES_240, source="words")
     (enc,) = con.execute(f"WITH {ctes} SELECT e FROM {last}").fetchone()
     assert enc  # non-empty encoded stream; depth certified by the catalog oracle
+
+
+def test_stage_size_plus_catalog_wrapper_binds():
+    """Pins DUCKDB_STAGE_MERGES' headroom claim: one full stage (100
+    nested replaces) with the ACTUAL catalog consumer wrapper
+    (md5/array_to_string/list_filter/string_split_regex, the
+    _bpe_vocab_deep_sql expression) inlined DIRECTLY around the stage
+    expression still binds — so even a consumer that composes onto the
+    chain instead of selecting from the CTE column stays under the
+    binder limit."""
+    import duckdb
+
+    from goconnect_spark.operators.bpe import (
+        DUCKDB_STAGE_MERGES,
+        apply_bpe_replace_sql,
+    )
+    from goconnect_spark.queries._bpe_frozen240 import BPE_MERGES_240
+
+    merges = BPE_MERGES_240[:DUCKDB_STAGE_MERGES]
+    assert len(merges) == DUCKDB_STAGE_MERGES
+    chain = apply_bpe_replace_sql("word", merges)
+    wrapped = (
+        "md5(array_to_string(list_filter(string_split_regex("
+        f"{chain}, chr(1) || '|' || chr(2)), x -> x <> ''), chr(31)))"
+    )
+    con = duckdb.connect()
+    (h,) = con.execute(f"SELECT {wrapped} FROM (SELECT 'lower' AS word)").fetchone()
+    assert h and len(h) == 32
