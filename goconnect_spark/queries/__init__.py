@@ -43,15 +43,21 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
 # Rebuilt for round 11 per VERDICT r10 item 1 — priority = staleness:
-#   no catalog query changed at HEAD this round (round 11's product
-#   changes are multimodal fast-parse hardening; grep-verified no
-#   catalog module imports operators/multimodal), so tier 0 is empty
-#   and the slate is EVERY query ordered by the ROUND OF ITS NEWEST
+#   tier 0 = changed at HEAD this round: fingerprint_collision_dedup
+#   (explicit merge hints on its corpus-scale joins — the r11 100x
+#   measurement caught the unmaterialized-cache stats flipping them to
+#   broadcast, blowing spark.driver.maxResultSize; the multimodal
+#   fast-parse hardening is NOT catalog-facing, grep-verified no
+#   catalog module imports operators/multimodal). Then EVERY other
+#   query ordered by the ROUND OF ITS NEWEST
 #   GREEN DRIVER ROW, oldest first (computed from CORRECTNESS_r*.json):
-#   the 29-query r7 remainder, then the r8 cohort (its oldest 21 fill
+#   the 29-query r7 remainder, then the r8 cohort (its oldest 20 fill
 #   the ~50-slot cap), then the r9- and r10-fresh certificates.
-#   Slots 1-50 = 29 r7 + 21 r8, so max certificate age stays <= 3 rounds.
+#   Slots 1-50 = 1 tier-0 + 29 r7 + 20 r8, so max certificate age
+#   stays <= 3 rounds.
 _DRIVER_PRIORITY = (
+    # --- tier 0: changed at HEAD in round 11 (merge-hint scale fix) ---
+    "fingerprint_collision_dedup",
     # last green: r7
     "limit_events",
     "map_filter",
@@ -107,7 +113,6 @@ _DRIVER_PRIORITY = (
     "event_transition_matrix",
     "events_hourly_anomalies",
     "events_user_lifecycle",
-    "fingerprint_collision_dedup",
     "gopher_quality_rules",
     "key_skew_profile",
     "knn_label_accuracy",

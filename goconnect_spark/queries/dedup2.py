@@ -434,10 +434,18 @@ def fingerprint_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("df") >= 2) & (F.col("df") <= _FP_MAX_DF))
         .select("fp")
     )
-    pruned = exploded.join(keep, "fp")
+    # EVERY join side below is corpus-scale (retained-fp set, the fp
+    # incidence self-join, the per-doc fingerprint counts), so none may
+    # broadcast: the unmaterialized session cache has unknown stats and
+    # the planner's optimistic default flipped these to BroadcastHashJoin
+    # — measured fatal at the r11 100x point (1.8 GB broadcast build blew
+    # spark.driver.maxResultSize; at 100 TB it would OOM the driver
+    # outright). Explicit merge hints pin the honest shuffle plan at
+    # every scale; skew is bounded by the df cap (<= cap rows per fp key).
+    pruned = exploded.join(keep.hint("merge"), "fp")
     pairs = (
         pruned.alias("a")
-        .join(pruned.alias("b"), "fp")
+        .join(pruned.alias("b").hint("merge"), "fp")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -446,11 +454,13 @@ def fingerprint_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            fps.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("n_a")),
+            fps.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("n_a"))
+            .hint("merge"),
             "doc_a",
         )
         .join(
-            fps.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("n_b")),
+            fps.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("n_b"))
+            .hint("merge"),
             "doc_b",
         )
         .withColumn(
