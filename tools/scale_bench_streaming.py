@@ -185,6 +185,14 @@ def main() -> None:
     from goconnect_spark.session import get_spark
 
     spark = get_spark("scale-bench-streaming")
+    # recentProgress keeps only the last N progress events (default
+    # 100); a drain of 4*m micro-batches past m=25 would silently
+    # undercount evicted_rows and could miss the true peak — size the
+    # buffer to the largest requested drain
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(200, 8 * max(multipliers))),
+    )
     for m in multipliers:
         work = tempfile.mkdtemp(prefix=f"sbstream_{m}x_")
         try:
