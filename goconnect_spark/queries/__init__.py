@@ -44,20 +44,30 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 # catalog in registration order and may cap the run (~50 of the catalog).
 # Rebuilt for round 11 per VERDICT r10 item 1 — priority = staleness:
 #   tier 0 = changed at HEAD this round: fingerprint_collision_dedup
-#   (explicit merge hints on its corpus-scale joins — the r11 100x
-#   measurement caught the unmaterialized-cache stats flipping them to
-#   broadcast, blowing spark.driver.maxResultSize; the multimodal
-#   fast-parse hardening is NOT catalog-facing, grep-verified no
-#   catalog module imports operators/multimodal). Then EVERY other
-#   query ordered by the ROUND OF ITS NEWEST
+#   (the r11 100x measurement caught the planner flipping its
+#   corpus-scale joins to broadcast on optimistic unmaterialized-cache
+#   stats, blowing spark.driver.maxResultSize — fixed SYSTEMICALLY by
+#   making cached_table materialize eagerly so every consumer plans
+#   against the cache's real bytes) and source_overlap_jaccard (its
+#   explicit F.broadcast on the doc-grain (doc_id, source) table —
+#   the one hard-coded corpus-scale broadcast the r11 plan audit
+#   found — removed in favor of the scan's accurate file-backed
+#   stats). The cached_table change shifts only WHEN materialization
+#   happens (first consumer pays it before planning instead of
+#   after), not semantics; the full-catalog oracle sweeps at
+#   sf0.001/0.01/0.1 in the r11 gate chain re-verify every consumer.
+#   The multimodal fast-parse hardening is NOT catalog-facing
+#   (grep-verified no catalog module imports operators/multimodal).
+#   Then EVERY other query ordered by the ROUND OF ITS NEWEST
 #   GREEN DRIVER ROW, oldest first (computed from CORRECTNESS_r*.json):
-#   the 29-query r7 remainder, then the r8 cohort (its oldest 20 fill
+#   the 29-query r7 remainder, then the r8 cohort (its oldest 19 fill
 #   the ~50-slot cap), then the r9- and r10-fresh certificates.
-#   Slots 1-50 = 1 tier-0 + 29 r7 + 20 r8, so max certificate age
+#   Slots 1-50 = 2 tier-0 + 29 r7 + 19 r8, so max certificate age
 #   stays <= 3 rounds.
 _DRIVER_PRIORITY = (
-    # --- tier 0: changed at HEAD in round 11 (merge-hint scale fix) ---
+    # --- tier 0: changed at HEAD in round 11 (broadcast-honesty fixes) ---
     "fingerprint_collision_dedup",
+    "source_overlap_jaccard",
     # last green: r7
     "limit_events",
     "map_filter",
@@ -129,7 +139,6 @@ _DRIVER_PRIORITY = (
     "source_divergence_tv",
     "source_epoch_plan",
     "source_length_quantiles",
-    "source_overlap_jaccard",
     "supplier_concentration_hhi",
     "tfidf_top_terms",
     "token_budget_sample",

@@ -38,11 +38,27 @@ _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def cached_table(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
     """Persist-once registry for expensive shared intermediates (token
     tables, dedup cluster maps): the session-lifetime analog of
-    materializing a first-class dataset in a 100 TB pipeline."""
+    materializing a first-class dataset in a 100 TB pipeline.
+
+    Materialization is EAGER (the count() below), and that is
+    load-bearing for plan quality, not a convenience: an unmaterialized
+    InMemoryRelation has no real statistics, so every consumer planned
+    against optimistic size guesses — measured fatal at the r11 100x
+    scale point, where the planner flipped corpus-scale join sides
+    (retained-fingerprint sets, shingle incidence, candidate pairs) to
+    BroadcastHashJoin and one 1.8 GB broadcast build blew
+    spark.driver.maxResultSize. A materialized cache reports its ACTUAL
+    cached bytes, so the same consumer plan gets broadcast where the
+    intermediate is genuinely small and a shuffle join where it is
+    corpus-scale — the size-correct choice at every deployment scale,
+    with no hard-coded hints. The count costs nothing in aggregate: the
+    first consumer paid full materialization anyway, it just paid it
+    after planning instead of before."""
     key = (id(spark), os.path.abspath(sf_dir), kind)
     df = _CACHE.get(key)
     if df is None:
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
         _CACHE[key] = df
     return df
 

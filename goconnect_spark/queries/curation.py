@@ -317,7 +317,11 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         doc_shingle_arrays(spark, sf_dir)
         .select("doc_id", F.explode("shset").alias("shingle"))
-        .join(F.broadcast(docs), "doc_id")
+        # docs is doc-grain — corpus-scale, so no broadcast hint: its
+        # parquet-backed stats let the planner broadcast at toy SF and
+        # shuffle at scale (an explicit F.broadcast here was the r11
+        # audit's one hard-coded corpus-scale broadcast)
+        .join(docs, "doc_id")
         .select("source", "shingle")
         .distinct()
         # feeds both pair sides and the size dim — materialize the

@@ -435,17 +435,18 @@ def fingerprint_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fp")
     )
     # EVERY join side below is corpus-scale (retained-fp set, the fp
-    # incidence self-join, the per-doc fingerprint counts), so none may
-    # broadcast: the unmaterialized session cache has unknown stats and
-    # the planner's optimistic default flipped these to BroadcastHashJoin
-    # — measured fatal at the r11 100x point (1.8 GB broadcast build blew
-    # spark.driver.maxResultSize; at 100 TB it would OOM the driver
-    # outright). Explicit merge hints pin the honest shuffle plan at
-    # every scale; skew is bounded by the df cap (<= cap rows per fp key).
-    pruned = exploded.join(keep.hint("merge"), "fp")
+    # incidence self-join, the per-doc fingerprint counts) — none may be
+    # broadcast at scale. That is now guaranteed by ACCURATE stats, not
+    # hints: cached_table materializes eagerly, so the planner sees the
+    # fingerprint table's real cached bytes and picks broadcast only
+    # where the deployment's sizes genuinely allow it. (The r11 100x
+    # point caught the unmaterialized-cache failure mode here: optimistic
+    # size guesses flipped all four joins to BroadcastHashJoin and a
+    # 1.8 GB broadcast build blew spark.driver.maxResultSize.)
+    pruned = exploded.join(keep, "fp")
     pairs = (
         pruned.alias("a")
-        .join(pruned.alias("b").hint("merge"), "fp")
+        .join(pruned.alias("b"), "fp")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -454,13 +455,11 @@ def fingerprint_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            fps.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("n_a"))
-            .hint("merge"),
+            fps.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("n_a")),
             "doc_a",
         )
         .join(
-            fps.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("n_b"))
-            .hint("merge"),
+            fps.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("n_b")),
             "doc_b",
         )
         .withColumn(
