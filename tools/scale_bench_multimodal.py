@@ -1,0 +1,138 @@
+"""Multimodal-layer scaling measurement (round 11).
+
+The multimodal operators had plan-shape claims but no measured
+throughput. This tool synthesizes a mixed media corpus of REAL
+containers (PNG built from deterministic pixel arrays + zlib, WAV from
+PCM arrays, structurally-valid JPEG headers with SOF dimensions, junk
+bytes) as a parquet table of binary blobs, then measures each stage at
+increasing corpus sizes:
+
+- classify   — parse_media_headers (pure column exprs, JVM-side)
+- jpegdim    — with_jpeg_dimensions (bounded-prefix Arrow SOF scan)
+- route+decode — filter to png/wav then extract_features(decode_stub=False)
+                 (real stdlib codecs in Arrow-batched mapInPandas)
+- repartition_by_files — sizing from file metadata (no payload scan)
+
+Each row reports wall seconds, corpus bytes, and MB/s. The 100 TB
+question per stage: classify/jpegdim must track bytes READ (leading
+bytes only), decode must track decoded bytes linearly.
+
+Run: python tools/scale_bench_multimodal.py [multipliers...] (default 1 4)
+Record the table in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import sys
+import tempfile
+import time
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+N_BASE = 400  # blobs per format per multiplier unit
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def make_png(w: int, h: int, seed: int) -> bytes:
+    px = bytes((seed * 37 + i * 11) % 256 for i in range(w * h * 3))
+    raw = b"".join(b"\x00" + px[y * w * 3:(y + 1) * w * 3] for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+
+
+def make_wav(rate: int, seed: int, n: int) -> bytes:
+    samples = [((seed * 131 + i * 977) % 65536) - 32768 for i in range(n)]
+    pcm = struct.pack(f"<{n}h", *samples)
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def make_jpeg(w: int, h: int, pad: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 4 + pad) + b"JF" + b"\x00" * pad
+    sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    sos = b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+    return b"\xff\xd8" + app0 + sof + sos + b"\x5a" * 2048 + b"\xff\xd9"
+
+
+def synthesize(spark, m: int, out: str) -> int:
+    rows = []
+    mid = 0
+    for k in range(m):
+        for i in range(N_BASE):
+            rows.append((mid, make_png(48 + (i % 17), 32 + (i % 11), seed=k * 1000 + i))); mid += 1
+            rows.append((mid, make_wav(8000, seed=k * 1000 + i, n=4096 + 64 * (i % 9)))); mid += 1
+            rows.append((mid, make_jpeg(320 + i % 7, 200 + i % 5, pad=i % 300))); mid += 1
+            rows.append((mid, b"junk" + bytes([(k + i) % 256]) * 512)); mid += 1
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    df.repartition(8).write.mode("overwrite").parquet(out)
+    return sum(len(r[1]) for r in rows)
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 4]
+    from goconnect_spark.operators.multimodal import (
+        extract_features,
+        media_repartition_by_files,
+        parse_media_headers,
+        with_jpeg_dimensions,
+    )
+    from goconnect_spark.session import get_spark
+
+    spark = get_spark("multimodal-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    for m in mults:
+        work = tempfile.mkdtemp(prefix=f"mm_scale_m{m}_")
+        try:
+            total = synthesize(spark, m, f"{work}/media.parquet")
+            corpus = spark.read.parquet(f"{work}/media.parquet")
+            mb = total / 1e6
+
+            t0 = time.time()
+            classified = parse_media_headers(corpus)
+            counts = {f"{r[0]}/{r[1]}": r[2] for r in classified.groupBy(
+                "media_meta.kind", "media_meta.format").count().collect()}
+            t_classify = time.time() - t0
+
+            t0 = time.time()
+            dims = with_jpeg_dimensions(classified)
+            n_dim = dims.where(F.col("media_meta.width").isNotNull()).count()
+            t_jpegdim = time.time() - t0
+
+            t0 = time.time()
+            sized = media_repartition_by_files(
+                dims.where(F.col("media_meta.format").isin("png", "wav")),
+                target_bytes=8 * 1024 * 1024)
+            n_feat = extract_features(sized, decode_stub=False).count()
+            t_decode = time.time() - t0
+
+            print(json.dumps({
+                "m": m, "blobs": 4 * N_BASE * m, "mb": round(mb, 1),
+                "classify_s": round(t_classify, 2),
+                "classify_mb_s": round(mb / t_classify, 1),
+                "jpegdim_s": round(t_jpegdim, 2),
+                "decode_s": round(t_decode, 2),
+                "decode_mb_s": round(mb / t_decode, 1),
+                "n_sized_dims": n_dim, "n_decoded": n_feat,
+                "counts": counts,
+            }), flush=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
