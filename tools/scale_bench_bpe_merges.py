@@ -80,7 +80,7 @@ def synthesize(spark, m: int, out_dir: str) -> None:
     (
         docs.crossJoin(reps)
         .select(
-            (F.col("doc_id") + F.col("k") * 10_000_000).alias("doc_id"),
+            (F.col("doc_id") + F.col("k").cast("long") * 10_000_000).alias("doc_id"),  # widen k: int32 overflows at m >= 215
             F.array_join(
                 F.expr("transform(split(text, ' '), w -> concat('r', k, w))"), " "
             ).alias("text"),

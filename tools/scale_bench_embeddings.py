@@ -55,7 +55,8 @@ def synthesize(spark, m: int, out_dir: str) -> None:
     out = (
         emb.crossJoin(reps)
         .select(
-            (F.col("vec_id") + F.col("k") * _ID_STRIDE).alias("vec_id"),
+            # widen k first: k(int) * 1e8 overflows int32 at m >= 22
+            (F.col("vec_id") + F.col("k").cast("long") * _ID_STRIDE).alias("vec_id"),
             F.expr(
                 f"concat(slice(embedding, k % {dim} + 1, {dim} - k % {dim}),"
                 f" slice(embedding, 1, k % {dim}))"

@@ -62,7 +62,9 @@ def synthesize(spark, m: int, out_dir: str) -> None:
     out = (
         ev.crossJoin(reps)
         .select(
-            (F.col("event_id") + F.col("k") * _ID_STRIDE).alias("event_id"),
+            # k must be widened first: k(int) * 1e8 overflows int32 at
+            # m >= 22, killing the 100x point under ANSI mode
+            (F.col("event_id") + F.col("k").cast("long") * _ID_STRIDE).alias("event_id"),
             F.expr("timestampadd(DAY, k * 31, ts)").alias("ts"),
             *[c for c in ev.columns if c not in ("event_id", "ts")],
         )
