@@ -1,9 +1,11 @@
 """Multimodal column plumbing: schema, batching, 1->N frame fan-out —
-plus (round 10) the REAL stdlib codecs: PNG zlib-inflate + unfilter
-and WAV struct PCM, pinned by exact pixel/PCM round-trips on
-containers generated from known arrays and by a hand-computed PNG
-spec §9 filter vector. JPEG/MP4 stay honestly NotImplementedError
-(no libjpeg/av in the container)."""
+plus the REAL stdlib codecs: PNG (round 10: zlib-inflate + unfilter;
+round 11: palette, sub-byte depths, Adam7 — the full legal IHDR
+matrix) and WAV (round 10: int PCM; round 11: 24/32-bit, IEEE float,
+WAVE_FORMAT_EXTENSIBLE), pinned by exact round-trips on containers
+generated from known arrays AND by hand-computed spec vectors immune
+to mirrored encoder/decoder bugs. MP4 stays honestly
+NotImplementedError (no demuxer in the container)."""
 
 import pyspark.sql.functions as F
 import pytest
@@ -191,41 +193,25 @@ def test_decode_wav_roundtrip_exact_pcm():
 
 def test_codec_gaps_are_honest():
     """Recognized-but-undecodable formats name their dependency;
-    garbage raises ValueError."""
-    import struct
-
+    garbage and malformed containers raise ValueError. (Palette,
+    sub-byte and Adam7 PNGs are no longer gaps — full static-PNG
+    coverage is pinned in the round-11 section below.)"""
     from goconnect_spark.operators.multimodal import (
         decode_features,
         decode_png,
         decode_wav,
     )
 
-    with pytest.raises(NotImplementedError, match="PIL|libjpeg"):
-        decode_features(b"\xff\xd8\xff\xe0 jpeg bytes")
     with pytest.raises(NotImplementedError, match="av|ffmpeg"):
         decode_features(b"\x00\x00\x00\x18ftypisom rest")
     with pytest.raises(ValueError, match="unrecognized"):
         decode_features(b"plain bytes here")
-    # palette + interlaced PNGs name libpng/PIL
-    import zlib as _z
-
-    px = _pixels(4)
-    with pytest.raises(NotImplementedError, match="palette"):
-        decode_png(_encode_png(px, 4, 1, 1, color_type=3))
-
-    def chunk(ctype, body):
-        return (struct.pack(">I", len(body)) + ctype + body
-                + struct.pack(">I", _z.crc32(ctype + body)))
-
-    interlaced = (b"\x89PNG\r\n\x1a\n"
-                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 0, 0, 0, 1))
-                  + chunk(b"IDAT", _z.compress(b"\x00" + px))
-                  + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(interlaced)
-    # non-PCM WAV names soundfile/ffmpeg
+    # a palette PNG with no PLTE chunk is malformed, not a codec gap
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(_encode_png(_pixels(4), 4, 1, 1, color_type=3))
+    # ADPCM WAV names soundfile/ffmpeg (float PCM decodes for real now)
     wav = bytearray(_wav_pcm(8000, 1, [1, 2, 3]))
-    wav[20] = 3  # fmt audio_format -> IEEE float
+    wav[20] = 2  # fmt audio_format -> MS ADPCM
     with pytest.raises(NotImplementedError, match="soundfile|ffmpeg"):
         decode_wav(bytes(wav))
 
@@ -531,3 +517,333 @@ def test_media_repartition_by_files(spark, tmp_path, media_df):
     assert df.rdd.getNumPartitions() >= 2
     # non-file-backed plans fall back to the exact scan, still balanced
     assert media_repartition_by_files(media_df, target_bytes=5000).rdd.getNumPartitions() >= 2
+
+
+# ---------------------------------------------------------------------
+# Round 11 codec completion: full static-PNG coverage (palette,
+# sub-byte depths, Adam7 interlace) and the full WAV sample-format
+# matrix (24/32-bit int PCM, IEEE float, WAVE_FORMAT_EXTENSIBLE).
+# ---------------------------------------------------------------------
+
+_ADAM7_TEST = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _encode_png_any(samples, w, h, depth, color, interlace=0, plte=None,
+                    trns=None, filters=None):
+    """General test-side PNG encoder: `samples` is h*w tuples of RAW
+    stored sample ints (palette: 1-tuple index). Packs sub-byte bits
+    MSB-first, splits Adam7 passes, applies `filters` round-robin per
+    scanline — independent construction the decoder must invert."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    passes = [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7_TEST)
+    raw, fidx = bytearray(), 0
+    for (x0, y0, dx, dy) in passes:
+        xs, ys = list(range(x0, w, dx)), list(range(y0, h, dy))
+        if not xs or not ys:
+            continue
+        stride = (len(xs) * channels * depth + 7) // 8
+        bpp = max(1, channels * depth // 8)
+        prev = bytes(stride)
+        for y in ys:
+            if depth >= 8:
+                line = bytearray()
+                for x in xs:
+                    for s in samples[y * w + x]:
+                        line += struct.pack(">H", s) if depth == 16 else bytes([s])
+            else:
+                line = bytearray(stride)
+                per = 8 // depth
+                for i, x in enumerate(xs):
+                    line[i // per] |= samples[y * w + x][0] << (8 - depth * (i % per + 1))
+            f = filters[fidx % len(filters)] if filters else 0
+            fidx += 1
+            enc = bytearray([f])
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                x_ = line[i]
+                enc.append({0: x_, 1: (x_ - a), 2: (x_ - b), 3: (x_ - (a + b) // 2),
+                            4: (x_ - _paeth(a, b, c))}[f] & 0xFF)
+            raw += enc
+            prev = bytes(line)
+
+    def chunk(ctype, body):
+        import zlib as z
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", z.crc32(ctype + body)))
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def _expected_expansion(samples, channels, depth, color, plte, trns):
+    """The documented return contract, computed independently."""
+    out = bytearray()
+    if color == 3:
+        for (idx,) in samples:
+            out += plte[idx * 3 : idx * 3 + 3]
+            if trns is not None:
+                out.append(trns[idx] if idx < len(trns) else 255)
+        return (4 if trns is not None else 3, 8, bytes(out))
+    if depth < 8:
+        scale = 255 // ((1 << depth) - 1)
+        return (1, 8, bytes((v * scale) & 0xFF for (v,) in samples))
+    for px in samples:
+        for s in px:
+            out += bytes([s >> 8, s & 0xFF]) if depth == 16 else bytes([s])
+    return (channels, depth, bytes(out))
+
+
+def test_decode_png_palette_hand_vectors():
+    """Hand-built palette PNGs (8-bit and 2-bit indexes, with and
+    without tRNS) — expansion checked against bytes written by hand,
+    not by the test encoder."""
+    import struct
+    import zlib
+
+    from goconnect_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    def png(w, h, depth, color, interlace, raw, plte=None, trns=None):
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        if trns is not None:
+            out += chunk(b"tRNS", trns)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00\x00\x01" + b"\x00\x02\x01"  # 2x2, indexes 0,1 / 2,1
+    assert decode_png(png(2, 2, 8, 3, 0, raw, plte=plte)) == (
+        2, 2, 3, 8, bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 0]))
+    # tRNS supplies alpha for index 0 only; others default 255
+    assert decode_png(png(2, 2, 8, 3, 0, raw, plte=plte, trns=bytes([7]))) == (
+        2, 2, 4, 8,
+        bytes([255, 0, 0, 7, 0, 255, 0, 255, 0, 0, 255, 255, 0, 255, 0, 255]))
+    # 2-bit indexes 0,1,2,1,0 pack MSB-first to 0x19 0x00 (5px, 1 row)
+    got = decode_png(png(5, 1, 2, 3, 0, b"\x00\x19\x00", plte=plte))
+    assert got == (5, 1, 3, 8,
+                   bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 0, 255, 0, 0]))
+    # palette index past PLTE is malformed data, not a crash
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png(1, 1, 8, 3, 0, b"\x00\x05", plte=bytes([1, 2, 3])))
+
+
+def test_decode_png_subbyte_gray_hand_vectors():
+    """1/2/4-bit grayscale unpack MSB-first and scale by exact bit
+    replication (x255 / x85 / x17) — hand-computed expectations."""
+    import struct
+    import zlib
+
+    from goconnect_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    def gray(w, h, depth, raw):
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # 1-bit 4x2: rows 1010 -> 0xA0, 0111 -> 0x70
+    assert decode_png(gray(4, 2, 1, b"\x00\xa0\x00\x70")) == (
+        4, 2, 1, 8, bytes([255, 0, 255, 0, 0, 255, 255, 255]))
+    # 2-bit 3x1: samples 3,1,2 -> bits 11 01 10 xx = 0xD8; scale x85
+    assert decode_png(gray(3, 1, 2, b"\x00\xd8")) == (
+        3, 1, 1, 8, bytes([255, 85, 170]))
+    # 4-bit 3x1: samples 0xF,0x3,0x0 -> 0xF3 0x0-; scale x17
+    assert decode_png(gray(3, 1, 4, b"\x00\xf3\x00")) == (
+        3, 1, 1, 8, bytes([255, 51, 0]))
+
+
+def test_decode_png_adam7_hand_vectors():
+    """Hand-built Adam7 streams: the pass grid (spec §8.2), per-pass
+    filtering, 16-bit samples and palette-under-interlace — expected
+    images written down independently of any encoder."""
+    import struct
+    import zlib
+
+    from goconnect_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    def png(w, h, depth, color, raw, plte=None):
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1))
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # 3x3 gray: pass order p1:(0,0) p4:(2,0) p5:(0,2),(2,2)
+    # p6:(1,0),(1,2) p7: row y=1
+    raw = (bytes([0, 10]) + bytes([0, 30]) + bytes([0, 70, 90])
+           + bytes([0, 20]) + bytes([0, 80]) + bytes([0, 40, 50, 60]))
+    assert decode_png(png(3, 3, 8, 0, raw)) == (
+        3, 3, 1, 8, bytes([10, 20, 30, 40, 50, 60, 70, 80, 90]))
+    # 2x2 RGB with a Sub-filtered pass-7 scanline
+    raw = (bytes([1, 1, 2, 3]) + bytes([0, 4, 5, 6])
+           + bytes([1, 7, 8, 9, 3, 3, 3]))
+    assert decode_png(png(2, 2, 8, 2, raw)) == (
+        2, 2, 3, 8, bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]))
+    # 2x1 16-bit gray: p1 (0,0)=0x1234, p6 (1,0)=0xABCD
+    raw = bytes([0, 0x12, 0x34]) + bytes([0, 0xAB, 0xCD])
+    assert decode_png(png(2, 1, 16, 0, raw)) == (
+        2, 1, 1, 16, bytes([0x12, 0x34, 0xAB, 0xCD]))
+    # 2x2 palette 1-bit: indexes 0,1 / 1,0
+    plte = bytes([10, 20, 30, 40, 50, 60])
+    raw = bytes([0, 0x00]) + bytes([0, 0x80]) + bytes([0, 0x80])
+    assert decode_png(png(2, 2, 1, 3, raw, plte=plte)) == (
+        2, 2, 3, 8, bytes([10, 20, 30, 40, 50, 60, 40, 50, 60, 10, 20, 30]))
+    # a short stream is malformed data, not silence
+    with pytest.raises(ValueError, match="pixel stream"):
+        decode_png(png(3, 3, 8, 0, raw))
+
+
+def test_decode_png_adam7_all_passes_roundtrip():
+    """13x11 exercises all seven Adam7 passes non-empty, every filter
+    type, every color type, both byte depths."""
+    from goconnect_spark.operators.multimodal import decode_png
+
+    for color, channels in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for depth in (8, 16):
+            w, h = 13, 11
+            lim = 65536 if depth == 16 else 256
+            px = [tuple((_pixels(1, seed=17 * (y * w + x) + c + depth)[0] * 257) % lim
+                        for c in range(channels))
+                  for y in range(h) for x in range(w)]
+            data = _encode_png_any(px, w, h, depth, color, interlace=1,
+                                   filters=[0, 1, 2, 3, 4])
+            want = _expected_expansion(px, channels, depth, color, None, None)
+            assert decode_png(data) == (w, h, *want)
+
+
+def test_decode_png_property_full_ihdr_matrix():
+    """Property pin over the FULL legal IHDR matrix: every color type,
+    every legal bit depth, both interlace methods, random dims /
+    samples / filters — decode must return the documented expansion."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from goconnect_spark.operators.multimodal import decode_png
+
+    LEGAL = [(0, d) for d in (1, 2, 4, 8, 16)] + [(2, 8), (2, 16)] + \
+            [(3, d) for d in (1, 2, 4, 8)] + [(4, 8), (4, 16), (6, 8), (6, 16)]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        cfg=st.sampled_from(LEGAL),
+        interlace=st.sampled_from([0, 1]),
+        data=st.data(),
+    )
+    def check(w, h, cfg, interlace, data):
+        color, depth = cfg
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        lim = min(1 << depth, 65536)
+        plte = trns = None
+        if color == 3:
+            n_entries = data.draw(st.integers(lim if lim <= 16 else 16, 256))
+            plte = bytes(data.draw(st.lists(st.integers(0, 255),
+                                            min_size=3 * n_entries,
+                                            max_size=3 * n_entries)))
+            if data.draw(st.booleans()):
+                n_trns = data.draw(st.integers(1, n_entries))
+                trns = bytes(data.draw(st.lists(st.integers(0, 255),
+                                                min_size=n_trns, max_size=n_trns)))
+            sample_max = min(lim, n_entries) - 1
+        else:
+            sample_max = lim - 1
+        px = [tuple(data.draw(st.integers(0, sample_max)) for _ in range(channels))
+              for _ in range(w * h)]
+        filters = data.draw(st.lists(st.sampled_from([0, 1, 2, 3, 4]),
+                                     min_size=1, max_size=7))
+        blob = _encode_png_any(px, w, h, depth, color, interlace=interlace,
+                               plte=plte, trns=trns, filters=filters)
+        want = _expected_expansion(px, channels, depth, color, plte, trns)
+        assert decode_png(blob) == (w, h, *want)
+
+    check()
+
+
+def _wav_fmt(audio_format, channels, sample_rate, bits, pcm, ext_guid=None):
+    """Test-side WAV with an arbitrary fmt chunk (extensible when
+    ext_guid is given)."""
+    import struct
+
+    block = max(1, channels * bits // 8)
+    base = struct.pack("<HHIIHH", audio_format, channels, sample_rate,
+                       sample_rate * block, block, bits)
+    if ext_guid is not None:
+        base += struct.pack("<HHI", 22, bits, 0x3) + ext_guid
+    return (b"RIFF" + struct.pack("<I", 20 + len(base) + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(base)) + base
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def test_decode_wav_full_sample_format_matrix():
+    """24/32-bit int PCM and 32/64-bit IEEE float decode exactly;
+    WAVE_FORMAT_EXTENSIBLE unwraps via the SubFormat GUID."""
+    import struct
+
+    from goconnect_spark.operators.multimodal import decode_wav
+
+    ints24 = [0, 1, -1, 8388607, -8388608, 70000, -70000]
+    pcm24 = b"".join(v.to_bytes(3, "little", signed=True) for v in ints24)
+    assert decode_wav(_wav_fmt(1, 1, 48000, 24, pcm24)) == (48000, 1, 24, ints24)
+
+    ints32 = [0, 2147483647, -2147483648, 123456789, -987654321]
+    assert decode_wav(_wav_fmt(1, 2, 96000, 32,
+                               struct.pack("<5i", *ints32))) == (96000, 2, 32, ints32)
+
+    floats = [0.0, 0.5, -0.5, 1.0, -1.0, 0.25]
+    got = decode_wav(_wav_fmt(3, 1, 44100, 32, struct.pack("<6f", *floats)))
+    assert got == (44100, 1, 32, floats)
+    got64 = decode_wav(_wav_fmt(3, 1, 44100, 64, struct.pack("<3d", 0.1, -0.2, 0.3)))
+    assert got64[3] == [0.1, -0.2, 0.3]
+
+    # extensible wrapping PCM: GUID {00000001-0000-0010-8000-00AA00389B71}
+    pcm_guid = bytes.fromhex("0100" + "000000001000800000aa00389b71")
+    got = decode_wav(_wav_fmt(0xFFFE, 2, 44100, 16,
+                              struct.pack("<4h", 1, -2, 3, -4), ext_guid=pcm_guid))
+    assert got == (44100, 2, 16, [1, -2, 3, -4])
+    # extensible wrapping float
+    f_guid = bytes.fromhex("0300" + "000000001000800000aa00389b71")
+    got = decode_wav(_wav_fmt(0xFFFE, 1, 8000, 32,
+                              struct.pack("<2f", 0.5, -0.25), ext_guid=f_guid))
+    assert got == (8000, 1, 32, [0.5, -0.25])
+    # an unknown SubFormat names the dependency
+    alien = bytes.fromhex("0200" + "00000000100080000000000000ff")
+    with pytest.raises(NotImplementedError, match="soundfile|ffmpeg"):
+        decode_wav(_wav_fmt(0xFFFE, 1, 8000, 16, b"\x00\x00", ext_guid=alien))
+
+
+def test_decode_features_float_wav_histogram():
+    """Float PCM features bucket the clamped [-1,1] amplitude range."""
+    import struct
+
+    from goconnect_spark.operators.multimodal import decode_features
+
+    floats = [-1.0, -0.6, -0.3, 0.0, 0.3, 0.6, 0.9, 2.5]  # 2.5 clamps to 1.0
+    blob = _wav_fmt(3, 1, 16000, 32, struct.pack(f"<{len(floats)}f", *floats))
+    feats = decode_features(blob, dim=4)
+    # buckets over [-1,1): [-1,-.5) [-0.5,0) [0,.5) [.5,1]
+    assert feats == [0.25, 0.125, 0.25, 0.375]
+    assert abs(sum(feats) - 1.0) < 1e-9
