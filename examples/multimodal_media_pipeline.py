@@ -1,17 +1,22 @@
 """Multimodal corpus pipeline over opaque binary media columns —
-the round-10 shape: header classification stays JVM-side, the REAL
-stdlib codecs (PNG zlib inflate + unfilter, WAV struct PCM) run in
-Arrow-batched mapInPandas, and undecodable formats are ROUTED AWAY
-before the Python stage so one bad blob can't fail a 100 TB job.
+the rounds-10/11 shape: header classification stays JVM-side, the
+REAL stdlib codecs (PNG zlib inflate + unfilter, baseline-JPEG
+huffman + IDCT, WAV struct PCM) run in Arrow-batched mapInPandas,
+and undecodable formats are ROUTED AWAY before the Python stage so
+one bad blob can't fail a 100 TB job.
 
 Stages (each a real operator from goconnect_spark.operators.multimodal):
-  1. synthesize a mixed media corpus (genuine PNG/WAV containers
-     built from known arrays, plus a JPEG header and junk bytes)
+  1. synthesize a mixed media corpus (genuine PNG/WAV/baseline-JPEG
+     containers built from known arrays, plus a progressive-JPEG
+     header, an mp4 header and junk bytes)
   2. parse_media_headers — format/dims/rate via pure column exprs
      (whole-stage codegen; reads only each blob's leading bytes)
+  2b. with_jpeg_dimensions / with_jpeg_profile — bounded-prefix SOF
+     scan: route jpegs by size AND by coding profile (baseline
+     decodes here; progressive honestly needs libjpeg -> quarantine)
   3. media_repartition — bytes-per-partition balancing (row counts
      are meaningless for binary payloads)
-  4. route: decodable formats -> extract_features(decode_stub=False)
+  4. route: decodable rows -> extract_features(decode_stub=False)
      (features computed from DECODED pixels/PCM); everything else ->
      a quarantine count by format
   5. aggregate the feature vectors per media kind
@@ -30,10 +35,12 @@ import pyspark.sql.functions as F
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from goconnect_spark.operators.multimodal import (  # noqa: E402
+    JPEG_DECODABLE_PROFILES,
     extract_features,
     media_repartition,
     parse_media_headers,
     with_jpeg_dimensions,
+    with_jpeg_profile,
 )
 from goconnect_spark.session import get_spark  # noqa: E402
 
@@ -63,6 +70,30 @@ def make_wav(rate: int, seed: int, n: int = 64) -> bytes:
             + b"data" + struct.pack("<I", len(pcm)) + pcm)
 
 
+def make_jpeg(dc: int) -> bytes:
+    """A genuine 8x8 grayscale baseline JPEG, hand-assembled: flat
+    quant table 16, 12 DC categories at code length 4, AC table with
+    the single EOB code. Decodes to the flat value 2*dc + 128."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    ac_bits = [0] * 16
+    ac_bits[0] = 1  # one code of length 1: '0' -> EOB
+    size = dc.bit_length()
+    bits = f"{size:04b}" + (f"{dc:0{size}b}" if size else "") + "0"
+    bits += "1" * ((8 - len(bits) % 8) % 8)
+    entropy = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    return (b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([16] * 64))
+            + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+            + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
+            + seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + entropy + b"\xff\xd9")
+
+
 def main() -> None:
     spark = get_spark(8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -72,14 +103,15 @@ def main() -> None:
         rows.append((i, make_png(8 + i % 5, 6 + i % 3, seed=i)))
     for i in range(12, 22):
         rows.append((i, make_wav(8000 * (1 + i % 3), seed=i)))
-    # a structurally-valid JPEG header (SOI/APP0/SOF0/SOS) — undecodable
-    # here (no libjpeg), but its dimensions ARE routable via the
-    # bounded SOF scan
-    sof = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 200, 320) + bytes([1, 1, 0x11, 0])
-    rows.append((22, b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
-                 + sof + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00 entropy"))
-    rows.append((23, b"\x00\x00\x00\x18ftypisom pretend mp4"))
-    rows.append((24, b"not media at all"))
+    # a real baseline JPEG — decodable here (operators/jpeg.py)
+    rows.append((22, make_jpeg(dc=21)))
+    # a PROGRESSIVE header (SOF2): dimensions ARE routable via the
+    # bounded SOF scan, but decode honestly needs libjpeg -> quarantine
+    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 200, 320) + bytes([1, 1, 0x11, 0])
+    rows.append((23, b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+                 + sof2 + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00 entropy"))
+    rows.append((24, b"\x00\x00\x00\x18ftypisom pretend mp4"))
+    rows.append((25, b"not media at all"))
     corpus = spark.createDataFrame(rows, "media_id long, media binary")
 
     # 2. JVM-side header classification (no Python, no full-blob read)
@@ -88,18 +120,22 @@ def main() -> None:
     classified.groupBy("media_meta.kind", "media_meta.format").count() \
         .orderBy("kind", "format").show()
 
-    # 2b. JPEG dimensions via the bounded-prefix SOF scan (Arrow UDF
-    # over the leading bytes only) — routable size for a format the
-    # container can't decode
-    classified = with_jpeg_dimensions(classified)
+    # 2b. JPEG dimensions + coding profile via the bounded-prefix SOF
+    # scan (Arrow UDF over the leading bytes only)
+    classified = with_jpeg_profile(with_jpeg_dimensions(classified))
     print("-- image rows routable by dimensions (incl. jpeg via SOF scan) --")
     classified.where(F.col("media_meta.kind") == "image") \
-        .select("media_id", "media_meta.format", "media_meta.width", "media_meta.height") \
+        .select("media_id", "media_meta.format", "jpeg_profile",
+                "media_meta.width", "media_meta.height") \
         .where(F.col("width") >= 8).orderBy("media_id").show()
 
-    # 3. + 4. route, size-balance, REAL decode on the decodable slice
-    decodable = classified.where(F.col("media_meta.format").isin("png", "wav"))
-    quarantined = classified.where(~F.col("media_meta.format").isin("png", "wav"))
+    # 3. + 4. route, size-balance, REAL decode on the decodable slice:
+    # png/wav always; jpeg only when the profile is one the baseline
+    # decoder handles (progressive is quarantined, not crashed on)
+    is_decodable = (F.col("media_meta.format").isin("png", "wav")
+                    | F.col("jpeg_profile").isin(*JPEG_DECODABLE_PROFILES))
+    decodable = classified.where(is_decodable)
+    quarantined = classified.where(~is_decodable | is_decodable.isNull())
     feats = extract_features(media_repartition(decodable, target_bytes=4096),
                              decode_stub=False)
 

@@ -25,6 +25,9 @@ batching, partition sizing) is real and tested. The codec layer
   32/64-bit IEEE float, and WAVE_FORMAT_EXTENSIBLE unwrapping;
   compressed encodings (ADPCM/mu-law/mp3) raise NotImplementedError
   naming soundfile/ffmpeg.
+- JPEG: real baseline decoder (operators/jpeg.py) — huffman entropy
+  decode, dequantize, IDCT, chroma upsample, YCbCr->RGB; progressive/
+  arithmetic/12-bit/CMYK raise NotImplementedError naming libjpeg.
 
 MP4 genuinely needs an MPEG demuxer, which this container does not
 ship, so it raises NotImplementedError naming the dependency.
@@ -166,15 +169,18 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
 _JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
-def parse_jpeg_dimensions(data: Optional[bytes], max_scan: int = 65536
-                          ) -> Optional[tuple[int, int]]:
+def parse_jpeg_sof(data: Optional[bytes], max_scan: int = 65536
+                   ) -> Optional[tuple[int, int, int]]:
     """Bounded JPEG marker walk to the first SOF segment; returns
-    (width, height) or None. Pure stdlib and reads AT MOST `max_scan`
-    bytes — dimensions live in a variable-position SOF marker, so this
-    is the cheapest honest way to get them without a codec (segment
-    header: marker FFCx, u16 length, u8 precision, u16 height, u16
-    width — ITU T.81 §B.2.2). Stops at SOS (entropy-coded data) or the
-    scan bound; never decodes pixels."""
+    (sof_marker, width, height) or None. Pure stdlib and reads AT MOST
+    `max_scan` bytes — dimensions live in a variable-position SOF
+    marker, so this is the cheapest honest way to get them without a
+    codec (segment header: marker FFCx, u16 length, u8 precision, u16
+    height, u16 width — ITU T.81 §B.2.2). The marker byte itself tells
+    a router whether the blob is decodable here (C0/C1 baseline/
+    extended-sequential) or needs libjpeg (C2 progressive, ...). Stops
+    at SOS (entropy-coded data) or the scan bound; never decodes
+    pixels."""
     if data is None or len(data) < 4 or bytes(data[:3]) != b"\xff\xd8\xff":
         return None
     buf = bytes(data[:max_scan])
@@ -197,11 +203,60 @@ def parse_jpeg_dimensions(data: Optional[bytes], max_scan: int = 65536
                 return None
             height = (buf[pos + 5] << 8) | buf[pos + 6]
             width = (buf[pos + 7] << 8) | buf[pos + 8]
-            return (width, height)
+            return (marker, width, height)
         if marker == 0xDA:
             return None  # SOS: SOF must precede it; past here is entropy data
         pos += 2 + seglen
     return None
+
+
+def parse_jpeg_dimensions(data: Optional[bytes], max_scan: int = 65536
+                          ) -> Optional[tuple[int, int]]:
+    """(width, height) from the bounded SOF scan, or None."""
+    sof = parse_jpeg_sof(data, max_scan=max_scan)
+    return None if sof is None else (sof[1], sof[2])
+
+
+# SOF marker -> coding profile (ITU T.81 table B.1). Only 'baseline'
+# and 'extended' are decodable by operators/jpeg.py.
+_JPEG_PROFILES = {
+    0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive",
+    0xC3: "lossless", 0xC5: "diff-sequential", 0xC6: "diff-progressive",
+    0xC7: "diff-lossless", 0xC9: "arith-sequential", 0xCA: "arith-progressive",
+    0xCB: "arith-lossless", 0xCD: "diff-arith-sequential",
+    0xCE: "diff-arith-progressive", 0xCF: "diff-arith-lossless",
+}
+JPEG_DECODABLE_PROFILES = ("baseline", "extended")
+
+
+def with_jpeg_profile(df: DataFrame, media_col: str = "media",
+                      meta_col: str = "media_meta",
+                      scan_bytes: int = 65536) -> DataFrame:
+    """Adds a `jpeg_profile` string column ('baseline', 'progressive',
+    ...) from the bounded-prefix SOF scan — null for non-jpeg rows and
+    unparseable streams. This is the routing key a mixed 100 TB image
+    corpus needs BEFORE dispatching to decoders: rows with a profile
+    in JPEG_DECODABLE_PROFILES go to extract_features / decode_jpeg,
+    the rest are quarantined instead of failing tasks. Same scale
+    shape as `with_jpeg_dimensions`: only jpeg rows' leading
+    `scan_bytes` cross into the Arrow worker."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _profile(prefix: pd.Series) -> pd.Series:
+        out = []
+        for b in prefix:
+            r = parse_jpeg_sof(None if b is None else bytes(b), max_scan=scan_bytes)
+            out.append(None if r is None else _JPEG_PROFILES.get(r[0]))
+        return pd.Series(out, dtype="object")
+
+    m = F.col(meta_col)
+    return df.withColumn(
+        "jpeg_profile",
+        _profile(
+            F.when(m["format"] == "jpeg", F.substring(F.col(media_col), 1, scan_bytes))
+        ),
+    )
 
 
 def with_jpeg_dimensions(df: DataFrame, media_col: str = "media",
@@ -625,13 +680,20 @@ def _sample_histogram(values, lo: int, hi: int, dim: int) -> list[float]:
 
 def decode_features(data: bytes, dim: int = 8) -> list[float]:
     """Feature vector from the DECODED media samples (the real-codec
-    twin of `_fake_decode`): PNG -> normalized pixel-value histogram,
-    WAV -> normalized PCM-amplitude histogram. Recognized-but-
-    undecodable formats (JPEG, MP4) raise NotImplementedError naming
-    the missing dependency; unrecognized bytes raise ValueError."""
+    twin of `_fake_decode`): PNG/JPEG -> normalized pixel-value
+    histogram, WAV -> normalized amplitude histogram. The one
+    recognized-but-undecodable format (MP4) raises NotImplementedError
+    naming the missing dependency — as do the gated sub-variants of
+    the decoders themselves (progressive/arithmetic/12-bit/CMYK JPEG,
+    compressed WAV); unrecognized bytes raise ValueError."""
     if data is None:
         raise ValueError("cannot decode NULL media")
     head = bytes(data[:12])
+    if head[:3] == b"\xff\xd8\xff":
+        from goconnect_spark.operators.jpeg import decode_jpeg
+
+        _w, _h, _c, _depth, pixels = decode_jpeg(data)
+        return _sample_histogram(pixels, 0, 255, dim)
     if head[:8] == _PNG_SIG:
         _w, _h, _c, depth, pixels = decode_png(data)
         if depth == 8:
@@ -654,8 +716,6 @@ def decode_features(data: bytes, dim: int = 8) -> list[float]:
             return _sample_histogram(samples, 0, 255, dim)
         half = 1 << (bits - 1)
         return _sample_histogram(samples, -half, half - 1, dim)
-    if head[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires PIL/libjpeg (not installed)")
     # >= 8, not 12: parse_media_headers classifies on bytes 4-8 alone,
     # and the two mp4 detectors must agree so routed rows get the
     # documented NotImplementedError, never the unrecognized ValueError
@@ -682,13 +742,15 @@ def extract_features(df: DataFrame, media_col: str = "media",
     """media bytes -> feature vector via Arrow-batched mapInPandas.
 
     decode_stub=True: deterministic byte-histogram stand-in (format-
-    agnostic plumbing tests). decode_stub=False (round 10): REAL
-    decode — PNG pixels via zlib inflate + unfilter, WAV PCM via
-    struct — and the features are a normalized histogram of the
-    decoded samples. JPEG/MP4 rows raise NotImplementedError naming
-    the missing codec (PIL/av); that surfaces as a task failure, which
-    is the honest behavior for an undecodable corpus slice — filter on
-    media_meta.format first if the corpus is mixed."""
+    agnostic plumbing tests). decode_stub=False (rounds 10-11): REAL
+    decode — PNG pixels via zlib inflate + unfilter, baseline-JPEG
+    pixels via huffman + IDCT, WAV samples via struct — and the
+    features are a normalized histogram of the decoded samples. MP4
+    rows (and gated codec sub-variants like progressive JPEG) raise
+    NotImplementedError naming the missing codec (av/libjpeg); that
+    surfaces as a task failure, which is the honest behavior for an
+    undecodable corpus slice — filter on media_meta.format first if
+    the corpus is mixed."""
     import hashlib
 
     def decode_cell(b):

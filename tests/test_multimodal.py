@@ -238,13 +238,34 @@ def test_extract_features_real_decode(spark):
     assert abs(sum(out[1]) - 1.0) < 1e-3 and abs(sum(out[2]) - 1.0) < 1e-3
 
 
-def test_extract_features_real_decode_jpeg_names_dependency(spark):
-    from goconnect_spark.operators.multimodal import extract_features
+def test_extract_features_real_decode_jpeg(spark):
+    """Baseline JPEG decodes for REAL end-to-end (round 11): the
+    feature vector is the histogram of the DECODED pixels, verified
+    against decode_jpeg run directly on the same bytes; progressive
+    JPEG still raises naming libjpeg."""
+    import numpy as np
+    from test_jpeg_codec import _encode_jpeg
 
+    from goconnect_spark.operators.jpeg import decode_jpeg
+    from goconnect_spark.operators.multimodal import (
+        _sample_histogram,
+        extract_features,
+    )
+
+    img = np.frombuffer(_pixels(16 * 8, seed=77), dtype=np.uint8).reshape(8, 16)
+    blob = _encode_jpeg([img], 16, 8, [(1, 1)])
     df = attach_meta(spark.createDataFrame(
-        [(1, b"\xff\xd8\xff\xe0 jpeg")], "media_id long, media binary"))
-    with pytest.raises(Exception, match="PIL|libjpeg"):
-        extract_features(df, decode_stub=False).collect()
+        [(1, blob)], "media_id long, media binary"))
+    out = {r.media_id: r.features for r in
+           extract_features(df, decode_stub=False).collect()}
+    want = _sample_histogram(decode_jpeg(blob)[4], 0, 255, 8)
+    assert [round(v, 6) for v in out[1]] == want
+
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    df2 = attach_meta(spark.createDataFrame(
+        [(2, prog)], "media_id long, media binary"))
+    with pytest.raises(Exception, match="libjpeg"):
+        extract_features(df2, decode_stub=False).collect()
 
 
 def test_sample_frames_fan_out(media_df):
@@ -847,3 +868,41 @@ def test_decode_features_float_wav_histogram():
     # buckets over [-1,1): [-1,-.5) [-0.5,0) [0,.5) [.5,1]
     assert feats == [0.25, 0.125, 0.25, 0.375]
     assert abs(sum(feats) - 1.0) < 1e-9
+
+
+def test_with_jpeg_profile_routes_decodable_vs_gated(spark):
+    """The bounded SOF scan exposes the coding profile, so a mixed
+    corpus routes baseline jpegs to the real decoder and quarantines
+    progressive ones BEFORE any Python decode stage."""
+    import numpy as np
+    from test_jpeg_codec import _encode_jpeg
+
+    from goconnect_spark.operators.multimodal import (
+        JPEG_DECODABLE_PROFILES,
+        extract_features,
+        parse_jpeg_sof,
+        parse_media_headers,
+        with_jpeg_profile,
+    )
+
+    img = np.frombuffer(_pixels(64, seed=9), dtype=np.uint8).reshape(8, 8)
+    base = _encode_jpeg([img], 8, 8, [(1, 1)])
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    ext = _encode_jpeg([img], 8, 8, [(1, 1)], sof=0xC1)
+    assert parse_jpeg_sof(base)[0] == 0xC0
+    assert parse_jpeg_sof(prog)[0] == 0xC2
+
+    rows = [(1, base), (2, prog), (3, ext),
+            (4, _encode_png(_pixels(16), 4, 4, 1)), (5, b"junk")]
+    df = with_jpeg_profile(parse_media_headers(
+        spark.createDataFrame(rows, "media_id long, media binary")))
+    out = {r.media_id: r.jpeg_profile for r in df.collect()}
+    assert out == {1: "baseline", 2: "progressive", 3: "extended",
+                   4: None, 5: None}
+
+    decodable = df.where(
+        F.col("media_meta.format").isin("png", "wav")
+        | F.col("jpeg_profile").isin(*JPEG_DECODABLE_PROFILES))
+    feats = {r.media_id for r in
+             extract_features(decodable, decode_stub=False).collect()}
+    assert feats == {1, 3, 4}  # progressive + junk never reach Python decode

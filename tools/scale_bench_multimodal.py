@@ -8,9 +8,13 @@ bytes) as a parquet table of binary blobs, then measures each stage at
 increasing corpus sizes:
 
 - classify   — parse_media_headers (pure column exprs, JVM-side)
-- jpegdim    — with_jpeg_dimensions (bounded-prefix Arrow SOF scan)
-- route+decode — filter to png/wav then extract_features(decode_stub=False)
-                 (real stdlib codecs in Arrow-batched mapInPandas)
+- jpegdim    — with_jpeg_dimensions + with_jpeg_profile (bounded-prefix
+               Arrow SOF scan: dimensions AND coding profile)
+- route+decode — filter to png/wav/baseline-jpeg then
+                 extract_features(decode_stub=False) (real stdlib
+                 codecs — incl. the round-11 baseline-JPEG decoder —
+                 in Arrow-batched mapInPandas); progressive jpegs are
+                 routed away, never crash the stage
 - repartition_by_files — sizing from file metadata (no payload scan)
 
 Each row reports wall seconds, corpus bytes, and MB/s. The 100 TB
@@ -60,12 +64,40 @@ def make_wav(rate: int, seed: int, n: int) -> bytes:
             + b"data" + struct.pack("<I", len(pcm)) + pcm)
 
 
-def make_jpeg(w: int, h: int, pad: int) -> bytes:
+def make_jpeg_progressive(w: int, h: int, pad: int) -> bytes:
+    """Structurally-valid PROGRESSIVE header: routable, not decodable."""
     app0 = b"\xff\xe0" + struct.pack(">H", 4 + pad) + b"JF" + b"\x00" * pad
     sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
-    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    sof = b"\xff\xc2" + struct.pack(">H", 2 + len(sof_body)) + sof_body
     sos = b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
     return b"\xff\xd8" + app0 + sof + sos + b"\x5a" * 2048 + b"\xff\xd9"
+
+
+def make_jpeg_baseline(w: int, h: int, dc: int) -> bytes:
+    """A REAL multi-block grayscale baseline JPEG, hand-assembled:
+    flat quant 16, 12 DC categories at length 4, single-EOB AC table.
+    First block carries `dc`, the rest diff 0 — every block still runs
+    the full huffman + IDCT decode path."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    dc_bits = [0] * 16
+    dc_bits[3] = 12
+    ac_bits = [0] * 16
+    ac_bits[0] = 1  # '0' -> EOB
+    size = dc.bit_length()
+    bits = f"{size:04b}" + (f"{dc:0{size}b}" if size else "") + "0"
+    n_blocks = ((w + 7) // 8) * ((h + 7) // 8)
+    bits += ("0000" + "0") * (n_blocks - 1)
+    bits += "1" * ((8 - len(bits) % 8) % 8)
+    entropy = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    return (b"\xff\xd8"
+            + seg(0xDB, bytes([0]) + bytes([16] * 64))
+            + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+            + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00]))
+            + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + entropy + b"\xff\xd9")
 
 
 def synthesize(spark, m: int, out: str) -> int:
@@ -75,7 +107,11 @@ def synthesize(spark, m: int, out: str) -> int:
         for i in range(N_BASE):
             rows.append((mid, make_png(48 + (i % 17), 32 + (i % 11), seed=k * 1000 + i))); mid += 1
             rows.append((mid, make_wav(8000, seed=k * 1000 + i, n=4096 + 64 * (i % 9)))); mid += 1
-            rows.append((mid, make_jpeg(320 + i % 7, 200 + i % 5, pad=i % 300))); mid += 1
+            if i % 2 == 0:
+                rows.append((mid, make_jpeg_baseline(320 + 8 * (i % 7), 200 + 8 * (i % 5), dc=i % 100)))
+            else:
+                rows.append((mid, make_jpeg_progressive(320 + i % 7, 200 + i % 5, pad=i % 300)))
+            mid += 1
             rows.append((mid, b"junk" + bytes([(k + i) % 256]) * 512)); mid += 1
     df = spark.createDataFrame(rows, "media_id long, media binary")
     df.repartition(8).write.mode("overwrite").parquet(out)
@@ -85,10 +121,12 @@ def synthesize(spark, m: int, out: str) -> int:
 def main() -> None:
     mults = [int(a) for a in sys.argv[1:]] or [1, 4]
     from goconnect_spark.operators.multimodal import (
+        JPEG_DECODABLE_PROFILES,
         extract_features,
         media_repartition_by_files,
         parse_media_headers,
         with_jpeg_dimensions,
+        with_jpeg_profile,
     )
     from goconnect_spark.session import get_spark
 
@@ -108,14 +146,16 @@ def main() -> None:
             t_classify = time.time() - t0
 
             t0 = time.time()
-            dims = with_jpeg_dimensions(classified)
+            dims = with_jpeg_profile(with_jpeg_dimensions(classified))
             n_dim = dims.where(F.col("media_meta.width").isNotNull()).count()
             t_jpegdim = time.time() - t0
 
             t0 = time.time()
+            decodable = dims.where(
+                F.col("media_meta.format").isin("png", "wav")
+                | F.col("jpeg_profile").isin(*JPEG_DECODABLE_PROFILES))
             sized = media_repartition_by_files(
-                dims.where(F.col("media_meta.format").isin("png", "wav")),
-                target_bytes=8 * 1024 * 1024)
+                decodable, target_bytes=8 * 1024 * 1024)
             n_feat = extract_features(sized, decode_stub=False).count()
             t_decode = time.time() - t0
 
