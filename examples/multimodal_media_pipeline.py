@@ -19,6 +19,9 @@ Stages (each a real operator from goconnect_spark.operators.multimodal):
   4. route: decodable rows -> extract_features(decode_stub=False)
      (features computed from DECODED pixels/PCM); everything else ->
      a quarantine count by format
+  4b. resize_images — image rows decoded, exact-integer bilinear
+     resample to a uniform thumbnail, re-encoded as PNG (the write
+     path is real too: encode_png)
   5. aggregate the feature vectors per media kind
 
 Run: python examples/multimodal_media_pipeline.py
@@ -39,6 +42,7 @@ from goconnect_spark.operators.multimodal import (  # noqa: E402
     extract_features,
     media_repartition,
     parse_media_headers,
+    resize_images,
     with_jpeg_dimensions,
     with_jpeg_profile,
 )
@@ -147,6 +151,15 @@ def main() -> None:
         F.count(F.lit(1)).alias("n_media"),
         *[F.avg(F.col("features")[i]).alias(f"f{i}") for i in range(n_dim)],
     ).orderBy("kind").show(truncate=False)
+
+    # 4b. uniform thumbnails for the image slice (decode -> exact
+    # bilinear -> PNG re-encode); every output is a decodable 6x4 PNG
+    thumbs = resize_images(
+        decodable.where(F.col("media_meta.kind") == "image"), 6, 4,
+        method="bilinear")
+    print("-- resized thumbnails (decode -> bilinear -> encode_png) --")
+    thumbs.groupBy("media_meta.format", "media_meta.width", "media_meta.height") \
+        .count().show()
 
     print("-- quarantined (never reached the Python stage) --")
     quarantined.select("media_id", "media_meta.format").orderBy("media_id").show()

@@ -29,6 +29,12 @@ batching, partition sizing) is real and tested. The codec layer
   decode, dequantize, IDCT, chroma upsample, YCbCr->RGB; progressive/
   arithmetic/12-bit/CMYK raise NotImplementedError naming libjpeg.
 
+The write path is real too: `encode_png` (stdlib zlib) makes
+decode -> transform -> re-encode pipelines losslessly round-trippable,
+and `resize_images` (decode, exact-integer nearest/bilinear resample,
+re-encode PNG) completes the decode / feature-extract / resize /
+frame-sample quartet.
+
 MP4 genuinely needs an MPEG demuxer, which this container does not
 ship, so it raises NotImplementedError naming the dependency.
 `decode_stub=True` keeps the old deterministic byte-histogram
@@ -665,6 +671,148 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list]:
             f"WAV audio format {audio_format} (compressed) needs soundfile/ffmpeg"
         )
     return int(sample_rate), int(channels), int(bits), samples
+
+
+def encode_png(pixels: bytes, w: int, h: int, channels: int,
+               depth: int = 8) -> bytes:
+    """Real stdlib PNG ENCODER — the write path that pairs
+    `decode_png`: filter type 0 scanlines + one zlib IDAT, gray/GA/
+    RGB/RGBA at depth 8 or 16 (big-endian samples, as PNG stores
+    them). Output decodes exactly to the input bytes with any
+    spec-compliant reader; `decode_png(encode_png(px, ...))` is the
+    identity (pinned in tests)."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"cannot encode {channels}-channel PNG")
+    if depth not in (8, 16):
+        raise ValueError(f"cannot encode depth-{depth} PNG")
+    stride = w * channels * (depth // 8)
+    if len(pixels) != h * stride:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected {h * stride}")
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(h))
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def resize_image_bytes(data: bytes, out_w: int, out_h: int,
+                       method: str = "nearest") -> bytes:
+    """Decode (PNG via decode_png, baseline JPEG via decode_jpeg),
+    resample to (out_w, out_h) with deterministic float64 arithmetic,
+    re-encode as PNG (the lossless interchange container, so resize
+    never stacks a second lossy generation on jpeg inputs).
+
+    methods:
+    - 'nearest': out[y, x] = in[floor(y*h/out_h), floor(x*w/out_w)]
+      — exact integer index mapping, no arithmetic on sample values.
+    - 'bilinear': half-pixel-center convention
+      (src = (dst + 0.5) * scale - 0.5, edges clamped) computed in
+      EXACT integer arithmetic — source positions are rationals with
+      denominator 2*out_dim, so the interpolation is an integer
+      weighted sum rounded half-up. No float ties, bit-identical on
+      every platform (the repo's cross-engine-determinism idiom).
+
+    Channel count and bit depth are preserved (16-bit PNGs resize in
+    16-bit). Formats the codec layer gates (mp4, progressive jpeg)
+    raise their documented errors — route first, as with decode."""
+    import numpy as np
+
+    if data is None:
+        raise ValueError("cannot resize NULL media")
+    head = bytes(data[:8])
+    if head == _PNG_SIG:
+        w, h, ch, depth, px = decode_png(data)
+    elif head[:3] == b"\xff\xd8\xff":
+        from goconnect_spark.operators.jpeg import decode_jpeg
+
+        w, h, ch, depth, px = decode_jpeg(data)
+    else:
+        raise ValueError("resize supports png/jpeg containers")
+    dtype = ">u2" if depth == 16 else np.uint8
+    img = np.frombuffer(px, dtype=dtype).reshape(h, w, ch)
+    if method == "nearest":
+        ys = (np.arange(out_h) * h) // out_h
+        xs = (np.arange(out_w) * w) // out_w
+        out = img[ys][:, xs]
+    elif method == "bilinear":
+        # exact rationals: src*Dy = (2*dst+1)*h - out_h over Dy=2*out_h
+        dy_den, dx_den = 2 * out_h, 2 * out_w
+        sy_num = np.clip((2 * np.arange(out_h, dtype=np.int64) + 1) * h - out_h,
+                         0, (h - 1) * dy_den)
+        sx_num = np.clip((2 * np.arange(out_w, dtype=np.int64) + 1) * w - out_w,
+                         0, (w - 1) * dx_den)
+        y0 = sy_num // dy_den
+        x0 = sx_num // dx_den
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        ny = (sy_num - y0 * dy_den)[:, None, None]  # 0..dy_den-1
+        nx = (sx_num - x0 * dx_den)[None, :, None]
+        a = img[y0][:, x0].astype(np.int64)
+        b = img[y0][:, x1].astype(np.int64)
+        c = img[y1][:, x0].astype(np.int64)
+        d = img[y1][:, x1].astype(np.int64)
+        num = ((a * (dx_den - nx) + b * nx) * (dy_den - ny)
+               + (c * (dx_den - nx) + d * nx) * ny)
+        den = dx_den * dy_den
+        out = ((2 * num + den) // (2 * den)).astype(dtype)  # round half up
+    else:
+        raise ValueError(f"unknown resize method {method!r}")
+    return encode_png(np.ascontiguousarray(out).tobytes(), out_w, out_h,
+                      ch, depth)
+
+
+_RESIZE_SCHEMA = (
+    "media_id long, media binary, media_meta " + MEDIA_META_SCHEMA
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  media_col: str = "media", id_col: str = "media_id",
+                  method: str = "nearest") -> DataFrame:
+    """media bytes -> resized PNG bytes via Arrow-batched mapInPandas —
+    the resize stage of the decode/feature-extract/resize/frame-sample
+    quartet. Same scale shape as extract_features: peak memory is one
+    Arrow batch of decoded media; route undecodable formats away first
+    (parse_media_headers + with_jpeg_profile), because a gated format
+    raises its documented error here exactly as decode does."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out_media = [
+                resize_image_bytes(None if b is None else bytes(b),
+                                   width, height, method)
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "media": out_media,
+                    "media_meta": [
+                        {
+                            "kind": "image", "format": "png",
+                            "width": width, "height": height,
+                            "sample_rate": None, "n_channels": None,
+                            "n_frames": None, "duration_ms": None,
+                            "n_bytes": len(m),
+                        }
+                        for m in out_media
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=_RESIZE_SCHEMA)
 
 
 def _sample_histogram(values, lo: int, hi: int, dim: int) -> list[float]:

@@ -906,3 +906,145 @@ def test_with_jpeg_profile_routes_decodable_vs_gated(spark):
     feats = {r.media_id for r in
              extract_features(decodable, decode_stub=False).collect()}
     assert feats == {1, 3, 4}  # progressive + junk never reach Python decode
+
+
+# ---------------------------------------------------------------------
+# Round 11: the resize stage (decode -> resample -> re-encode PNG) and
+# the stdlib PNG write path that makes it losslessly round-trippable.
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("channels,depth", [(1, 8), (2, 8), (3, 8), (4, 8),
+                                            (1, 16), (3, 16)])
+def test_encode_png_decode_identity(channels, depth):
+    from goconnect_spark.operators.multimodal import decode_png, encode_png
+
+    w, h = 7, 5
+    px = _pixels(w * h * channels * (depth // 8), seed=channels * depth)
+    assert decode_png(encode_png(px, w, h, channels, depth)) == (
+        w, h, channels, depth, px)
+
+
+def test_resize_nearest_hand_vector():
+    """2x2 -> 4x4 nearest:每 output pixel maps to floor-scaled input —
+    expectation written out by hand."""
+    import numpy as np
+
+    from goconnect_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_image_bytes,
+    )
+
+    src = bytes([10, 20, 30, 40])  # gray 2x2
+    out = resize_image_bytes(encode_png(src, 2, 2, 1), 4, 4, "nearest")
+    got = decode_png(out)
+    assert got[:4] == (4, 4, 1, 8)
+    want = bytes([10, 10, 20, 20,
+                  10, 10, 20, 20,
+                  30, 30, 40, 40,
+                  30, 30, 40, 40])
+    assert got[4] == want
+    # downscale 4x4 -> 2x2 picks rows/cols 0 and 2
+    grid = bytes(range(16))
+    down = decode_png(resize_image_bytes(encode_png(grid, 4, 4, 1), 2, 2))
+    assert down[4] == bytes([0, 2, 8, 10])
+
+
+def test_resize_bilinear_against_independent_formula():
+    """Bilinear output checked against a per-pixel double loop written
+    directly from the half-pixel-center definition — in EXACT python
+    integer/Fraction arithmetic, so the comparison has no float ties
+    and equality is the right assertion."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from goconnect_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_image_bytes,
+    )
+
+    w, h, ch = 5, 4, 3
+    px = _pixels(w * h * ch, seed=33)
+    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    out_w, out_h = 9, 6
+    got = decode_png(resize_image_bytes(encode_png(px, w, h, ch), out_w, out_h,
+                                        "bilinear"))
+    assert got[:4] == (out_w, out_h, ch, 8)
+    arr = np.frombuffer(got[4], dtype=np.uint8).reshape(out_h, out_w, ch)
+    half = Fraction(1, 2)
+    for oy in range(out_h):
+        for ox in range(out_w):
+            sy = min(max((oy + half) * Fraction(h, out_h) - half, 0), h - 1)
+            sx = min(max((ox + half) * Fraction(w, out_w) - half, 0), w - 1)
+            y0, x0 = int(sy), int(sx)
+            y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+            fy, fx = sy - y0, sx - x0
+            for c in range(ch):
+                v = ((int(img[y0, x0, c]) * (1 - fx) + int(img[y0, x1, c]) * fx)
+                     * (1 - fy)
+                     + (int(img[y1, x0, c]) * (1 - fx) + int(img[y1, x1, c]) * fx)
+                     * fy)
+                want = int(v + half)  # round half up, exact rational
+                assert arr[oy, ox, c] == want, (oy, ox, c, v)
+
+
+def test_resize_identity_and_16bit_depth_preserved():
+    from goconnect_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_image_bytes,
+    )
+
+    w, h, ch = 6, 4, 3
+    px16 = _pixels(w * h * ch * 2, seed=44)
+    same = decode_png(resize_image_bytes(encode_png(px16, w, h, ch, 16), w, h))
+    assert same == (w, h, ch, 16, px16)  # nearest at same size = identity
+
+
+def test_resize_images_operator_mixed_png_jpeg(spark):
+    """End-to-end mapInPandas resize over a routed corpus: png and
+    baseline-jpeg rows come out as uniform WxH PNGs with fresh meta;
+    palette PNGs resize through their expanded RGB form."""
+    import numpy as np
+    from test_jpeg_codec import _encode_jpeg
+
+    from goconnect_spark.operators.multimodal import (
+        decode_png,
+        parse_media_headers,
+        resize_images,
+    )
+
+    img = np.frombuffer(_pixels(16 * 16, seed=55), dtype=np.uint8).reshape(16, 16)
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    rows = [
+        (1, _encode_png(_pixels(8 * 8 * 3, seed=56), 8, 8, 3)),
+        (2, _encode_jpeg([img], 16, 16, [(1, 1)])),
+        (3, _encode_png_any([(0,), (1,), (1,), (0,)], 2, 2, 8, 3, plte=plte)),
+    ]
+    df = parse_media_headers(spark.createDataFrame(rows, "media_id long, media binary"))
+    out = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        w, h, ch, depth, _px = decode_png(bytes(r.media))
+        assert (w, h, depth) == (4, 4, 8)
+        assert (r.media_meta.format, r.media_meta.width, r.media_meta.height) \
+            == ("png", 4, 4)
+    assert decode_png(bytes(out[3].media))[2] == 3  # palette expanded to RGB
+    # the jpeg row's resized pixels match resizing its decoded plane
+    from goconnect_spark.operators.jpeg import decode_jpeg
+    dec = np.frombuffer(decode_jpeg(rows[1][1])[4], dtype=np.uint8).reshape(16, 16)
+    want = dec[(np.arange(4) * 4)][:, (np.arange(4) * 4)]
+    got = np.frombuffer(decode_png(bytes(out[2].media))[4], dtype=np.uint8).reshape(4, 4)
+    assert np.array_equal(got, want)
+
+
+def test_resize_gated_formats_raise_documented_errors():
+    from goconnect_spark.operators.multimodal import resize_image_bytes
+
+    with pytest.raises(ValueError, match="png/jpeg"):
+        resize_image_bytes(b"RIFF0000WAVEfmt ", 4, 4)
+    with pytest.raises(ValueError):
+        resize_image_bytes(None, 4, 4)
