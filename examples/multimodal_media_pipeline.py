@@ -7,13 +7,14 @@ one bad blob can't fail a 100 TB job.
 
 Stages (each a real operator from goconnect_spark.operators.multimodal):
   1. synthesize a mixed media corpus (genuine PNG/WAV/baseline-JPEG
-     containers built from known arrays, plus a progressive-JPEG
-     header, an mp4 header and junk bytes)
+     containers built from known arrays, plus an arithmetic-coded
+     JPEG header, an mp4 header and junk bytes)
   2. parse_media_headers — format/dims/rate via pure column exprs
      (whole-stage codegen; reads only each blob's leading bytes)
   2b. with_jpeg_dimensions / with_jpeg_profile — bounded-prefix SOF
-     scan: route jpegs by size AND by coding profile (baseline
-     decodes here; progressive honestly needs libjpeg -> quarantine)
+     scan: route jpegs by size AND by coding profile (huffman
+     baseline/extended/progressive decode here; arithmetic-coded
+     honestly needs libjpeg -> quarantine)
   3. media_repartition — bytes-per-partition balancing (row counts
      are meaningless for binary payloads)
   4. route: decodable rows -> extract_features(decode_stub=False)
@@ -109,11 +110,11 @@ def main() -> None:
         rows.append((i, make_wav(8000 * (1 + i % 3), seed=i)))
     # a real baseline JPEG — decodable here (operators/jpeg.py)
     rows.append((22, make_jpeg(dc=21)))
-    # a PROGRESSIVE header (SOF2): dimensions ARE routable via the
-    # bounded SOF scan, but decode honestly needs libjpeg -> quarantine
-    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 200, 320) + bytes([1, 1, 0x11, 0])
+    # an ARITHMETIC-CODED header (SOF9): dimensions ARE routable via
+    # the bounded SOF scan, but decode honestly needs libjpeg -> quarantine
+    sof9 = b"\xff\xc9" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 200, 320) + bytes([1, 1, 0x11, 0])
     rows.append((23, b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
-                 + sof2 + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00 entropy"))
+                 + sof9 + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00 entropy"))
     rows.append((24, b"\x00\x00\x00\x18ftypisom pretend mp4"))
     rows.append((25, b"not media at all"))
     corpus = spark.createDataFrame(rows, "media_id long, media binary")
@@ -134,8 +135,8 @@ def main() -> None:
         .where(F.col("width") >= 8).orderBy("media_id").show()
 
     # 3. + 4. route, size-balance, REAL decode on the decodable slice:
-    # png/wav always; jpeg only when the profile is one the baseline
-    # decoder handles (progressive is quarantined, not crashed on)
+    # png/wav always; jpeg only when the profile is huffman-decodable
+    # (arithmetic-coded is quarantined, not crashed on)
     is_decodable = (F.col("media_meta.format").isin("png", "wav")
                     | F.col("jpeg_profile").isin(*JPEG_DECODABLE_PROFILES))
     decodable = classified.where(is_decodable)

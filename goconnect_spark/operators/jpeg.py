@@ -1,20 +1,23 @@
-"""Real baseline-JPEG decoder with only the stdlib + numpy.
+"""Real huffman-JPEG decoder (baseline + progressive) with only the
+stdlib + numpy.
 
 Closes the codec layer's last image gap (rounds 10-11 shipped exact
-PNG and WAV): `decode_jpeg` is a genuine ITU T.81 baseline decoder —
+PNG and WAV): `decode_jpeg` is a genuine ITU T.81 huffman decoder —
 marker parse, canonical Huffman entropy decode (byte stuffing §B.1.1.5,
 restart markers §B.2.1.2), dequantize, zigzag inverse (§A.3.6),
 orthonormal 2-D IDCT (§A.3.3, float64 separable via numpy), nearest-
 neighbor chroma upsampling, and JFIF YCbCr->RGB (Rec. ITU-T T.871 §7).
 
-Scope — exactly what "baseline" means plus the huffman-sequential
-sibling, nothing faked:
+Scope — every huffman-coded 8-bit JPEG, nothing faked:
 
-- SOF0 (baseline) and SOF1 (extended sequential, huffman, 8-bit)
+- SOF0 (baseline), SOF1 (extended sequential) and SOF2 (progressive:
+  spectral selection + successive approximation, EOB runs, AC
+  refinement correction bits — T.81 Annex G, §G.1.2)
 - 1-component (grayscale) and 3-component (YCbCr) images, any legal
   sampling factors (4:4:4, 4:2:0, 4:2:2, 4:1:1, ...)
 - interleaved and single-component scans, DRI/RSTn restart intervals
-- progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision and
+  (progressive restarts reset both DC predictors and the EOB run)
+- arithmetic coding (SOF9+), lossless (SOF3+), 12-bit precision and
   4-component Adobe CMYK raise NotImplementedError naming libjpeg —
   the honest gate, not a stand-in.
 
@@ -57,7 +60,6 @@ for _k in range(8):
         )
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive JPEG (SOF2)",
     0xC3: "lossless JPEG (SOF3)",
     0xC5: "differential sequential JPEG (SOF5)",
     0xC6: "differential progressive JPEG (SOF6)",
@@ -151,30 +153,96 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _decode_block(br: _BitReader, dc_table: dict, ac_table: dict,
-                  qtable: np.ndarray, pred: int) -> tuple[np.ndarray, int]:
-    """One 8x8 block: huffman -> dequantize -> de-zigzag. Returns the
-    natural-order coefficient block and the new DC predictor."""
-    coef = np.zeros(64, dtype=np.float64)
-    size = br.decode_huffman(dc_table)
-    diff = _extend(br.receive(size), size) if size else 0
-    pred += diff
-    coef[0] = pred * qtable[0]
-    k = 1
-    while k < 64:
-        rs = br.decode_huffman(ac_table)
-        run, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if run == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise ValueError("JPEG AC run past end of block")
-        coef[ZIGZAG[k]] = _extend(br.receive(size), size) * qtable[ZIGZAG[k]]
-        k += 1
-    return coef.reshape(8, 8), pred
+def _scan_block(br: _BitReader, coef: list, dc_table, ac_table,
+                ss: int, se: int, ah: int, al: int, pred: int,
+                eobrun: int) -> tuple[int, int]:
+    """Entropy-decode ONE block's contribution of ONE scan into `coef`
+    (64 ints, zigzag order, modified in place). Handles every legal
+    scan shape — the baseline full band (ss=0, se=63, ah=al=0) and the
+    four progressive shapes (T.81 §G.1.2): DC first (successive-
+    approximation point transform << al), DC refinement (one appended
+    bit per block), AC first (EOB-run coded band), AC refinement
+    (correction bits). Returns (new_dc_pred, new_eobrun)."""
+    if ss == 0:
+        if ah == 0:  # DC first (or baseline full-band start)
+            size = br.decode_huffman(dc_table)
+            diff = _extend(br.receive(size), size) if size else 0
+            pred += diff
+            coef[0] = pred << al
+        else:  # DC refinement: append one bit (§G.1.2.1)
+            if br.read_bit():
+                coef[0] |= 1 << al
+            return pred, eobrun
+        if se == 0:
+            return pred, eobrun
+        k = 1
+    else:
+        k = ss
+
+    if ah == 0:  # AC first scan (and the baseline AC tail)
+        if eobrun > 0:
+            return pred, eobrun - 1
+        while k <= se:
+            rs = br.decode_huffman(ac_table)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                # EOBn: this block ends; the next 2^run-1 (+bits)
+                # blocks have an all-zero band (§G.1.2.2)
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += br.receive(run)
+                break
+            k += run
+            if k > se:
+                raise ValueError("JPEG AC run past end of band")
+            coef[k] = _extend(br.receive(size), size) << al
+            k += 1
+        return pred, eobrun
+
+    # AC refinement (§G.1.2.3): newly-significant coefficients arrive
+    # as ±1<<al; already-nonzero ones get a correction bit
+    p1, m1 = 1 << al, -1 << al
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_huffman(ac_table)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run < 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += br.receive(run)
+                    break  # correction sweep for k..se happens below
+                # run == 15: skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("JPEG AC refinement size must be 1")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                c = coef[k]
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = coef[k]
+            if c != 0:
+                if br.read_bit() and (c & p1) == 0:
+                    coef[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return pred, eobrun
 
 
 def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
@@ -188,18 +256,22 @@ def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, int, bytes]:
-    """Decode a baseline (SOF0/SOF1, 8-bit, huffman) JPEG. See module
-    docstring for the exact scope and the return contract."""
+    """Decode a huffman-coded 8-bit JPEG — baseline (SOF0), extended
+    sequential (SOF1) or progressive (SOF2). See module docstring for
+    the exact scope and the return contract."""
     if data is None or len(data) < 4 or bytes(data[:3]) != b"\xff\xd8\xff":
         raise ValueError("not a JPEG container")
     data = bytes(data)
-    qtables: dict[int, np.ndarray] = {}
+    qtables: dict[int, np.ndarray] = {}  # zigzag order
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
-    frame = None  # (w, h, components) ; component = (cid, hi, vi, tq)
+    frame = None  # (w, h, components, progressive); component = (cid, hi, vi, tq)
     restart_interval = 0
     adobe_transform = None
-    planes: dict[int, np.ndarray] = {}
+    # per-component (block_rows, block_cols, 64) zigzag coefficient
+    # grids — scans ACCUMULATE into these (progressive needs it; the
+    # baseline single scan is just the degenerate full-band case)
+    coef_grids: dict[int, np.ndarray] = {}
     done: dict[int, bool] = {}
 
     pos = 2
@@ -228,11 +300,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, int, bytes]:
                 raw = body[i : i + n]
                 if len(raw) < n:
                     raise ValueError("truncated JPEG DQT")
-                vals = (struct.unpack(f">64H", raw) if pq else list(raw))
-                q = np.zeros(64)
-                for z in range(64):
-                    q[ZIGZAG[z]] = vals[z]
-                qtables[tq] = q
+                vals = (struct.unpack(">64H", raw) if pq else list(raw))
+                qtables[tq] = np.array(vals, dtype=np.float64)  # zigzag
                 i += n
         elif marker == 0xC4:  # DHT
             i = 0
@@ -249,11 +318,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, int, bytes]:
             restart_interval = (body[0] << 8) | body[1]
         elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
             adobe_transform = body[11]
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(
-                    f"{precision}-bit JPEG needs libjpeg (baseline is 8-bit)"
+                    f"{precision}-bit JPEG needs libjpeg (huffman JPEG is 8-bit here)"
                 )
             h, w = struct.unpack(">HH", body[1:5])
             nf = body[5]
@@ -261,34 +330,49 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, int, bytes]:
             for c in range(nf):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (w, h, comps)
+            frame = (w, h, comps, marker == 0xC2)
         elif marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
-                f"{_SOF_UNSUPPORTED[marker]} needs libjpeg (only baseline"
-                " sequential is decoded here)"
+                f"{_SOF_UNSUPPORTED[marker]} needs libjpeg (huffman"
+                " sequential + progressive are decoded here)"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            w, h, comps = frame
+            w, h, comps, progressive = frame
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            if not coef_grids:
+                for i, (cid, hi, vi, tq) in enumerate(comps):
+                    coef_grids[i] = np.zeros(
+                        (mcuy * vi, mcux * hi, 64), dtype=np.int64)
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG SOS header")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            elif ss > 0 and ns != 1:
+                raise ValueError("progressive AC scans must be non-interleaved")
+            elif ss > se or se > 63:
+                raise ValueError("illegal JPEG spectral band")
+            need_dc = ss == 0 and ah == 0
+            need_ac = se > 0
             scan = []  # (component index in frame, dc table, ac table)
             for s in range(ns):
                 cs, tables = body[1 + 2 * s], body[2 + 2 * s]
                 idx = next(i for i, c in enumerate(comps) if c[0] == cs)
-                scan.append((idx, dc_tables[tables >> 4], ac_tables[tables & 0x0F]))
-            for idx, _, _ in scan:
-                cid, hi, vi, tq = comps[idx]
-                if idx not in planes:
-                    planes[idx] = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
+                tdc = dc_tables.get(tables >> 4) if need_dc else None
+                tac = ac_tables.get(tables & 0x0F) if need_ac else None
+                if (need_dc and tdc is None) or (need_ac and tac is None):
+                    raise ValueError("JPEG scan references a missing huffman table")
+                scan.append((idx, tdc, tac))
             br = _BitReader(data, pos + 2 + seglen)
             preds = {idx: 0 for idx, _, _ in scan}
-            pending: dict[int, tuple[list, list]] = {
-                idx: ([], []) for idx, _, _ in scan}  # (positions, coefs)
+            eobrun = 0
             if ns == 1:
                 # non-interleaved: MCU = one block, raster over the
                 # component's own block grid (§A.2.2)
@@ -296,8 +380,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, int, bytes]:
                 cid, hi, vi, tq = comps[idx]
                 cw = (w * hi + hmax - 1) // hmax
                 ch = (h * vi + vmax - 1) // vmax
-                bx, by = (cw + 7) // 8, (ch + 7) // 8
-                n_units = bx * by
+                bx = (cw + 7) // 8
+                n_units = bx * ((ch + 7) // 8)
+                grid0 = coef_grids[idx]
             else:
                 n_units = mcux * mcuy
             unit = 0
@@ -308,53 +393,63 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, int, bytes]:
                     if len(m) == 2 and m[0] == 0xFF and 0xD0 <= m[1] <= 0xD7:
                         br.pos += 2
                         preds = {k: 0 for k in preds}
+                        eobrun = 0
                     else:
                         raise ValueError("JPEG missing restart marker")
                 if ns == 1:
-                    coef, preds[idx] = _decode_block(
-                        br, dct, act, qtables[comps[idx][3]], preds[idx])
-                    pending[idx][0].append(((unit // bx) * 8, (unit % bx) * 8))
-                    pending[idx][1].append(coef)
+                    blk = grid0[unit // bx, unit % bx].tolist()
+                    preds[idx], eobrun = _scan_block(
+                        br, blk, dct, act, ss, se, ah, al, preds[idx], eobrun)
+                    grid0[unit // bx, unit % bx] = blk
                 else:
                     my, mx = unit // mcux, unit % mcux
                     for sidx, dct, act in scan:
                         cid, hi, vi, tq = comps[sidx]
+                        g = coef_grids[sidx]
                         for v in range(vi):
                             for hh in range(hi):
-                                coef, preds[sidx] = _decode_block(
-                                    br, dct, act, qtables[tq], preds[sidx])
-                                pending[sidx][0].append(
-                                    ((my * vi + v) * 8, (mx * hi + hh) * 8))
-                                pending[sidx][1].append(coef)
+                                gy, gx = my * vi + v, mx * hi + hh
+                                blk = g[gy, gx].tolist()
+                                preds[sidx], eobrun = _scan_block(
+                                    br, blk, dct, act, ss, se, ah, al,
+                                    preds[sidx], eobrun)
+                                g[gy, gx] = blk
                 unit += 1
-            for sidx, _, _ in scan:
-                positions, coefs = pending[sidx]
-                pix = _idct_blocks(np.stack(coefs))
-                plane = planes[sidx]
-                for (y0, x0), px in zip(positions, pix):
-                    plane[y0 : y0 + 8, x0 : x0 + 8] = px
-                done[sidx] = True
+            if ss == 0:  # a component is renderable once its DC arrived
+                for sidx, _, _ in scan:
+                    done[sidx] = True
             br.align_to_marker()
             pos = br.pos
             continue
         pos += 2 + seglen
 
-    if frame is None or not done:
+    if frame is None or not coef_grids:
         raise ValueError("JPEG missing SOF/SOS")
-    w, h, comps = frame
+    w, h, comps, progressive = frame
     if len(comps) not in (1, 3) or adobe_transform == 2:
         raise NotImplementedError(
             f"{len(comps)}-component (CMYK/YCCK) JPEG needs libjpeg"
         )
     if len(done) != len(comps):
-        raise ValueError("JPEG scan(s) did not cover every frame component")
+        raise ValueError("JPEG scan(s) did not cover every component's DC band")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    nat_order = list(ZIGZAG)
     full = []
     for i, (cid, hi, vi, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("JPEG component references a missing quant table")
+        grid = coef_grids[i]
+        by_, bx_ = grid.shape[0], grid.shape[1]
+        deq = grid.reshape(-1, 64).astype(np.float64) * qtables[tq]
+        nat = np.empty_like(deq)
+        nat[:, nat_order] = deq  # de-zigzag: natural[ZIGZAG[z]] = zz[z]
+        pix = _idct_blocks(nat.reshape(-1, 8, 8))
+        plane = (pix.reshape(by_, bx_, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(by_ * 8, bx_ * 8))
         cw = (w * hi + hmax - 1) // hmax
         ch = (h * vi + vmax - 1) // vmax
-        p = planes[i][:ch, :cw]
+        p = plane[:ch, :cw]
         if hi != hmax or vi != vmax:  # nearest-neighbor upsample
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:h, :w].astype(np.float64))

@@ -25,9 +25,11 @@ batching, partition sizing) is real and tested. The codec layer
   32/64-bit IEEE float, and WAVE_FORMAT_EXTENSIBLE unwrapping;
   compressed encodings (ADPCM/mu-law/mp3) raise NotImplementedError
   naming soundfile/ffmpeg.
-- JPEG: real baseline decoder (operators/jpeg.py) — huffman entropy
-  decode, dequantize, IDCT, chroma upsample, YCbCr->RGB; progressive/
-  arithmetic/12-bit/CMYK raise NotImplementedError naming libjpeg.
+- JPEG: real huffman decoder (operators/jpeg.py) — baseline,
+  extended sequential AND progressive (spectral selection +
+  successive approximation): entropy decode, dequantize, IDCT,
+  chroma upsample, YCbCr->RGB; arithmetic-coded/lossless/12-bit/CMYK
+  raise NotImplementedError naming libjpeg.
 
 The write path is real too: `encode_png` (stdlib zlib) makes
 decode -> transform -> re-encode pipelines losslessly round-trippable,
@@ -184,7 +186,8 @@ def parse_jpeg_sof(data: Optional[bytes], max_scan: int = 65536
     codec (segment header: marker FFCx, u16 length, u8 precision, u16
     height, u16 width — ITU T.81 §B.2.2). The marker byte itself tells
     a router whether the blob is decodable here (C0/C1 baseline/
-    extended-sequential) or needs libjpeg (C2 progressive, ...). Stops
+    extended-sequential/C2 progressive) or needs libjpeg
+    (arithmetic, lossless, ...). Stops
     at SOS (entropy-coded data) or the scan bound; never decodes
     pixels."""
     if data is None or len(data) < 4 or bytes(data[:3]) != b"\xff\xd8\xff":
@@ -232,7 +235,7 @@ _JPEG_PROFILES = {
     0xCB: "arith-lossless", 0xCD: "diff-arith-sequential",
     0xCE: "diff-arith-progressive", 0xCF: "diff-arith-lossless",
 }
-JPEG_DECODABLE_PROFILES = ("baseline", "extended")
+JPEG_DECODABLE_PROFILES = ("baseline", "extended", "progressive")
 
 
 def with_jpeg_profile(df: DataFrame, media_col: str = "media",
@@ -723,8 +726,9 @@ def resize_image_bytes(data: bytes, out_w: int, out_h: int,
       every platform (the repo's cross-engine-determinism idiom).
 
     Channel count and bit depth are preserved (16-bit PNGs resize in
-    16-bit). Formats the codec layer gates (mp4, progressive jpeg)
-    raise their documented errors — route first, as with decode."""
+    16-bit). Formats the codec layer gates (mp4, arithmetic-coded
+    jpeg) raise their documented errors — route first, as with
+    decode."""
     import numpy as np
 
     if data is None:
@@ -832,7 +836,7 @@ def decode_features(data: bytes, dim: int = 8) -> list[float]:
     histogram, WAV -> normalized amplitude histogram. The one
     recognized-but-undecodable format (MP4) raises NotImplementedError
     naming the missing dependency — as do the gated sub-variants of
-    the decoders themselves (progressive/arithmetic/12-bit/CMYK JPEG,
+    the decoders themselves (arithmetic/lossless/12-bit/CMYK JPEG,
     compressed WAV); unrecognized bytes raise ValueError."""
     if data is None:
         raise ValueError("cannot decode NULL media")
@@ -894,7 +898,7 @@ def extract_features(df: DataFrame, media_col: str = "media",
     decode — PNG pixels via zlib inflate + unfilter, baseline-JPEG
     pixels via huffman + IDCT, WAV samples via struct — and the
     features are a normalized histogram of the decoded samples. MP4
-    rows (and gated codec sub-variants like progressive JPEG) raise
+    rows (and gated codec sub-variants like arithmetic-coded JPEG) raise
     NotImplementedError naming the missing codec (av/libjpeg); that
     surfaces as a task failure, which is the honest behavior for an
     undecodable corpus slice — filter on media_meta.format first if

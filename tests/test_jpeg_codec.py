@@ -410,12 +410,16 @@ def test_decode_jpeg_quant_table_applies():
 def test_decode_jpeg_gates_name_libjpeg():
     img = np.zeros((8, 8), dtype=np.uint8)
     base = _encode_jpeg([img], 8, 8, [(1, 1)])
+    # progressive (SOF2) now DECODES — a sequential stream relabeled
+    # SOF2 is a valid one-scan progressive file (Ss=0 Se=63 Ah=Al=0)
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="libjpeg"):
-        decode_jpeg(prog)
+    assert decode_jpeg(prog) == decode_jpeg(base)
     arith = base.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(NotImplementedError, match="libjpeg"):
         decode_jpeg(arith)
+    lossless = base.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(NotImplementedError, match="libjpeg"):
+        decode_jpeg(lossless)
     # 12-bit precision
     i = base.index(b"\xff\xc0")
     twelve = base[: i + 4] + bytes([12]) + base[i + 5 :]
@@ -438,3 +442,384 @@ def test_decode_jpeg_malformed_raises_valueerror():
     no_sof = blob[:i] + blob[i + 2 + seglen :]
     with pytest.raises(ValueError):
         decode_jpeg(no_sof)
+
+
+# ---------------------------------------------------------------------
+# Progressive JPEG (T.81 Annex G): test-side progressive encoder
+# (spectral selection + successive approximation, EOB runs, correction
+# bits) — an independent construction whose scans must reassemble to
+# EXACTLY the coefficients of the equivalent baseline file.
+# ---------------------------------------------------------------------
+
+
+def _quantized_block_grids(planes, w, h, sampling, quant):
+    """Per-component PADDED block grids of zigzag-order quantized
+    coefficient lists (the same FDCT/quant pipeline as _encode_jpeg,
+    so a baseline file built from the same inputs carries identical
+    coefficients)."""
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    for p, (hi, vi) in zip(planes, sampling):
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            ph = -(-h // fy) * fy
+            pw = -(-w // fx) * fx
+            big = np.pad(p.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")
+            small = big.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        else:
+            small = p.astype(np.float64)
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        sh, sw = small.shape
+        small = np.pad(small, ((0, th - sh), (0, tw - sw)), mode="edge")
+        grid = []
+        for gy in range(mcuy * vi):
+            row = []
+            for gx in range(mcux * hi):
+                blk = small[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8]
+                coefq = np.round(_fdct(blk) / quant).astype(int)
+                row.append([int(coefq.flat[ZIGZAG[z]]) for z in range(64)])
+            grid.append(row)
+        grids.append(grid)
+    return grids, mcux, mcuy
+
+
+class _ProgScanWriter:
+    """One scan's entropy stream with deferred EOB runs + buffered
+    correction bits (the T.81 §G.1.2 encoder side)."""
+
+    def __init__(self, codes):
+        self.bw = _BitWriter()
+        self.codes = codes  # {symbol: (code, length)}
+        self.eobrun = 0
+        self.pending_bits = []
+
+    def sym(self, s):
+        code, length = self.codes[s]
+        self.bw.put(code, length)
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            self.bw.put(b, 1)
+        self.pending_bits = []
+
+
+def _encode_jpeg_progressive(planes, w, h, sampling, scans, quant=1,
+                             ac_restart=0):
+    """Emit a progressive JPEG. `scans` is a list of scan specs:
+      ("dc_first", al) / ("dc_refine", al)            — interleaved
+      ("ac_first", comp, ss, se, al)                  — per component
+      ("ac_refine", comp, ss, se, al)                 — ah is al+1
+    `ac_restart` puts a DRI/RSTn cadence on AC scans (block units)."""
+    grids, mcux, mcuy = _quantized_block_grids(planes, w, h, sampling, quant)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    out = b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes([quant] * 64))
+    if ac_restart:
+        out += seg(0xDD, struct.pack(">H", ac_restart))
+    sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
+    for ci, (hi, vi) in enumerate(sampling):
+        sof_body += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += seg(0xC2, sof_body)
+
+    for spec in scans:
+        kind = spec[0]
+        if kind in ("dc_first", "dc_refine"):
+            al = spec[1]
+            ah = 0 if kind == "dc_first" else al + 1
+            # MCU-interleaved over every component
+            blocks = []  # (ci, zz) in scan order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (hi, vi) in enumerate(sampling):
+                        for v in range(vi):
+                            for hh in range(hi):
+                                blocks.append((ci, grids[ci][my * vi + v][mx * hi + hh]))
+            # group blocks into MCUs so DRI restarts land on MCU bounds
+            per_mcu = sum(hi * vi for hi, vi in sampling)
+            entropy = bytearray()
+            bw = _BitWriter()
+            rst = 0
+            if kind == "dc_first":
+                syms = set()
+                preds = [0] * len(planes)
+                items = []
+                for mi in range(0, len(blocks), per_mcu):
+                    if ac_restart and mi and (mi // per_mcu) % ac_restart == 0:
+                        preds = [0] * len(planes)
+                        items.append(None)  # restart sentinel
+                    for ci, zz in blocks[mi : mi + per_mcu]:
+                        v = zz[0] >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _category(diff)
+                        syms.add(s)
+                        items.append((s, diff))
+                bits, vals, codes = _fixed_table(sorted(syms))
+                out += seg(0xC4, bytes([0x00]) + bits + vals)
+                for item in items:
+                    if item is None:
+                        entropy += bw.flush()
+                        entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+                        rst += 1
+                        bw = _BitWriter()
+                        continue
+                    s, diff = item
+                    code, length = codes[s]
+                    bw.put(code, length)
+                    if s:
+                        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            else:
+                for mi in range(0, len(blocks), per_mcu):
+                    if ac_restart and mi and (mi // per_mcu) % ac_restart == 0:
+                        entropy += bw.flush()
+                        entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+                        rst += 1
+                        bw = _BitWriter()
+                    for ci, zz in blocks[mi : mi + per_mcu]:
+                        bw.put((zz[0] >> al) & 1, 1)
+            entropy += bw.flush()
+            sos = bytes([len(planes)])
+            for ci in range(len(planes)):
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([0, 0, (ah << 4) | al])
+            out += seg(0xDA, sos) + bytes(entropy)
+            continue
+
+        _, comp, ss, se, al = spec
+        hi, vi = sampling[comp]
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        bx, by = (cw + 7) // 8, (ch + 7) // 8
+        blocks = [grids[comp][gy][gx] for gy in range(by) for gx in range(bx)]
+        # first pass: symbol set (fixed-length table needs it); EOBn
+        # symbols r<<4 for r up to 14 may appear — collect exactly
+        syms = set()
+        runs = []
+        if kind == "ac_first":
+            for zz in blocks:
+                r = 0
+                for k in range(ss, se + 1):
+                    t = abs(zz[k]) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        syms.add(0xF0)
+                        r -= 16
+                    syms.add((r << 4) | t.bit_length())
+                    r = 0
+            # any EOBn length can appear; add all r the runs can need
+            nb = len(blocks)
+            for r in range((nb.bit_length() if nb else 1)):
+                syms.add(r << 4)
+        else:
+            for zz in blocks:
+                ab = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+                eobi = max((i for i, t in enumerate(ab) if t == 1), default=-1)
+                r = 0
+                for i, t in enumerate(ab):
+                    if t == 0:
+                        r += 1
+                        continue
+                    if t > 1:
+                        continue
+                    while r > 15 and i <= eobi:
+                        syms.add(0xF0)
+                        r -= 16
+                    syms.add((r << 4) | 1)
+                    r = 0
+            nb = len(blocks)
+            for r in range((nb.bit_length() if nb else 1)):
+                syms.add(r << 4)
+        bits, vals, codes = _fixed_table(sorted(syms))
+        out += seg(0xC4, bytes([0x10]) + bits + vals)
+        ah = 0 if kind == "ac_first" else al + 1
+        sos = bytes([1, comp + 1, 0x00, ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+
+        sw = _ProgScanWriter(codes)
+        entropy = bytearray()
+        rst = 0
+        for bi, zz in enumerate(blocks):
+            if ac_restart and bi and bi % ac_restart == 0:
+                sw.flush_eobrun()
+                entropy += sw.bw.flush()
+                entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                sw = _ProgScanWriter(codes)
+            if kind == "ac_first":
+                r = 0
+                for k in range(ss, se + 1):
+                    t = abs(zz[k]) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    sw.flush_eobrun()
+                    while r > 15:
+                        sw.sym(0xF0)
+                        r -= 16
+                    s = t.bit_length()
+                    sw.sym((r << 4) | s)
+                    sw.bw.put(t if zz[k] > 0 else (-t) + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    sw.eobrun += 1
+                    if sw.eobrun == 0x7FFF:
+                        sw.flush_eobrun()
+            else:  # ac_refine
+                ab = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+                eobi = max((i for i, t in enumerate(ab) if t == 1), default=-1)
+                r = 0
+                br_local = []
+                for i, t in enumerate(ab):
+                    if t == 0:
+                        r += 1
+                        continue
+                    if t > 1:
+                        br_local.append(t & 1)
+                        continue
+                    # t == 1: newly significant
+                    while r > 15 and i <= eobi:
+                        sw.flush_eobrun()
+                        sw.sym(0xF0)
+                        r -= 16
+                        for b in br_local:
+                            sw.bw.put(b, 1)
+                        br_local = []
+                    sw.flush_eobrun()
+                    sw.sym((r << 4) | 1)
+                    sw.bw.put(1 if zz[ss + i] > 0 else 0, 1)
+                    r = 0
+                    for b in br_local:
+                        sw.bw.put(b, 1)
+                    br_local = []
+                if r > 0 or br_local:
+                    sw.eobrun += 1
+                    sw.pending_bits.extend(br_local)
+                    if sw.eobrun == 0x7FFF:
+                        sw.flush_eobrun()
+        sw.flush_eobrun()
+        entropy += sw.bw.flush()
+        out += bytes(entropy)
+    return out + b"\xff\xd9"
+
+
+def test_decode_jpeg_progressive_gray_spectral_selection():
+    """DC SA + band-split AC, no AC successive approximation:
+    progressive decode must equal the baseline decode of the same
+    coefficients EXACTLY."""
+    w, h = 24, 16
+    img = np.frombuffer(_pixels(w * h, seed=61), dtype=np.uint8).reshape(h, w)
+    base = decode_jpeg(_encode_jpeg([img], w, h, [(1, 1)]))
+    scans = [("dc_first", 1), ("dc_refine", 0),
+             ("ac_first", 0, 1, 5, 0), ("ac_first", 0, 6, 63, 0)]
+    prog = decode_jpeg(_encode_jpeg_progressive([img], w, h, [(1, 1)], scans))
+    assert prog == base
+
+
+def test_decode_jpeg_progressive_gray_full_successive_approximation():
+    """The full Annex G machinery — DC SA to bit depth 2, AC first
+    scans at Al=1 with EOB runs, AC refinement scans with correction
+    bits — reassembles the exact baseline coefficients."""
+    w, h = 32, 24
+    img = np.frombuffer(_pixels(w * h, seed=62), dtype=np.uint8).reshape(h, w)
+    base = decode_jpeg(_encode_jpeg([img], w, h, [(1, 1)]))
+    scans = [
+        ("dc_first", 2), ("dc_refine", 1), ("dc_refine", 0),
+        ("ac_first", 0, 1, 5, 1), ("ac_first", 0, 6, 63, 1),
+        ("ac_refine", 0, 1, 5, 0), ("ac_refine", 0, 6, 63, 0),
+    ]
+    prog = decode_jpeg(_encode_jpeg_progressive([img], w, h, [(1, 1)], scans))
+    assert prog == base
+
+
+@pytest.mark.parametrize("sampling", [[(1, 1), (1, 1), (1, 1)],
+                                      [(2, 2), (1, 1), (1, 1)]])
+def test_decode_jpeg_progressive_color(sampling):
+    """Interleaved DC scans + per-component AC scans, 4:4:4 and 4:2:0."""
+    w, h = 16, 16
+    rgb = np.frombuffer(_pixels(w * h * 3, seed=63), dtype=np.uint8).reshape(h, w, 3)
+    y, cb, cr = _rgb_to_ycbcr_planes(rgb)
+    base = decode_jpeg(_encode_jpeg([y, cb, cr], w, h, sampling))
+    scans = [
+        ("dc_first", 1), ("dc_refine", 0),
+        ("ac_first", 0, 1, 63, 1), ("ac_refine", 0, 1, 63, 0),
+        ("ac_first", 1, 1, 63, 0),
+        ("ac_first", 2, 1, 20, 1), ("ac_refine", 2, 1, 20, 0),
+        ("ac_first", 2, 21, 63, 0),
+    ]
+    prog = decode_jpeg(_encode_jpeg_progressive([y, cb, cr], w, h, sampling, scans))
+    assert prog == base
+
+
+def test_decode_jpeg_progressive_restart_resets_eobrun():
+    """RSTn inside an AC scan must reset the EOB run and the DC
+    predictors; a mostly-flat image forces long EOB runs across the
+    restart boundary."""
+    w, h = 64, 8
+    img = np.full((h, w), 128, dtype=np.uint8)
+    img[0, 0] = 255  # one busy block, the rest all-zero AC bands
+    base = decode_jpeg(_encode_jpeg([img], w, h, [(1, 1)]))
+    scans = [("dc_first", 0), ("ac_first", 0, 1, 63, 1),
+             ("ac_refine", 0, 1, 63, 0)]
+    blob = _encode_jpeg_progressive([img], w, h, [(1, 1)], scans, ac_restart=3)
+    assert b"\xff\xd0" in blob
+    assert decode_jpeg(blob) == base
+
+
+def test_decode_jpeg_progressive_hand_vector():
+    """Hand-assembled 3-scan progressive file (DC first at Al=1, DC
+    refinement bit, AC band scan) with every entropy bit written out
+    by hand; expected pixels from the textbook double-sum IDCT."""
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # categories 0..11 at length 4
+    ac_bits = [0] * 16
+    ac_bits[1] = 2   # '00' -> EOB, '01' -> (0,2)
+    out = b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes([16] * 64))
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    # scan 1: DC first, Al=1: value 5>>1=2 -> category 2 '0010' + bits '10'
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(range(12)))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    out += bytes([0b00101011])  # '0010' '10' + pad '11'
+    # scan 2: DC refinement, Ah=1 Al=0: bit = 5 & 1 = 1
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+    out += bytes([0b11111111, 0x00])  # '1' + pad (stuffed FF)
+    # scan 3: AC band 1..63, Al=0: (0,2) '01' + '11' (=3), EOB '00'
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x00, 0x02]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    out += bytes([0b01110011])  # '01' '11' '00' + pad '11'
+    out += b"\xff\xd9"
+
+    got = np.frombuffer(decode_jpeg(out)[4], dtype=np.uint8).reshape(8, 8)
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 5 * 16   # DC (2<<1)|1 = 5, dequant x16
+    coef[0, 1] = 3 * 16   # AC zigzag 1
+    want = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (cu * cv * coef[u, v]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            want[x, y] = min(255, max(0, round(s / 4) + 128))
+    assert np.array_equal(got, want.astype(np.uint8))

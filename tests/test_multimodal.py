@@ -4,8 +4,10 @@ round 11: palette, sub-byte depths, Adam7 — the full legal IHDR
 matrix) and WAV (round 10: int PCM; round 11: 24/32-bit, IEEE float,
 WAVE_FORMAT_EXTENSIBLE), pinned by exact round-trips on containers
 generated from known arrays AND by hand-computed spec vectors immune
-to mirrored encoder/decoder bugs. MP4 stays honestly
-NotImplementedError (no demuxer in the container)."""
+to mirrored encoder/decoder bugs. JPEG (baseline + progressive) is
+covered in tests/test_jpeg_codec.py; the routing/feature integration
+lives here. MP4 stays honestly NotImplementedError (no demuxer in
+the container)."""
 
 import pyspark.sql.functions as F
 import pytest
@@ -239,10 +241,10 @@ def test_extract_features_real_decode(spark):
 
 
 def test_extract_features_real_decode_jpeg(spark):
-    """Baseline JPEG decodes for REAL end-to-end (round 11): the
+    """Huffman JPEG decodes for REAL end-to-end (round 11): the
     feature vector is the histogram of the DECODED pixels, verified
-    against decode_jpeg run directly on the same bytes; progressive
-    JPEG still raises naming libjpeg."""
+    against decode_jpeg run directly on the same bytes; an
+    arithmetic-coded JPEG still raises naming libjpeg."""
     import numpy as np
     from test_jpeg_codec import _encode_jpeg
 
@@ -261,9 +263,9 @@ def test_extract_features_real_decode_jpeg(spark):
     want = _sample_histogram(decode_jpeg(blob)[4], 0, 255, 8)
     assert [round(v, 6) for v in out[1]] == want
 
-    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    arith = blob.replace(b"\xff\xc0", b"\xff\xc9", 1)
     df2 = attach_meta(spark.createDataFrame(
-        [(2, prog)], "media_id long, media binary"))
+        [(2, arith)], "media_id long, media binary"))
     with pytest.raises(Exception, match="libjpeg"):
         extract_features(df2, decode_stub=False).collect()
 
@@ -872,8 +874,9 @@ def test_decode_features_float_wav_histogram():
 
 def test_with_jpeg_profile_routes_decodable_vs_gated(spark):
     """The bounded SOF scan exposes the coding profile, so a mixed
-    corpus routes baseline jpegs to the real decoder and quarantines
-    progressive ones BEFORE any Python decode stage."""
+    corpus routes huffman jpegs (baseline/extended/progressive) to the
+    real decoder and quarantines arithmetic-coded ones BEFORE any
+    Python decode stage."""
     import numpy as np
     from test_jpeg_codec import _encode_jpeg
 
@@ -889,23 +892,25 @@ def test_with_jpeg_profile_routes_decodable_vs_gated(spark):
     base = _encode_jpeg([img], 8, 8, [(1, 1)])
     prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
     ext = _encode_jpeg([img], 8, 8, [(1, 1)], sof=0xC1)
+    arith = base.replace(b"\xff\xc0", b"\xff\xc9", 1)
     assert parse_jpeg_sof(base)[0] == 0xC0
     assert parse_jpeg_sof(prog)[0] == 0xC2
 
-    rows = [(1, base), (2, prog), (3, ext),
+    rows = [(1, base), (2, prog), (3, ext), (6, arith),
             (4, _encode_png(_pixels(16), 4, 4, 1)), (5, b"junk")]
     df = with_jpeg_profile(parse_media_headers(
         spark.createDataFrame(rows, "media_id long, media binary")))
     out = {r.media_id: r.jpeg_profile for r in df.collect()}
     assert out == {1: "baseline", 2: "progressive", 3: "extended",
-                   4: None, 5: None}
+                   6: "arith-sequential", 4: None, 5: None}
 
     decodable = df.where(
         F.col("media_meta.format").isin("png", "wav")
         | F.col("jpeg_profile").isin(*JPEG_DECODABLE_PROFILES))
     feats = {r.media_id for r in
              extract_features(decodable, decode_stub=False).collect()}
-    assert feats == {1, 3, 4}  # progressive + junk never reach Python decode
+    # arithmetic-coded + junk never reach Python decode
+    assert feats == {1, 2, 3, 4}
 
 
 # ---------------------------------------------------------------------

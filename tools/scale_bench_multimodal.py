@@ -10,11 +10,11 @@ increasing corpus sizes:
 - classify   — parse_media_headers (pure column exprs, JVM-side)
 - jpegdim    — with_jpeg_dimensions + with_jpeg_profile (bounded-prefix
                Arrow SOF scan: dimensions AND coding profile)
-- route+decode — filter to png/wav/baseline-jpeg then
+- route+decode — filter to png/wav/huffman-jpeg then
                  extract_features(decode_stub=False) (real stdlib
-                 codecs — incl. the round-11 baseline-JPEG decoder —
-                 in Arrow-batched mapInPandas); progressive jpegs are
-                 routed away, never crash the stage
+                 codecs — incl. the round-11 JPEG decoder —
+                 in Arrow-batched mapInPandas); arithmetic-coded
+                 jpegs are routed away, never crash the stage
 - repartition_by_files — sizing from file metadata (no payload scan)
 
 Each row reports wall seconds, corpus bytes, and MB/s. The 100 TB
@@ -64,11 +64,12 @@ def make_wav(rate: int, seed: int, n: int) -> bytes:
             + b"data" + struct.pack("<I", len(pcm)) + pcm)
 
 
-def make_jpeg_progressive(w: int, h: int, pad: int) -> bytes:
-    """Structurally-valid PROGRESSIVE header: routable, not decodable."""
+def make_jpeg_arith(w: int, h: int, pad: int) -> bytes:
+    """Structurally-valid ARITHMETIC-CODED header (SOF9): routable,
+    honestly not decodable without libjpeg."""
     app0 = b"\xff\xe0" + struct.pack(">H", 4 + pad) + b"JF" + b"\x00" * pad
     sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
-    sof = b"\xff\xc2" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    sof = b"\xff\xc9" + struct.pack(">H", 2 + len(sof_body)) + sof_body
     sos = b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
     return b"\xff\xd8" + app0 + sof + sos + b"\x5a" * 2048 + b"\xff\xd9"
 
@@ -110,7 +111,7 @@ def synthesize(spark, m: int, out: str) -> int:
             if i % 2 == 0:
                 rows.append((mid, make_jpeg_baseline(320 + 8 * (i % 7), 200 + 8 * (i % 5), dc=i % 100)))
             else:
-                rows.append((mid, make_jpeg_progressive(320 + i % 7, 200 + i % 5, pad=i % 300)))
+                rows.append((mid, make_jpeg_arith(320 + i % 7, 200 + i % 5, pad=i % 300)))
             mid += 1
             rows.append((mid, b"junk" + bytes([(k + i) % 256]) * 512)); mid += 1
     df = spark.createDataFrame(rows, "media_id long, media binary")
