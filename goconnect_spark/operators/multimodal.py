@@ -31,11 +31,13 @@ batching, partition sizing) is real and tested. The codec layer
   chroma upsample, YCbCr->RGB; arithmetic-coded/lossless/12-bit/CMYK
   raise NotImplementedError naming libjpeg.
 
-The write path is real too: `encode_png` (stdlib zlib) makes
-decode -> transform -> re-encode pipelines losslessly round-trippable,
-and `resize_images` (decode, exact-integer nearest/bilinear resample,
-re-encode PNG) completes the decode / feature-extract / resize /
-frame-sample quartet.
+The write path is real too: `encode_png` / `encode_wav` (stdlib)
+make decode -> transform -> re-encode pipelines losslessly
+round-trippable; `resize_images` (decode, exact-integer
+nearest/bilinear resample, re-encode PNG) and `resample_audio`
+(exact-integer linear PCM resample — the normalize-to-16kHz step)
+complete the decode / feature-extract / resize / frame-sample
+quartet for both modalities.
 
 MP4 genuinely needs an MPEG demuxer, which this container does not
 ship, so it raises NotImplementedError naming the dependency.
@@ -773,6 +775,115 @@ def resize_image_bytes(data: bytes, out_w: int, out_h: int,
         raise ValueError(f"unknown resize method {method!r}")
     return encode_png(np.ascontiguousarray(out).tobytes(), out_w, out_h,
                       ch, depth)
+
+
+def encode_wav(samples: list, sample_rate: int, n_channels: int,
+               bits: int = 16) -> bytes:
+    """Real stdlib WAV ENCODER — the write path that pairs
+    `decode_wav`: canonical RIFF/fmt/data layout, integer PCM at
+    8 (unsigned) / 16 / 24 / 32 bits or IEEE float32/float64 when the
+    samples are floats. `decode_wav(encode_wav(s, ...))` is the
+    identity (pinned in tests)."""
+    import struct
+
+    is_float = bool(samples) and isinstance(samples[0], float)
+    if is_float:
+        if bits not in (32, 64):
+            raise ValueError("float WAV must be 32- or 64-bit")
+        fmt_code = 3
+        pcm = struct.pack(f"<{len(samples)}{'f' if bits == 32 else 'd'}", *samples)
+    elif bits == 16:
+        fmt_code = 1
+        pcm = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        fmt_code = 1
+        pcm = bytes(samples)
+    elif bits == 24:
+        fmt_code = 1
+        pcm = b"".join(int(v).to_bytes(3, "little", signed=True) for v in samples)
+    elif bits == 32:
+        fmt_code = 1
+        pcm = struct.pack(f"<{len(samples)}i", *samples)
+    else:
+        raise ValueError(f"cannot encode {bits}-bit WAV")
+    block = n_channels * bits // 8
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt_code, n_channels,
+                                    sample_rate, sample_rate * block, block, bits)
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def resample_audio_bytes(data: bytes, out_rate: int) -> bytes:
+    """Decode a WAV, linearly resample each channel to `out_rate`, and
+    re-encode at the same sample format — the normalize-to-16kHz step
+    every audio training pipeline runs.
+
+    Integer PCM resamples in EXACT integer arithmetic (source position
+    of output frame i is the rational i*in_rate/out_rate, so the
+    interpolation is an integer weighted sum rounded half-up — no
+    float ties, bit-identical everywhere, the same idiom as the
+    bilinear image resize). Float PCM interpolates in float64.
+    Output frame count is ceil(n_frames * out_rate / in_rate), frame 0
+    aligned (src = i * in/out)."""
+    if data is None:
+        raise ValueError("cannot resample NULL media")
+    in_rate, ch, bits, samples = decode_wav(data)
+    if out_rate <= 0:
+        raise ValueError("out_rate must be positive")
+    n_frames = len(samples) // ch
+    if in_rate == out_rate or n_frames == 0:
+        return encode_wav(samples, out_rate, ch, bits)
+    n_out = -(-n_frames * out_rate // in_rate)  # ceil
+    is_float = bool(samples) and isinstance(samples[0], float)
+    out: list = []
+    for i in range(n_out):
+        num = i * in_rate  # src = num / out_rate, exact rational
+        i0 = num // out_rate
+        frac = num - i0 * out_rate  # 0..out_rate-1
+        i1 = min(i0 + 1, n_frames - 1)
+        for c in range(ch):
+            a = samples[i0 * ch + c]
+            b = samples[i1 * ch + c]
+            if is_float:
+                out.append(a + (b - a) * (frac / out_rate))
+            else:
+                v = a * (out_rate - frac) + b * frac
+                out.append((2 * v + out_rate) // (2 * out_rate))  # round half up
+    return encode_wav(out, out_rate, ch, bits)
+
+
+def resample_audio(df: DataFrame, out_rate: int, media_col: str = "media",
+                   id_col: str = "media_id") -> DataFrame:
+    """WAV bytes -> resampled WAV bytes via Arrow-batched mapInPandas —
+    the audio twin of `resize_images` (route non-wav formats away
+    first; they raise the decoder's documented errors here)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out_media = [
+                resample_audio_bytes(None if b is None else bytes(b), out_rate)
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "media": out_media,
+                    "media_meta": [
+                        {
+                            "kind": "audio", "format": "wav",
+                            "width": None, "height": None,
+                            "sample_rate": out_rate, "n_channels": None,
+                            "n_frames": None, "duration_ms": None,
+                            "n_bytes": len(m),
+                        }
+                        for m in out_media
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=_RESIZE_SCHEMA)
 
 
 _RESIZE_SCHEMA = (

@@ -1053,3 +1053,119 @@ def test_resize_gated_formats_raise_documented_errors():
         resize_image_bytes(b"RIFF0000WAVEfmt ", 4, 4)
     with pytest.raises(ValueError):
         resize_image_bytes(None, 4, 4)
+
+
+# ---------------------------------------------------------------------
+# Round 11: audio resampling (decode -> exact-integer linear resample
+# -> re-encode) and the WAV write path.
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits,samples", [
+    (8, [0, 128, 255, 1, 254]),
+    (16, [0, 1, -1, 32767, -32768, 777]),
+    (24, [0, 8388607, -8388608, 70000, -70000]),
+    (32, [0, 2147483647, -2147483648, 123456789]),
+    (32, [0.0, 0.5, -0.5, 1.0, -1.0]),
+    (64, [0.1, -0.2, 0.3]),
+])
+def test_encode_wav_decode_identity(bits, samples):
+    from goconnect_spark.operators.multimodal import decode_wav, encode_wav
+
+    got = decode_wav(encode_wav(samples, 16000, 1, bits))
+    assert got == (16000, 1, bits, samples)
+
+
+def test_resample_audio_hand_vectors():
+    from goconnect_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio_bytes,
+    )
+
+    # 2x upsample of [0, 100]: src positions 0, 0.5, 1, 1.5 ->
+    # 0, 50, 100, 100 (edge clamp) — written by hand
+    blob = encode_wav([0, 100], 8000, 1, 16)
+    got = decode_wav(resample_audio_bytes(blob, 16000))
+    assert got == (16000, 1, 16, [0, 50, 100, 100])
+    # 2x downsample picks every other frame exactly
+    blob = encode_wav([10, 20, 30, 40, 50, 60], 16000, 1, 16)
+    got = decode_wav(resample_audio_bytes(blob, 8000))
+    assert got == (8000, 1, 16, [10, 30, 50])
+    # same-rate is the identity
+    blob = encode_wav([5, -5, 7], 22050, 1, 16)
+    assert decode_wav(resample_audio_bytes(blob, 22050)) == (22050, 1, 16, [5, -5, 7])
+    # stereo interleaving preserved: L channel 0,100 R channel 100,0
+    blob = encode_wav([0, 100, 100, 0], 8000, 2, 16)
+    got = decode_wav(resample_audio_bytes(blob, 16000))
+    assert got == (16000, 2, 16, [0, 100, 50, 50, 100, 0, 100, 0])
+
+
+def test_resample_audio_against_independent_fraction_formula():
+    """Exact-rational independent check (same idiom as the bilinear
+    test): 44100 -> 16000 is a non-trivial ratio with every frac value
+    exercised."""
+    from fractions import Fraction
+
+    from goconnect_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio_bytes,
+    )
+
+    src = [((i * 977) % 4001) - 2000 for i in range(100)]
+    got = decode_wav(resample_audio_bytes(encode_wav(src, 44100, 1, 16), 16000))
+    assert got[0] == 16000
+    n_out = -(-len(src) * 16000 // 44100)
+    assert len(got[3]) == n_out
+    import math
+
+    half = Fraction(1, 2)
+    for i, v in enumerate(got[3]):
+        pos = Fraction(i * 44100, 16000)
+        i0 = int(pos)
+        i1 = min(i0 + 1, len(src) - 1)
+        frac = pos - i0
+        # round half up = floor(x + 1/2); int() would truncate
+        # negatives toward zero, which is NOT the operator contract
+        want = math.floor(src[i0] * (1 - frac) + src[i1] * frac + half)
+        assert v == want, (i, v, want)
+
+
+def test_resample_audio_float_and_24bit():
+    from goconnect_spark.operators.multimodal import (
+        decode_wav,
+        resample_audio_bytes,
+    )
+
+    # float PCM resamples in float64 and stays float32 on re-encode
+    from goconnect_spark.operators.multimodal import encode_wav
+
+    blob = encode_wav([0.0, 1.0], 8000, 1, 32)
+    rate, ch, bits, samples = decode_wav(resample_audio_bytes(blob, 16000))
+    assert (rate, ch, bits) == (16000, 1, 32)
+    assert samples == [0.0, 0.5, 1.0, 1.0]
+    # 24-bit int stays 24-bit
+    blob = encode_wav([0, 1000000], 8000, 1, 24)
+    rate, ch, bits, samples = decode_wav(resample_audio_bytes(blob, 16000))
+    assert (rate, ch, bits, samples) == (16000, 1, 24, [0, 500000, 1000000, 1000000])
+
+
+def test_resample_audio_operator_end_to_end(spark):
+    from goconnect_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        parse_media_headers,
+        resample_audio,
+    )
+
+    rows = [
+        (1, encode_wav([0, 100, 200, 300], 8000, 1, 16)),
+        (2, encode_wav(list(range(0, 440, 10)), 44100, 1, 16)),
+    ]
+    df = parse_media_headers(spark.createDataFrame(rows, "media_id long, media binary"))
+    out = {r.media_id: r for r in resample_audio(df, 16000).collect()}
+    for r in out.values():
+        rate, ch, bits, _ = decode_wav(bytes(r.media))
+        assert (rate, ch, bits) == (16000, 1, 16)
+        assert (r.media_meta.format, r.media_meta.sample_rate) == ("wav", 16000)
