@@ -23,6 +23,8 @@ Stages (each a real operator from goconnect_spark.operators.multimodal):
   4b. resize_images — image rows decoded, exact-integer bilinear
      resample to a uniform thumbnail, re-encoded as PNG (the write
      path is real too: encode_png)
+  4c. resample_audio — wav rows normalized to 16 kHz (exact-integer
+     linear PCM resample, encode_wav re-encode)
   5. aggregate the feature vectors per media kind
 
 Run: python examples/multimodal_media_pipeline.py
@@ -43,6 +45,7 @@ from goconnect_spark.operators.multimodal import (  # noqa: E402
     extract_features,
     media_repartition,
     parse_media_headers,
+    resample_audio,
     resize_images,
     with_jpeg_dimensions,
     with_jpeg_profile,
@@ -160,6 +163,14 @@ def main() -> None:
         method="bilinear")
     print("-- resized thumbnails (decode -> bilinear -> encode_png) --")
     thumbs.groupBy("media_meta.format", "media_meta.width", "media_meta.height") \
+        .count().show()
+
+    # 4c. normalize the audio slice to 16 kHz (exact-integer linear
+    # resample; sample width preserved)
+    audio16k = resample_audio(
+        decodable.where(F.col("media_meta.kind") == "audio"), 16000)
+    print("-- audio normalized to 16 kHz (decode -> resample -> encode_wav) --")
+    audio16k.groupBy("media_meta.format", "media_meta.sample_rate") \
         .count().show()
 
     print("-- quarantined (never reached the Python stage) --")
