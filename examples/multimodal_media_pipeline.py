@@ -8,7 +8,7 @@ one bad blob can't fail a 100 TB job.
 Stages (each a real operator from goconnect_spark.operators.multimodal):
   1. synthesize a mixed media corpus (genuine PNG/WAV/baseline-JPEG
      containers built from known arrays, plus an arithmetic-coded
-     JPEG header, an mp4 header and junk bytes)
+     JPEG header, a structured mp4 container and junk bytes)
   2. parse_media_headers — format/dims/rate via pure column exprs
      (whole-stage codegen; reads only each blob's leading bytes)
   2b. with_jpeg_dimensions / with_jpeg_profile — bounded-prefix SOF
@@ -49,6 +49,7 @@ from goconnect_spark.operators.multimodal import (  # noqa: E402
     resize_images,
     with_jpeg_dimensions,
     with_jpeg_profile,
+    with_mp4_metadata,
 )
 from goconnect_spark.session import get_spark  # noqa: E402
 
@@ -118,7 +119,21 @@ def main() -> None:
     sof9 = b"\xff\xc9" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 200, 320) + bytes([1, 1, 0x11, 0])
     rows.append((23, b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
                  + sof9 + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00 entropy"))
-    rows.append((24, b"\x00\x00\x00\x18ftypisom pretend mp4"))
+    # a structured mp4: ftyp + moov (mvhd/tkhd/stts) + mdat — decode
+    # is codec territory, but the metadata routes for real
+    import struct as _s
+
+    def _bx(t, p):
+        return _s.pack(">I", 8 + len(p)) + t + p
+    mvhd = bytes(4) + _s.pack(">II", 1, 2) + _s.pack(">II", 1000, 7500) + bytes(80)
+    tkhd = (bytes(4) + _s.pack(">III", 1, 2, 3) + bytes(4) + _s.pack(">I", 7500)
+            + bytes(16) + bytes(36) + _s.pack(">II", 640 << 16, 360 << 16))
+    stts = _bx(b"stts", bytes(4) + _s.pack(">I", 1) + _s.pack(">II", 180, 512))
+    trak = _bx(b"trak", _bx(b"tkhd", tkhd)
+               + _bx(b"mdia", _bx(b"minf", _bx(b"stbl", stts))))
+    rows.append((24, _bx(b"ftyp", b"isom" + _s.pack(">I", 512))
+                 + _bx(b"mdat", b"\x5a" * 64)
+                 + _bx(b"moov", _bx(b"mvhd", mvhd) + trak)))
     rows.append((25, b"not media at all"))
     corpus = spark.createDataFrame(rows, "media_id long, media binary")
 
@@ -130,7 +145,7 @@ def main() -> None:
 
     # 2b. JPEG dimensions + coding profile via the bounded-prefix SOF
     # scan (Arrow UDF over the leading bytes only)
-    classified = with_jpeg_profile(with_jpeg_dimensions(classified))
+    classified = with_mp4_metadata(with_jpeg_profile(with_jpeg_dimensions(classified)))
     print("-- image rows routable by dimensions (incl. jpeg via SOF scan) --")
     classified.where(F.col("media_meta.kind") == "image") \
         .select("media_id", "media_meta.format", "jpeg_profile",
@@ -174,7 +189,10 @@ def main() -> None:
         .count().show()
 
     print("-- quarantined (never reached the Python stage) --")
-    quarantined.select("media_id", "media_meta.format").orderBy("media_id").show()
+    print("   (the mp4 row still ROUTES on real container metadata)")
+    quarantined.select("media_id", "media_meta.format", "media_meta.width",
+                       "media_meta.n_frames", "media_meta.duration_ms") \
+        .orderBy("media_id").show()
 
     spark.stop()
 

@@ -39,8 +39,12 @@ nearest/bilinear resample, re-encode PNG) and `resample_audio`
 complete the decode / feature-extract / resize / frame-sample
 quartet for both modalities.
 
-MP4 genuinely needs an MPEG demuxer, which this container does not
-ship, so it raises NotImplementedError naming the dependency.
+MP4 pixel/sample DECODE genuinely needs an MPEG demuxer+codec, which
+this container does not ship, so it raises NotImplementedError naming
+the dependency — but the container METADATA (duration, track count,
+video dimensions, frame count) is plain ISO BMFF structure and
+`parse_mp4_metadata` / `with_mp4_metadata` read it for real, so video
+corpora route on duration/resolution without any codec.
 `decode_stub=True` keeps the old deterministic byte-histogram
 stand-in for format-agnostic plumbing tests; with
 `decode_stub=False` the features are computed from the DECODED
@@ -127,9 +131,10 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
             (dimensions live in variable-position SOF markers; use
             `with_jpeg_dimensions` for a bounded-prefix Arrow scan).
     - MP4:  ISO BMFF 'ftyp' box at byte offset 4 — format detection
-            only (track metadata lives in the moov box, demuxer
-            territory). Keeps the routing story consistent with
-            decode_features, which names av/ffmpeg for mp4.
+            here; duration/resolution/frame-count via
+            `with_mp4_metadata` (a pure box walk — the moov box is
+            structured data, not codec territory). Pixel DECODE still
+            honestly names av/ffmpeg in decode_features.
 
     Everything is whole-stage-codegen Spark SQL (substring/conv/hex),
     so header classification of a 100 TB corpus never leaves the JVM
@@ -310,6 +315,160 @@ def with_jpeg_dimensions(df: DataFrame, media_col: str = "media",
             m["n_channels"].alias("n_channels"),
             m["n_frames"].alias("n_frames"),
             m["duration_ms"].alias("duration_ms"),
+            m["n_bytes"].alias("n_bytes"),
+        ),
+    )
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the ISO BMFF
+    boxes in data[start:end] (ISO/IEC 14496-12 §4.2: u32 size + fourcc,
+    size==1 -> u64 largesize, size==0 -> to end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        btype = data[pos + 4 : pos + 8]
+        payload = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            payload = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return  # malformed/truncated: stop, don't guess
+        yield btype, payload, pos + size
+        pos += size
+
+
+def parse_mp4_metadata(data: Optional[bytes]) -> Optional[dict]:
+    """REAL MP4 container metadata with only the stdlib — the honest
+    counterpart to 'decode needs av/ffmpeg': the moov box is plain
+    structured data (ISO/IEC 14496-12), so duration, track count,
+    video dimensions and sample (frame) count are all readable without
+    any codec.
+
+    Returns {'major_brand', 'duration_ms', 'n_tracks', 'width',
+    'height', 'n_frames'} (individual keys None when the box is
+    absent/odd), or None when the bytes are not an ISO BMFF container.
+    Works for moov-first (faststart) AND moov-last files — the box
+    walk skips mdat by its declared size without reading it.
+
+    Box path used: mvhd -> timescale+duration (v0 u32s / v1 u64s);
+    per trak: tkhd -> 16.16-fixed width/height (video tracks have
+    nonzero width), mdia/minf/stbl/stts -> n_frames = sum of
+    sample counts (§8.6.1.2)."""
+    if data is None or len(data) < 12 or bytes(data[4:8]) != b"ftyp":
+        return None
+    data = bytes(data)
+    out = {"major_brand": data[8:12].decode("latin1"), "duration_ms": None,
+           "n_tracks": None, "width": None, "height": None, "n_frames": None}
+
+    def find(children, name):
+        for t, s, e in children:
+            if t == name:
+                return (s, e)
+        return None
+
+    for btype, s, e in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        kids = list(_mp4_boxes(data, s, e))
+        mvhd = find(kids, b"mvhd")
+        if mvhd and mvhd[1] - mvhd[0] >= 20:
+            ms, _ = mvhd
+            version = data[ms]
+            if version == 1 and mvhd[1] - mvhd[0] >= 32:
+                timescale = int.from_bytes(data[ms + 20 : ms + 24], "big")
+                duration = int.from_bytes(data[ms + 24 : ms + 32], "big")
+            else:
+                timescale = int.from_bytes(data[ms + 12 : ms + 16], "big")
+                duration = int.from_bytes(data[ms + 16 : ms + 20], "big")
+            if timescale:
+                out["duration_ms"] = duration * 1000 // timescale
+        n_tracks = 0
+        for t, ts, te in kids:
+            if t != b"trak":
+                continue
+            n_tracks += 1
+            tkids = list(_mp4_boxes(data, ts, te))
+            tkhd = find(tkids, b"tkhd")
+            if tkhd:
+                ks, ke = tkhd
+                version = data[ks]
+                woff = ks + (88 if version == 1 else 76)
+                if woff + 8 <= ke:
+                    w = int.from_bytes(data[woff : woff + 4], "big") >> 16
+                    h = int.from_bytes(data[woff + 4 : woff + 8], "big") >> 16
+                    if w and h:  # a video track; audio tracks are 0x0
+                        out["width"], out["height"] = w, h
+                        mdia = find(tkids, b"mdia")
+                        if mdia:
+                            minf = find(list(_mp4_boxes(data, *mdia)), b"minf")
+                            if minf:
+                                stbl = find(list(_mp4_boxes(data, *minf)), b"stbl")
+                                if stbl:
+                                    stts = find(list(_mp4_boxes(data, *stbl)), b"stts")
+                                    if stts and stts[1] - stts[0] >= 8:
+                                        ss, se = stts
+                                        n = int.from_bytes(data[ss + 4 : ss + 8], "big")
+                                        total = 0
+                                        for i in range(n):
+                                            o = ss + 8 + 8 * i
+                                            if o + 8 > se:
+                                                total = None
+                                                break
+                                            total += int.from_bytes(data[o : o + 4], "big")
+                                        out["n_frames"] = total
+        out["n_tracks"] = n_tracks
+    return out
+
+
+def with_mp4_metadata(df: DataFrame, media_col: str = "media",
+                      meta_col: str = "media_meta") -> DataFrame:
+    """Fill width/height/n_frames/duration_ms for rows classified mp4,
+    so video pipelines can route/filter on duration and resolution
+    BEFORE hitting decode's honest NotImplementedError.
+
+    Scale note: unlike the JPEG SOF scan, mp4 metadata legitimately
+    lives at EITHER end of the container (moov-last is the historical
+    default; faststart moves it up front), so mp4 rows pass the whole
+    blob to the Arrow worker — but ONLY mp4 rows (others pass NULL),
+    and the box walk itself skips mdat by declared size. Route with
+    parse_media_headers first so the column pruned to this UDF is the
+    video slice, not the corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<width:int,height:int,n_frames:int,duration_ms:bigint>")
+    def _meta(blob: pd.Series) -> pd.DataFrame:
+        ws, hs, fs, ds = [], [], [], []
+        for b in blob:
+            r = parse_mp4_metadata(None if b is None else bytes(b))
+            ws.append(None if r is None else r["width"])
+            hs.append(None if r is None else r["height"])
+            fs.append(None if r is None else r["n_frames"])
+            ds.append(None if r is None else r["duration_ms"])
+        return pd.DataFrame({
+            "width": pd.array(ws, dtype="Int32"),
+            "height": pd.array(hs, dtype="Int32"),
+            "n_frames": pd.array(fs, dtype="Int32"),
+            "duration_ms": pd.array(ds, dtype="Int64"),
+        })
+
+    m = F.col(meta_col)
+    d = _meta(F.when(m["format"] == "mp4", F.col(media_col)))
+    return df.withColumn(
+        meta_col,
+        F.struct(
+            m["kind"].alias("kind"),
+            m["format"].alias("format"),
+            F.coalesce(m["width"], d["width"]).cast("int").alias("width"),
+            F.coalesce(m["height"], d["height"]).cast("int").alias("height"),
+            m["sample_rate"].alias("sample_rate"),
+            m["n_channels"].alias("n_channels"),
+            F.coalesce(m["n_frames"], d["n_frames"]).cast("int").alias("n_frames"),
+            F.coalesce(m["duration_ms"], d["duration_ms"]).cast("bigint").alias("duration_ms"),
             m["n_bytes"].alias("n_bytes"),
         ),
     )

@@ -1169,3 +1169,101 @@ def test_resample_audio_operator_end_to_end(spark):
         rate, ch, bits, _ = decode_wav(bytes(r.media))
         assert (rate, ch, bits) == (16000, 1, 16)
         assert (r.media_meta.format, r.media_meta.sample_rate) == ("wav", 16000)
+
+
+# ---------------------------------------------------------------------
+# Round 11: MP4 container metadata (ISO BMFF box walk — no codec).
+# ---------------------------------------------------------------------
+
+
+def _box(btype, payload):
+    import struct
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4(moov_last=False, version=0, timescale=1000, duration=5000,
+         w=320, h=240, frame_counts=(24, 36), with_audio=True):
+    """Hand-built ISO BMFF container: ftyp + moov(mvhd + audio trak +
+    video trak(tkhd + mdia/minf/stbl/stts)) + mdat, with the moov box
+    before or after mdat."""
+    import struct
+
+    if version == 0:
+        mvhd = bytes([0, 0, 0, 0]) + struct.pack(">II", 1, 2) \
+            + struct.pack(">II", timescale, duration) + bytes(80)
+    else:
+        mvhd = bytes([1, 0, 0, 0]) + struct.pack(">QQ", 1, 2) \
+            + struct.pack(">I", timescale) + struct.pack(">Q", duration) + bytes(80)
+
+    def tkhd(width, height, ver=0):
+        if ver == 0:
+            head = bytes([0, 0, 0, 0]) + struct.pack(">III", 1, 2, 3) \
+                + bytes(4) + struct.pack(">I", duration)
+        else:
+            head = bytes([1, 0, 0, 0]) + struct.pack(">QQI", 1, 2, 3) \
+                + bytes(4) + struct.pack(">Q", duration)
+        return (head + bytes(8) + bytes(2 + 2 + 2 + 2) + bytes(36)
+                + struct.pack(">II", width << 16, height << 16))
+
+    stts_payload = bytes(4) + struct.pack(">I", len(frame_counts))
+    for n in frame_counts:
+        stts_payload += struct.pack(">II", n, 512)
+    stbl = _box(b"stts", stts_payload)
+    video_trak = _box(b"trak", _box(b"tkhd", tkhd(w, h, ver=version))
+                      + _box(b"mdia", _box(b"minf", _box(b"stbl", stbl))))
+    audio_trak = _box(b"trak", _box(b"tkhd", tkhd(0, 0)))
+    moov = _box(b"moov", _box(b"mvhd", mvhd)
+                + (audio_trak if with_audio else b"") + video_trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp42")
+    mdat = _box(b"mdat", b"\x5a" * 256)
+    return ftyp + (mdat + moov if moov_last else moov + mdat)
+
+
+def test_parse_mp4_metadata_box_walk():
+    from goconnect_spark.operators.multimodal import parse_mp4_metadata
+
+    for moov_last in (False, True):
+        for version in (0, 1):
+            got = parse_mp4_metadata(_mp4(moov_last=moov_last, version=version))
+            assert got == {
+                "major_brand": "isom", "duration_ms": 5000,
+                "n_tracks": 2, "width": 320, "height": 240,
+                "n_frames": 60,
+            }, (moov_last, version, got)
+    # odd timescale: 90kHz clock, 90000*2.5 ticks -> 2500 ms
+    got = parse_mp4_metadata(_mp4(timescale=90000, duration=225000))
+    assert got["duration_ms"] == 2500
+    # video-only container
+    got = parse_mp4_metadata(_mp4(with_audio=False))
+    assert (got["n_tracks"], got["width"]) == (1, 320)
+    # non-mp4 and malformed inputs are None / partial, never a crash
+    assert parse_mp4_metadata(b"not media") is None
+    assert parse_mp4_metadata(None) is None
+    trunc = _mp4()[:40]  # ftyp ok, moov cut off
+    got = parse_mp4_metadata(trunc)
+    assert got is not None and got["duration_ms"] is None
+
+
+def test_with_mp4_metadata_routes_video(spark):
+    from goconnect_spark.operators.multimodal import (
+        parse_media_headers,
+        with_mp4_metadata,
+    )
+
+    rows = [
+        (1, _mp4(moov_last=True)),
+        (2, _mp4(version=1, timescale=600, duration=1200, w=1920, h=1080,
+                 frame_counts=(48,))),
+        (3, _encode_png(_pixels(16), 4, 4, 1)),
+        (4, b"junk bytes"),
+    ]
+    df = with_mp4_metadata(parse_media_headers(
+        spark.createDataFrame(rows, "media_id long, media binary")))
+    assert df.schema["media_meta"].dataType.simpleString() == MEDIA_META_SCHEMA
+    out = {r.media_id: r.media_meta for r in df.collect()}
+    assert (out[1].format, out[1].width, out[1].height,
+            out[1].n_frames, out[1].duration_ms) == ("mp4", 320, 240, 60, 5000)
+    assert (out[2].width, out[2].height, out[2].n_frames,
+            out[2].duration_ms) == (1920, 1080, 48, 2000)
+    assert (out[3].format, out[3].width, out[3].n_frames) == ("png", 4, None)
+    assert out[4].format == "unknown" and out[4].duration_ms is None
