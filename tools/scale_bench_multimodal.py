@@ -16,6 +16,10 @@ increasing corpus sizes:
                  in Arrow-batched mapInPandas); arithmetic-coded
                  jpegs are routed away, never crash the stage
 - repartition_by_files — sizing from file metadata (no payload scan)
+- resize      — image rows: decode -> exact-integer bilinear 32x32 ->
+                encode_png (round-11 write path)
+- resample    — wav rows: decode -> exact-integer linear resample to
+                16 kHz -> encode_wav
 
 Each row reports wall seconds, corpus bytes, and MB/s. The 100 TB
 question per stage: classify/jpegdim must track bytes READ (leading
@@ -126,6 +130,8 @@ def main() -> None:
         extract_features,
         media_repartition_by_files,
         parse_media_headers,
+        resample_audio,
+        resize_images,
         with_jpeg_dimensions,
         with_jpeg_profile,
     )
@@ -160,6 +166,17 @@ def main() -> None:
             n_feat = extract_features(sized, decode_stub=False).count()
             t_decode = time.time() - t0
 
+            t0 = time.time()
+            n_resized = resize_images(
+                sized.where(F.col("media_meta.kind") == "image"),
+                32, 32, method="bilinear").count()
+            t_resize = time.time() - t0
+
+            t0 = time.time()
+            n_resampled = resample_audio(
+                sized.where(F.col("media_meta.kind") == "audio"), 16000).count()
+            t_resample = time.time() - t0
+
             print(json.dumps({
                 "m": m, "blobs": 4 * N_BASE * m, "mb": round(mb, 1),
                 "classify_s": round(t_classify, 2),
@@ -167,6 +184,8 @@ def main() -> None:
                 "jpegdim_s": round(t_jpegdim, 2),
                 "decode_s": round(t_decode, 2),
                 "decode_mb_s": round(mb / t_decode, 1),
+                "resize_s": round(t_resize, 2), "n_resized": n_resized,
+                "resample_s": round(t_resample, 2), "n_resampled": n_resampled,
                 "n_sized_dims": n_dim, "n_decoded": n_feat,
                 "counts": counts,
             }), flush=True)
