@@ -425,6 +425,102 @@ def parse_mp4_metadata(data: Optional[bytes]) -> Optional[dict]:
     return out
 
 
+def parse_mp4_video_samples(data: Optional[bytes]) -> Optional[list]:
+    """REAL demuxer-lite: the byte ranges of the first video track's
+    samples (encoded frames), from the ISO BMFF sample tables — no
+    codec. Returns [(file_offset, size), ...] in decode order, or
+    None when the bytes aren't an MP4 / the tables are absent.
+
+    Box path: moov/trak[video]/mdia/minf/stbl/{stsz, stsc, stco|co64}
+    (ISO/IEC 14496-12 §8.7). stsc runs are expanded per chunk; sample
+    i of a chunk starts at the chunk's stco offset plus the sizes of
+    the preceding samples in that chunk. Decoding the returned
+    payloads still needs a video codec — slicing them does not."""
+    if data is None or len(data) < 12 or bytes(data[4:8]) != b"ftyp":
+        return None
+    data = bytes(data)
+
+    def find(children, name):
+        for t, s, e in children:
+            if t == name:
+                return (s, e)
+        return None
+
+    for btype, s, e in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for t, ts, te in _mp4_boxes(data, s, e):
+            if t != b"trak":
+                continue
+            tkids = list(_mp4_boxes(data, ts, te))
+            tkhd = find(tkids, b"tkhd")
+            if not tkhd:
+                continue
+            ks, ke = tkhd
+            woff = ks + (88 if data[ks] == 1 else 76)
+            if woff + 8 > ke or not int.from_bytes(data[woff : woff + 4], "big"):
+                continue  # not a video track
+            mdia = find(tkids, b"mdia")
+            if not mdia:
+                continue
+            minf = find(list(_mp4_boxes(data, *mdia)), b"minf")
+            if not minf:
+                continue
+            stbl_loc = find(list(_mp4_boxes(data, *minf)), b"stbl")
+            if not stbl_loc:
+                continue
+            stbl = list(_mp4_boxes(data, *stbl_loc))
+            stsz, stsc = find(stbl, b"stsz"), find(stbl, b"stsc")
+            stco = find(stbl, b"stco") or find(stbl, b"co64")
+            wide = find(stbl, b"stco") is None
+            if not (stsz and stsc and stco):
+                return None
+            # stsz: fixed size or per-sample table
+            zs, ze = stsz
+            fixed = int.from_bytes(data[zs + 4 : zs + 8], "big")
+            n_samples = int.from_bytes(data[zs + 8 : zs + 12], "big")
+            if fixed:
+                sizes = [fixed] * n_samples
+            else:
+                sizes = [
+                    int.from_bytes(data[zs + 12 + 4 * i : zs + 16 + 4 * i], "big")
+                    for i in range(n_samples)
+                ]
+            # stco/co64: chunk offsets
+            cs, ce = stco
+            n_chunks = int.from_bytes(data[cs + 4 : cs + 8], "big")
+            width = 8 if wide else 4
+            offsets = [
+                int.from_bytes(data[cs + 8 + width * i : cs + 8 + width * (i + 1)], "big")
+                for i in range(n_chunks)
+            ]
+            # stsc: (first_chunk, samples_per_chunk) runs -> per chunk
+            ss, se = stsc
+            n_runs = int.from_bytes(data[ss + 4 : ss + 8], "big")
+            runs = [
+                (
+                    int.from_bytes(data[ss + 8 + 12 * i : ss + 12 + 12 * i], "big"),
+                    int.from_bytes(data[ss + 12 + 12 * i : ss + 16 + 12 * i], "big"),
+                )
+                for i in range(n_runs)
+            ]
+            out, si = [], 0
+            for ci in range(n_chunks):
+                per = 0
+                for first, spc in runs:
+                    if first <= ci + 1:  # first_chunk is 1-based
+                        per = spc
+                pos = offsets[ci]
+                for _ in range(per):
+                    if si >= n_samples:
+                        break
+                    out.append((pos, sizes[si]))
+                    pos += sizes[si]
+                    si += 1
+            return out
+    return None
+
+
 def with_mp4_metadata(df: DataFrame, media_col: str = "media",
                       meta_col: str = "media_meta") -> DataFrame:
     """Fill width/height/n_frames/duration_ms for rows classified mp4,
@@ -1203,9 +1299,19 @@ def extract_features(df: DataFrame, media_col: str = "media",
 def sample_frames(df: DataFrame, media_col: str = "media",
                   id_col: str = "media_id", every_n_bytes: int = 1024,
                   max_frames: int = 8) -> DataFrame:
-    """Frame-sampling plumbing: 1 row in -> N frame rows out through
-    mapInPandas (video frame extraction shape). The stub slices the
-    byte stream; a real build would demux with av."""
+    """Frame sampling: 1 row in -> N frame rows out through
+    mapInPandas.
+
+    MP4 rows (round 11) demux for REAL: the stsz/stsc/stco sample
+    tables locate every encoded frame, and up to `max_frames`
+    evenly-spaced samples are emitted with their ACTUAL payload bytes
+    (frame_idx = position in the sampled sequence). Decoding those
+    payloads to pixels still needs a codec — extracting them does
+    not, and evenly-spaced encoded-frame sampling is exactly the
+    shard-a-video-corpus operation.
+
+    Non-MP4 / unparseable rows keep the byte-slicing stand-in
+    (format-agnostic plumbing shape, documented as such)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -1214,6 +1320,17 @@ def sample_frames(df: DataFrame, media_col: str = "media",
             ids, idxs, frames = [], [], []
             for mid, data in zip(pdf[id_col], pdf[media_col]):
                 data = bytes(data or b"")
+                samples = parse_mp4_video_samples(data)
+                if samples:
+                    n = len(samples)
+                    take = min(max_frames, n)
+                    picks = [i * n // take for i in range(take)]
+                    for k, si in enumerate(picks):
+                        off, size = samples[si]
+                        ids.append(mid)
+                        idxs.append(k)
+                        frames.append(data[off : off + size])
+                    continue
                 for k in range(min(max_frames, max(1, len(data) // every_n_bytes))):
                     ids.append(mid)
                     idxs.append(k)

@@ -1267,3 +1267,104 @@ def test_with_mp4_metadata_routes_video(spark):
             out[2].duration_ms) == (1920, 1080, 48, 2000)
     assert (out[3].format, out[3].width, out[3].n_frames) == ("png", 4, None)
     assert out[4].format == "unknown" and out[4].duration_ms is None
+
+
+def _mp4_with_samples(frames, per_chunk=(2, 3), co64=False, fixed=0,
+                      moov_last=False):
+    """Hand-built MP4 whose mdat carries the given frame payloads and
+    whose stsz/stsc/stco tables describe them: chunks of per_chunk[0]
+    samples, the last stsc run switching to per_chunk[1]."""
+    import struct
+
+    # layout: ftyp | (moov) | mdat(header + frames back-to-back) | (moov)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    mdat_payload = b"".join(frames)
+    # chunk grouping: first chunk(s) hold per_chunk[0] samples, then
+    # per_chunk[1] for the rest
+    groups, i = [], 0
+    first = True
+    while i < len(frames):
+        n = per_chunk[0] if first else per_chunk[1]
+        groups.append(frames[i : i + n])
+        i += n
+        first = False
+    # compute chunk offsets AFTER we know where mdat lands
+    def tables(mdat_start):
+        offs, pos = [], mdat_start + 8
+        for g in groups:
+            offs.append(pos)
+            pos += sum(len(f) for f in g)
+        if fixed:
+            stsz = bytes(4) + struct.pack(">II", fixed, len(frames))
+        else:
+            stsz = (bytes(4) + struct.pack(">II", 0, len(frames))
+                    + b"".join(struct.pack(">I", len(f)) for f in frames))
+        stsc = bytes(4) + struct.pack(">I", 2 if len(groups) > 1 else 1)
+        stsc += struct.pack(">III", 1, per_chunk[0], 1)
+        if len(groups) > 1:
+            stsc += struct.pack(">III", 2, per_chunk[1], 1)
+        if co64:
+            stco = _box(b"co64", bytes(4) + struct.pack(">I", len(offs))
+                        + b"".join(struct.pack(">Q", o) for o in offs))
+        else:
+            stco = _box(b"stco", bytes(4) + struct.pack(">I", len(offs))
+                        + b"".join(struct.pack(">I", o) for o in offs))
+        stbl = _box(b"stbl", _box(b"stsz", stsz) + _box(b"stsc", stsc) + stco)
+        tkhd = (bytes(4) + struct.pack(">III", 1, 2, 3) + bytes(4)
+                + struct.pack(">I", 1000) + bytes(8) + bytes(8) + bytes(36)
+                + struct.pack(">II", 64 << 16, 48 << 16))
+        trak = _box(b"trak", _box(b"tkhd", tkhd)
+                    + _box(b"mdia", _box(b"minf", stbl)))
+        mvhd = bytes(4) + struct.pack(">II", 1, 2) + struct.pack(">II", 1000, 1000) + bytes(80)
+        return _box(b"moov", _box(b"mvhd", mvhd) + trak)
+
+    if moov_last:
+        mdat_start = len(ftyp)
+        moov = tables(mdat_start)
+        return ftyp + _box(b"mdat", mdat_payload) + moov
+    # moov first: its own length shifts mdat; sizes are deterministic,
+    # so compute once with a probe moov of the final size
+    probe = tables(0)
+    mdat_start = len(ftyp) + len(probe)
+    moov = tables(mdat_start)
+    assert len(moov) == len(probe)
+    return ftyp + moov + _box(b"mdat", mdat_payload)
+
+
+def test_parse_mp4_video_samples_tables():
+    from goconnect_spark.operators.multimodal import parse_mp4_video_samples
+
+    frames = [bytes([k]) * (10 + 3 * k) for k in range(7)]
+    for moov_last in (False, True):
+        for co64 in (False, True):
+            blob = _mp4_with_samples(frames, moov_last=moov_last, co64=co64)
+            got = parse_mp4_video_samples(blob)
+            assert got is not None and len(got) == 7
+            assert [bytes(blob[o : o + n]) for o, n in got] == frames, (moov_last, co64)
+    # fixed-size stsz
+    fixed_frames = [bytes([k]) * 12 for k in range(5)]
+    blob = _mp4_with_samples(fixed_frames, fixed=12)
+    got = parse_mp4_video_samples(blob)
+    assert [bytes(blob[o : o + n]) for o, n in got] == fixed_frames
+    # non-mp4 / table-less mp4
+    assert parse_mp4_video_samples(b"junk") is None
+    assert parse_mp4_video_samples(_mp4()) is None  # metadata-only fixture
+
+
+def test_sample_frames_real_mp4_demux(spark):
+    """sample_frames on MP4 rows emits the ACTUAL encoded frame
+    payloads (evenly spaced), not byte slices; non-mp4 rows keep the
+    documented stand-in shape."""
+    from goconnect_spark.operators.multimodal import sample_frames
+
+    frames = [bytes([0x40 + k]) * (20 + k) for k in range(10)]
+    blob = _mp4_with_samples(frames, moov_last=True)
+    rows = [(1, blob), (2, b"\x01" * 3000)]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = {}
+    for r in sample_frames(df, every_n_bytes=1024, max_frames=5).collect():
+        out.setdefault(r.media_id, []).append((r.frame_idx, bytes(r.frame)))
+    got = [f for _, f in sorted(out[1])]
+    # 5 evenly spaced of 10: samples 0,2,4,6,8
+    assert got == [frames[0], frames[2], frames[4], frames[6], frames[8]]
+    assert len(out[2]) == 2  # 3000 bytes // 1024 slices, stand-in path
