@@ -25,6 +25,11 @@ batching, partition sizing) is real and tested. The codec layer
   32/64-bit IEEE float, and WAVE_FORMAT_EXTENSIBLE unwrapping;
   compressed encodings (ADPCM/mu-law/mp3) raise NotImplementedError
   naming soundfile/ffmpeg.
+- GIF: GIF87a/GIF89a — LZW decompression (variable-width LSB-first
+  codes, KwKwK case), 4-pass de-interlace, global/local color
+  tables, GIF89a transparency (RGBA), partial-frame canvas
+  composition; first-frame decode, bit-exact vs Java ImageIO on
+  real files.
 - JPEG: real huffman decoder (operators/jpeg.py) — baseline,
   extended sequential AND progressive (spectral selection +
   successive approximation): entropy decode, dequantize, IDCT,
@@ -127,6 +132,8 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
             format='wav' but NULL rate/channels rather than garbage
             read out of the wrong chunk (the Python `decode_wav`
             does the full chunk walk for those).
+    - GIF:  'GIF8' signature; logical-screen width/height are the LE
+            u16s at byte offsets 6/8 (GIF89a spec §18).
     - JPEG: FF D8 FF signature — format detection only here
             (dimensions live in variable-position SOF markers; use
             `with_jpeg_dimensions` for a bounded-prefix Arrow scan).
@@ -146,21 +153,24 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
         F.hex(F.substring(c, 9, 4)) == "57415645"
     )
     is_jpeg = F.hex(F.substring(c, 1, 3)) == "FFD8FF"
+    is_gif = F.hex(F.substring(c, 1, 4)) == "47494638"  # 'GIF8'
     is_mp4 = F.hex(F.substring(c, 5, 4)) == "66747970"
     fmt = (
         F.when(is_png, "png").when(is_wav, "wav").when(is_jpeg, "jpeg")
-        .when(is_mp4, "mp4").otherwise("unknown")
+        .when(is_gif, "gif").when(is_mp4, "mp4").otherwise("unknown")
     )
     kind = (
-        F.when(is_png | is_jpeg, "image").when(is_wav, "audio")
+        F.when(is_png | is_jpeg | is_gif, "image").when(is_wav, "audio")
         .when(is_mp4, "video").otherwise("unknown")
     )
     # the fixed offsets below are only valid when 'fmt ' is the first
     # chunk after the WAVE tag (the canonical layout); otherwise keep
     # format='wav' but refuse to emit fields read from the wrong chunk
     wav_fmt_first = is_wav & (F.hex(F.substring(c, 13, 4)) == "666D7420")
-    width = F.when(is_png, _be_u32(c, 17)).cast("int")
-    height = F.when(is_png, _be_u32(c, 21)).cast("int")
+    width = (F.when(is_png, _be_u32(c, 17))
+             .when(is_gif, _le_u16(c, 7))).cast("int")
+    height = (F.when(is_png, _be_u32(c, 21))
+              .when(is_gif, _le_u16(c, 9))).cast("int")
     sample_rate = F.when(wav_fmt_first, _le_u32(c, 25)).cast("int")
     n_channels = F.when(wav_fmt_first, _le_u16(c, 23)).cast("int")
     return df.withColumn(
@@ -997,8 +1007,10 @@ def resize_image_bytes(data: bytes, out_w: int, out_h: int,
         from goconnect_spark.operators.jpeg import decode_jpeg
 
         w, h, ch, depth, px = decode_jpeg(data)
+    elif head[:4] == b"GIF8":
+        w, h, ch, depth, px = decode_gif(data)
     else:
-        raise ValueError("resize supports png/jpeg containers")
+        raise ValueError("resize supports png/jpeg/gif containers")
     dtype = ">u2" if depth == 16 else np.uint8
     img = np.frombuffer(px, dtype=dtype).reshape(h, w, ch)
     if method == "nearest":
@@ -1185,6 +1197,169 @@ def resize_images(df: DataFrame, width: int, height: int,
     return df.mapInPandas(run, schema=_RESIZE_SCHEMA)
 
 
+def _gif_lzw_decode(data: bytes, min_code: int) -> list:
+    """GIF-flavor LZW: variable-width codes packed LSB-first, CLEAR /
+    EOI control codes, dictionary capped at 4096 entries (GIF89a spec
+    appendix F)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    # bit reader, LSB first
+    pos = 0
+    nbits = len(data) * 8
+
+    def read(width):
+        nonlocal pos
+        if pos + width > nbits:
+            return None
+        v = 0
+        for i in range(width):
+            byte = data[(pos + i) >> 3]
+            v |= ((byte >> ((pos + i) & 7)) & 1) << i
+        pos += width
+        return v
+
+    out = []
+    table = None
+    width = min_code + 1
+    prev = None
+    while True:
+        code = read(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            width = min_code + 1
+            prev = None
+            continue
+        if table is None:
+            raise ValueError("GIF LZW stream missing initial clear code")
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: Optional[bytes]):
+    """Real GIF decode (GIF87a/GIF89a) with only the stdlib: logical
+    screen descriptor, global/local color tables, LZW decompression of
+    the FIRST image frame, 4-pass de-interlace, palette expansion.
+
+    Returns (width, height, n_channels, 8, pixels) on the LOGICAL
+    SCREEN canvas — n_channels is 4 (RGBA) when a GIF89a graphic
+    control extension declares a transparent index or the first frame
+    does not cover the full screen (uncovered canvas = transparent),
+    else 3 (RGB). Later animation frames are metadata territory
+    (sample_frames-style), not first-frame decode."""
+    if data is None or len(data) < 13 or bytes(data[:4]) != b"GIF8":
+        raise ValueError("not a GIF container")
+    if bytes(data[:6]) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF container")
+    data = bytes(data)
+    sw = data[6] | (data[7] << 8)
+    sh = data[8] | (data[9] << 8)
+    packed = data[10]
+    bg_index = data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                flags = data[pos + 1]
+                if flags & 1:
+                    transparent = data[pos + 4]
+            # skip sub-blocks
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        # image descriptor
+        left = data[pos + 1] | (data[pos + 2] << 8)
+        top = data[pos + 3] | (data[pos + 4] << 8)
+        fw = data[pos + 5] | (data[pos + 6] << 8)
+        fh = data[pos + 7] | (data[pos + 8] << 8)
+        iflags = data[pos + 9]
+        pos += 10
+        ct = gct
+        if iflags & 0x80:  # local color table
+            n = 2 << (iflags & 0x07)
+            ct = data[pos : pos + 3 * n]
+            if len(ct) < 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        interlaced = bool(iflags & 0x40)
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            n = data[pos]
+            lzw += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        indices = _gif_lzw_decode(bytes(lzw), min_code)
+        if len(indices) < fw * fh:
+            raise ValueError(
+                f"GIF frame has {len(indices)} pixels, expected {fw * fh}")
+        # de-interlace into frame row order
+        if interlaced:
+            rows = [None] * fh
+            k = 0
+            for start, step in _GIF_INTERLACE:
+                for y in range(start, fh, step):
+                    rows[y] = indices[k * fw : (k + 1) * fw]
+                    k += 1
+            frame = [v for row in rows for v in row]
+        else:
+            frame = indices[: fw * fh]
+        full_cover = left == 0 and top == 0 and fw == sw and fh == sh
+        channels = 3 if (transparent is None and full_cover) else 4
+        n_entries = len(ct) // 3
+        out = bytearray(sw * sh * channels)
+        if channels == 3:
+            for i, idx in enumerate(frame):
+                if idx >= n_entries:
+                    raise ValueError("GIF index outside color table")
+                out[i * 3 : i * 3 + 3] = ct[idx * 3 : idx * 3 + 3]
+        else:
+            for y in range(fh):
+                for x in range(fw):
+                    idx = frame[y * fw + x]
+                    if idx >= n_entries:
+                        raise ValueError("GIF index outside color table")
+                    o = ((top + y) * sw + left + x) * 4
+                    out[o : o + 3] = ct[idx * 3 : idx * 3 + 3]
+                    out[o + 3] = 0 if idx == transparent else 255
+        return int(sw), int(sh), channels, 8, bytes(out)
+    raise ValueError("GIF has no image frame")
+
+
 def _sample_histogram(values, lo: int, hi: int, dim: int) -> list[float]:
     """Normalized value histogram over decoded samples — the feature
     contract both decode paths share (`dim` buckets, sums to 1)."""
@@ -1211,6 +1386,9 @@ def decode_features(data: bytes, dim: int = 8) -> list[float]:
         from goconnect_spark.operators.jpeg import decode_jpeg
 
         _w, _h, _c, _depth, pixels = decode_jpeg(data)
+        return _sample_histogram(pixels, 0, 255, dim)
+    if head[:4] == b"GIF8":
+        _w, _h, _c, _depth, pixels = decode_gif(data)
         return _sample_histogram(pixels, 0, 255, dim)
     if head[:8] == _PNG_SIG:
         _w, _h, _c, depth, pixels = decode_png(data)

@@ -1368,3 +1368,153 @@ def test_sample_frames_real_mp4_demux(spark):
     # 5 evenly spaced of 10: samples 0,2,4,6,8
     assert got == [frames[0], frames[2], frames[4], frames[6], frames[8]]
     assert len(out[2]) == 2  # 3000 bytes // 1024 slices, stand-in path
+
+
+# ---------------------------------------------------------------------
+# Round 11: GIF decoder (LZW + interlace + palette + transparency).
+# ---------------------------------------------------------------------
+
+
+def _lzw_pack(codes):
+    bits = []
+    for code, width in codes:
+        for i in range(width):
+            bits.append((code >> i) & 1)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            v |= b << j
+        out.append(v)
+    return bytes(out)
+
+
+def _lzw_encode_literal(indices, min_code):
+    """Valid GIF-LZW stream using only literal codes — the decoder's
+    dictionary still grows per code, so width bumps must be tracked."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    codes = [(clear, min_code + 1)]
+    width = min_code + 1
+    size = clear + 2
+    first = True
+    for v in indices:
+        codes.append((v, width))
+        if not first:
+            size += 1
+            if size == (1 << width) and width < 12:
+                width += 1
+        first = False
+    codes.append((eoi, width))
+    return _lzw_pack(codes)
+
+
+def _make_gif(indices, w, h, palette, min_code=2, interlace=False,
+              gce_transparent=None, left=0, top=0, sw=None, sh=None,
+              version=b"89a"):
+    import struct
+
+    sw = sw if sw is not None else w
+    sh = sh if sh is not None else h
+    n = len(palette) // 3
+    gct_bits = 0
+    while (2 << gct_bits) < n:
+        gct_bits += 1
+    pal = palette + bytes(3 * ((2 << gct_bits) - n))
+    out = b"GIF" + version + struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | gct_bits, 0, 0]) + pal
+    if gce_transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 1, 0, 0, gce_transparent, 0])
+    if interlace:
+        stream = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for y in range(start, h, step):
+                stream.extend(indices[y * w : (y + 1) * w])
+    else:
+        stream = indices
+    raw = _lzw_encode_literal(stream, min_code)
+    sub = bytearray()
+    for i in range(0, len(raw), 255):
+        chunk = raw[i : i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+    out += bytes([0x2C]) + struct.pack("<HHHH", left, top, w, h)
+    out += bytes([0x40 if interlace else 0]) + bytes([min_code]) + bytes(sub)
+    return out + b"\x3b"
+
+
+_GIF_PAL = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+
+
+def test_decode_gif_rgb_interlace_transparency():
+    from goconnect_spark.operators.multimodal import decode_gif
+
+    idx = [0, 1, 2, 3, 2, 1, 0, 0, 3, 1, 1, 2]
+    want = b"".join(_GIF_PAL[i * 3 : i * 3 + 3] for i in idx)
+    assert decode_gif(_make_gif(idx, 4, 3, _GIF_PAL)) == (4, 3, 3, 8, want)
+    # 4-pass interlace reassembles to the same image
+    idx2 = [(i * 7) % 4 for i in range(4 * 8)]
+    want2 = b"".join(_GIF_PAL[i * 3 : i * 3 + 3] for i in idx2)
+    assert decode_gif(_make_gif(idx2, 4, 8, _GIF_PAL, interlace=True)) == (
+        4, 8, 3, 8, want2)
+    # GIF89a transparency -> RGBA with alpha 0 at the transparent index
+    got = decode_gif(_make_gif(idx, 4, 3, _GIF_PAL, gce_transparent=3))
+    assert got[2] == 4
+    for i, v in enumerate(idx):
+        assert got[4][i * 4 + 3] == (0 if v == 3 else 255)
+    # partial frame composes onto a transparent canvas
+    got = decode_gif(_make_gif(idx, 4, 3, _GIF_PAL, left=1, top=1, sw=6, sh=5))
+    assert got[:3] == (6, 5, 4)
+    assert got[4][3] == 0  # top-left corner transparent
+    o = (1 * 6 + 1) * 4
+    assert got[4][o : o + 3] == _GIF_PAL[0:3] and got[4][o + 3] == 255
+
+
+def test_gif_lzw_hand_vector_kwkwk():
+    """Hand-computed LZW stream exercising the KwKwK case: min_code=2,
+    codes CLEAR(4), 1, 6, 6, EOI(5) all 3-bit must decode to
+    [1,1,1,1,1] (code 6 is consumed the moment it is defined)."""
+    from goconnect_spark.operators.multimodal import _gif_lzw_decode
+
+    raw = _lzw_pack([(4, 3), (1, 3), (6, 3), (6, 3), (5, 3)])
+    assert _gif_lzw_decode(raw, 2) == [1, 1, 1, 1, 1]
+
+
+def test_decode_gif_malformed_raises_valueerror():
+    from goconnect_spark.operators.multimodal import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a junk")
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    with pytest.raises(ValueError):
+        decode_gif(None)
+
+
+def test_gif_routes_and_decodes_end_to_end(spark):
+    """parse_media_headers classifies GIF with logical-screen dims
+    JVM-side; extract_features and resize_image_bytes run the real
+    decoder."""
+    from goconnect_spark.operators.multimodal import (
+        _sample_histogram,
+        decode_gif,
+        decode_png,
+        extract_features,
+        parse_media_headers,
+        resize_image_bytes,
+    )
+
+    idx = [(i * 5) % 4 for i in range(8 * 6)]
+    blob = _make_gif(idx, 8, 6, _GIF_PAL)
+    df = parse_media_headers(spark.createDataFrame(
+        [(1, blob)], "media_id long, media binary"))
+    meta = df.collect()[0].media_meta
+    assert (meta.kind, meta.format, meta.width, meta.height) == ("image", "gif", 8, 6)
+    feats = [r.features for r in
+             extract_features(df, decode_stub=False).collect()][0]
+    want = _sample_histogram(decode_gif(blob)[4], 0, 255, 8)
+    assert [round(v, 6) for v in feats] == want
+    # resize: gif decodes, resamples, re-encodes as PNG
+    got = decode_png(resize_image_bytes(blob, 4, 3))
+    assert got[:4] == (4, 3, 3, 8)
