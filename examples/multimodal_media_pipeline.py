@@ -7,8 +7,9 @@ one bad blob can't fail a 100 TB job.
 
 Stages (each a real operator from goconnect_spark.operators.multimodal):
   1. synthesize a mixed media corpus (genuine PNG/WAV/baseline-JPEG
-     containers built from known arrays, plus an arithmetic-coded
-     JPEG header, a structured mp4 container and junk bytes)
+     containers built from known arrays, GIFs with real LZW streams,
+     plus an arithmetic-coded JPEG header, a structured mp4 container
+     and junk bytes)
   2. parse_media_headers — format/dims/rate via pure column exprs
      (whole-stage codegen; reads only each blob's leading bytes)
   2b. with_jpeg_dimensions / with_jpeg_profile — bounded-prefix SOF
@@ -103,6 +104,44 @@ def make_jpeg(dc: int) -> bytes:
             + entropy + b"\xff\xd9")
 
 
+def make_gif(w: int, h: int, seed: int) -> bytes:
+    """A genuine GIF89a: 4-color global palette, literal-code LZW
+    stream (valid — the decoder's dictionary growth is tracked for
+    code-width bumps even when no dictionary code is emitted)."""
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 0])
+    idx = [(seed + i) % 4 for i in range(w * h)]
+    clear, eoi, width, size = 4, 5, 3, 6
+    bits = []
+
+    def put(code, wd):
+        for i in range(wd):
+            bits.append((code >> i) & 1)
+
+    put(clear, 3)
+    for k, v in enumerate(idx):
+        put(v, width)
+        if k:
+            size += 1
+            if size == (1 << width) and width < 12:
+                width += 1
+    put(eoi, width)
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            v |= b << j
+        raw.append(v)
+    sub = bytearray()
+    for i in range(0, len(raw), 255):
+        chunk = raw[i : i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+    return (b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x81, 0, 0]) + pal
+            + bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+            + bytes([2]) + bytes(sub) + b"\x3b")
+
+
 def main() -> None:
     spark = get_spark(8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -112,6 +151,8 @@ def main() -> None:
         rows.append((i, make_png(8 + i % 5, 6 + i % 3, seed=i)))
     for i in range(12, 22):
         rows.append((i, make_wav(8000 * (1 + i % 3), seed=i)))
+    for i in range(26, 30):
+        rows.append((i, make_gif(6 + i % 3, 4 + i % 2, seed=i)))
     # a real baseline JPEG — decodable here (operators/jpeg.py)
     rows.append((22, make_jpeg(dc=21)))
     # an ARITHMETIC-CODED header (SOF9): dimensions ARE routable via
@@ -157,6 +198,7 @@ def main() -> None:
     # (arithmetic-coded is quarantined, not crashed on)
     is_decodable = (F.col("media_meta.format").isin("png", "wav")
                     | F.col("jpeg_profile").isin(*JPEG_DECODABLE_PROFILES))
+    is_decodable = is_decodable | (F.col("media_meta.format") == "gif")
     decodable = classified.where(is_decodable)
     quarantined = classified.where(~is_decodable | is_decodable.isNull())
     feats = extract_features(media_repartition(decodable, target_bytes=4096),
