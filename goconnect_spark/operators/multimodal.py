@@ -25,6 +25,9 @@ batching, partition sizing) is real and tested. The codec layer
   32/64-bit IEEE float, and WAVE_FORMAT_EXTENSIBLE unwrapping;
   compressed encodings (ADPCM/mu-law/mp3) raise NotImplementedError
   naming soundfile/ffmpeg.
+- BMP: uncompressed BI_RGB at 1/4/8 bpp (palette -> RGB) and
+  24/32 bpp (BGR/BGRA -> RGB/RGBA), bottom-up and top-down rows;
+  RLE/bitfields raise NotImplementedError naming PIL.
 - GIF: GIF87a/GIF89a — LZW decompression (variable-width LSB-first
   codes, KwKwK case), 4-pass de-interlace, global/local color
   tables, GIF89a transparency (RGBA), partial-frame canvas
@@ -134,6 +137,8 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
             does the full chunk walk for those).
     - GIF:  'GIF8' signature; logical-screen width/height are the LE
             u16s at byte offsets 6/8 (GIF89a spec §18).
+    - BMP:  'BM' + a known DIB header size (the 2-byte magic alone is
+            too weak); width/|height| from the BITMAPINFOHEADER.
     - JPEG: FF D8 FF signature — format detection only here
             (dimensions live in variable-position SOF markers; use
             `with_jpeg_dimensions` for a bounded-prefix Arrow scan).
@@ -154,23 +159,32 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
     is_jpeg = F.hex(F.substring(c, 1, 3)) == "FFD8FF"
     is_gif = F.hex(F.substring(c, 1, 4)) == "47494638"  # 'GIF8'
+    # 'BM' alone is 2 weak bytes; require a known DIB header size too
+    is_bmp = (F.hex(F.substring(c, 1, 2)) == "424D") & _le_u32(c, 15).isin(
+        12, 40, 52, 56, 108, 124)
     is_mp4 = F.hex(F.substring(c, 5, 4)) == "66747970"
     fmt = (
         F.when(is_png, "png").when(is_wav, "wav").when(is_jpeg, "jpeg")
-        .when(is_gif, "gif").when(is_mp4, "mp4").otherwise("unknown")
+        .when(is_gif, "gif").when(is_bmp, "bmp").when(is_mp4, "mp4")
+        .otherwise("unknown")
     )
     kind = (
-        F.when(is_png | is_jpeg | is_gif, "image").when(is_wav, "audio")
+        F.when(is_png | is_jpeg | is_gif | is_bmp, "image").when(is_wav, "audio")
         .when(is_mp4, "video").otherwise("unknown")
     )
     # the fixed offsets below are only valid when 'fmt ' is the first
     # chunk after the WAVE tag (the canonical layout); otherwise keep
     # format='wav' but refuse to emit fields read from the wrong chunk
     wav_fmt_first = is_wav & (F.hex(F.substring(c, 13, 4)) == "666D7420")
+    # BMP height is signed (negative = top-down); report magnitude
+    bmp_h = _le_u32(c, 23)
+    bmp_h = F.when(bmp_h > 0x7FFFFFFF, 0x100000000 - bmp_h).otherwise(bmp_h)
     width = (F.when(is_png, _be_u32(c, 17))
-             .when(is_gif, _le_u16(c, 7))).cast("int")
+             .when(is_gif, _le_u16(c, 7))
+             .when(is_bmp, _le_u32(c, 19))).cast("int")
     height = (F.when(is_png, _be_u32(c, 21))
-              .when(is_gif, _le_u16(c, 9))).cast("int")
+              .when(is_gif, _le_u16(c, 9))
+              .when(is_bmp, bmp_h)).cast("int")
     sample_rate = F.when(wav_fmt_first, _le_u32(c, 25)).cast("int")
     n_channels = F.when(wav_fmt_first, _le_u16(c, 23)).cast("int")
     return df.withColumn(
@@ -1009,8 +1023,10 @@ def resize_image_bytes(data: bytes, out_w: int, out_h: int,
         w, h, ch, depth, px = decode_jpeg(data)
     elif head[:4] == b"GIF8":
         w, h, ch, depth, px = decode_gif(data)
+    elif head[:2] == b"BM" and len(data) >= 54:
+        w, h, ch, depth, px = decode_bmp(data)
     else:
-        raise ValueError("resize supports png/jpeg/gif containers")
+        raise ValueError("resize supports png/jpeg/gif/bmp containers")
     dtype = ">u2" if depth == 16 else np.uint8
     img = np.frombuffer(px, dtype=dtype).reshape(h, w, ch)
     if method == "nearest":
@@ -1195,6 +1211,85 @@ def resize_images(df: DataFrame, width: int, height: int,
             )
 
     return df.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+def decode_bmp(data: Optional[bytes]) -> tuple[int, int, int, int, bytes]:
+    """Real BMP decode with only the stdlib: BITMAPFILEHEADER +
+    BITMAPINFOHEADER (or the larger V4/V5 headers), uncompressed
+    BI_RGB pixel data at 1/4/8 bpp (palette, expanded to RGB) or
+    24/32 bpp (stored BGR/BGRA -> returned RGB/RGBA). Rows are
+    4-byte-aligned; positive height is bottom-up (flipped on return),
+    negative is top-down. RLE/bitfield compressions raise
+    NotImplementedError naming the dependency.
+
+    Returns (width, height, n_channels, 8, pixels) — same contract as
+    decode_png/decode_jpeg/decode_gif."""
+    import struct
+
+    if data is None or len(data) < 54 or bytes(data[:2]) != b"BM":
+        raise ValueError("not a BMP container")
+    data = bytes(data)
+    pixel_off = struct.unpack("<I", data[10:14])[0]
+    hsize = struct.unpack("<I", data[14:18])[0]
+    planes = struct.unpack("<H", data[26:28])[0]
+    # sanity before the honest gates: 'BM' is a weak 2-byte magic, so
+    # reject implausible headers as not-a-BMP rather than misrouting
+    # garbage into a NotImplementedError
+    if hsize > 4096 or planes != 1 or pixel_off > len(data):
+        raise ValueError("not a BMP container (implausible header)")
+    if hsize < 40:
+        raise NotImplementedError("BMP core-header (OS/2) needs PIL")
+    w, h = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} (RLE/bitfields) needs PIL")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("illegal BMP dimensions")
+    palette = None
+    if bpp in (1, 4, 8):
+        n_colors = struct.unpack("<I", data[46:50])[0] or (1 << bpp)
+        pal_off = 14 + hsize
+        palette = data[pal_off : pal_off + 4 * n_colors]  # BGRX quads
+        if len(palette) < 4 * n_colors:
+            raise ValueError("truncated BMP palette")
+    elif bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP needs PIL")
+    stride = (w * bpp + 31) // 32 * 4
+    if pixel_off + stride * h > len(data):
+        raise ValueError("truncated BMP pixel data")
+    channels = 4 if bpp == 32 else 3
+    out = bytearray(w * h * channels)
+    for row in range(h):
+        y = row if top_down else h - 1 - row
+        line = data[pixel_off + row * stride : pixel_off + (row + 1) * stride]
+        o = y * w * channels
+        if bpp == 24:
+            for x in range(w):
+                out[o + 3 * x] = line[3 * x + 2]
+                out[o + 3 * x + 1] = line[3 * x + 1]
+                out[o + 3 * x + 2] = line[3 * x]
+        elif bpp == 32:
+            for x in range(w):
+                out[o + 4 * x] = line[4 * x + 2]
+                out[o + 4 * x + 1] = line[4 * x + 1]
+                out[o + 4 * x + 2] = line[4 * x]
+                out[o + 4 * x + 3] = line[4 * x + 3]
+        else:
+            per = 8 // bpp
+            mask = (1 << bpp) - 1
+            n_entries = len(palette) // 4
+            for x in range(w):
+                idx = (line[x // per] >> (8 - bpp * (x % per + 1))) & mask
+                if idx >= n_entries:
+                    raise ValueError("BMP index outside palette")
+                out[o + 3 * x] = palette[4 * idx + 2]
+                out[o + 3 * x + 1] = palette[4 * idx + 1]
+                out[o + 3 * x + 2] = palette[4 * idx]
+    return int(w), int(h), channels, 8, bytes(out)
 
 
 def _gif_lzw_decode(data: bytes, min_code: int) -> list:
@@ -1389,6 +1484,9 @@ def decode_features(data: bytes, dim: int = 8) -> list[float]:
         return _sample_histogram(pixels, 0, 255, dim)
     if head[:4] == b"GIF8":
         _w, _h, _c, _depth, pixels = decode_gif(data)
+        return _sample_histogram(pixels, 0, 255, dim)
+    if head[:2] == b"BM" and len(data) >= 54:
+        _w, _h, _c, _depth, pixels = decode_bmp(data)
         return _sample_histogram(pixels, 0, 255, dim)
     if head[:8] == _PNG_SIG:
         _w, _h, _c, depth, pixels = decode_png(data)

@@ -1518,3 +1518,115 @@ def test_gif_routes_and_decodes_end_to_end(spark):
     # resize: gif decodes, resamples, re-encodes as PNG
     got = decode_png(resize_image_bytes(blob, 4, 3))
     assert got[:4] == (4, 3, 3, 8)
+
+
+# ---------------------------------------------------------------------
+# Round 11: BMP decoder.
+# ---------------------------------------------------------------------
+
+
+def _make_bmp(rows_rgb, w, h, bpp=24, top_down=False, palette=None,
+              indices=None):
+    """Hand-built BMP: BITMAPFILEHEADER + BITMAPINFOHEADER + BI_RGB
+    pixel data with 4-byte row alignment. rows_rgb is the IMAGE in
+    top-down row-major RGB(A) tuples; storage order follows top_down."""
+    import struct
+
+    stride = (w * bpp + 31) // 32 * 4
+    body = bytearray()
+    row_range = range(h) if top_down else range(h - 1, -1, -1)
+    for y in row_range:
+        line = bytearray()
+        if bpp in (24, 32):
+            for x in range(w):
+                px = rows_rgb[y * w + x]
+                line += bytes([px[2], px[1], px[0]])
+                if bpp == 32:
+                    line.append(px[3])
+        else:
+            per = 8 // bpp
+            line = bytearray((w + per - 1) // per)
+            for x in range(w):
+                line[x // per] |= indices[y * w + x] << (8 - bpp * (x % per + 1))
+        line += bytes(stride - len(line))
+        body += line
+    pal = b""
+    if palette is not None:
+        pal = b"".join(bytes([c[2], c[1], c[0], 0]) for c in palette)
+    pixel_off = 14 + 40 + len(pal)
+    n_colors = len(palette) if palette else 0
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp,
+                      0, len(body), 2835, 2835, n_colors, 0)
+    head = b"BM" + struct.pack("<IHHI", pixel_off + len(body), 0, 0, pixel_off)
+    return head + dib + pal + bytes(body)
+
+
+def test_decode_bmp_24_and_32bpp_both_orientations():
+    from goconnect_spark.operators.multimodal import decode_bmp
+
+    rgb = [(10 * i % 256, 20 * i % 256, 30 * i % 256) for i in range(3 * 2)]
+    want = b"".join(bytes(p) for p in rgb)
+    for top_down in (False, True):
+        got = decode_bmp(_make_bmp(rgb, 3, 2, bpp=24, top_down=top_down))
+        assert got == (3, 2, 3, 8, want), top_down
+    rgba = [(r, g, b, (7 * i) % 256) for i, (r, g, b) in enumerate(rgb)]
+    got = decode_bmp(_make_bmp(rgba, 3, 2, bpp=32))
+    assert got == (3, 2, 4, 8, b"".join(bytes(p) for p in rgba))
+
+
+def test_decode_bmp_palette_bpps():
+    from goconnect_spark.operators.multimodal import decode_bmp
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = [0, 1, 2, 3, 2, 1, 0, 3, 1, 0, 2, 2]  # 4x3
+    want = b"".join(bytes(pal[i]) for i in idx)
+    for bpp in (8, 4, 1):
+        use_idx = [i % 2 for i in idx] if bpp == 1 else idx
+        use_want = (b"".join(bytes(pal[i % 2]) for i in idx)
+                    if bpp == 1 else want)
+        got = decode_bmp(_make_bmp(None, 4, 3, bpp=bpp, palette=pal,
+                                   indices=use_idx))
+        assert got == (4, 3, 3, 8, use_want), bpp
+
+
+def test_decode_bmp_gates_and_malformed():
+    import struct
+
+    from goconnect_spark.operators.multimodal import decode_bmp
+
+    blob = bytearray(_make_bmp([(1, 2, 3)] * 4, 2, 2, bpp=24))
+    rle = bytes(blob[:30]) + struct.pack("<I", 1) + bytes(blob[34:])
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_bmp(rle)
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM not really a bitmap header at all....................")
+    with pytest.raises(ValueError):
+        decode_bmp(None)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bytes(blob[:-3]))
+
+
+def test_bmp_routes_and_decodes_end_to_end(spark):
+    from goconnect_spark.operators.multimodal import (
+        _sample_histogram,
+        decode_bmp,
+        decode_png,
+        extract_features,
+        parse_media_headers,
+        resize_image_bytes,
+    )
+
+    rgb = [((i * 31) % 256, (i * 17) % 256, (i * 7) % 256) for i in range(6 * 4)]
+    blob = _make_bmp(rgb, 6, 4, bpp=24)
+    top_down = _make_bmp(rgb, 6, 4, bpp=24, top_down=True)
+    rows = [(1, blob), (2, top_down), (3, b"BMnot really a bitmap.......")]
+    df = parse_media_headers(spark.createDataFrame(rows, "media_id long, media binary"))
+    out = {r.media_id: r.media_meta for r in df.collect()}
+    assert (out[1].kind, out[1].format, out[1].width, out[1].height) == ("image", "bmp", 6, 4)
+    assert (out[2].width, out[2].height) == (6, 4)  # negative height -> magnitude
+    assert out[3].format == "unknown"  # weak 'BM' alone is not enough
+    feats = {r.media_id: r.features for r in extract_features(
+        df.where(F.col("media_meta.format") == "bmp"), decode_stub=False).collect()}
+    want = _sample_histogram(decode_bmp(blob)[4], 0, 255, 8)
+    assert [round(v, 6) for v in feats[1]] == want
+    assert decode_png(resize_image_bytes(blob, 3, 2))[:4] == (3, 2, 3, 8)
