@@ -455,6 +455,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, int, bytes]:
         full.append(p[:h, :w].astype(np.float64))
     if len(comps) == 1:
         return int(w), int(h), 1, 8, full[0].astype(np.uint8).tobytes()
+    # 3-component colorspace: Adobe APP14 transform 0 declares the
+    # components are ALREADY RGB (as do component IDs 'R','G','B' —
+    # the convention Adobe writes without an APP14); everything else
+    # (JFIF, APP14 transform 1, bare) is YCbCr per T.871
+    comp_ids = tuple(c[0] for c in comps)
+    if adobe_transform == 0 or comp_ids == (0x52, 0x47, 0x42):
+        rgb = np.stack(
+            [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in full],
+            axis=-1,
+        )
+        return int(w), int(h), 3, 8, rgb.tobytes()
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

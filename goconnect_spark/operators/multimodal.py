@@ -176,14 +176,20 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
     # chunk after the WAVE tag (the canonical layout); otherwise keep
     # format='wav' but refuse to emit fields read from the wrong chunk
     wav_fmt_first = is_wav & (F.hex(F.substring(c, 13, 4)) == "666D7420")
-    # BMP height is signed (negative = top-down); report magnitude
+    # BMP height is signed (negative = top-down); report magnitude.
+    # BITMAPCOREHEADER (hsize 12, OS/2) stores u16 width@18/height@20
+    # instead of the BITMAPINFOHEADER u32s@18/22 — reading the INFO
+    # offsets on a core header yields garbage, so branch on hsize
+    bmp_core = _le_u32(c, 15) == 12
     bmp_h = _le_u32(c, 23)
     bmp_h = F.when(bmp_h > 0x7FFFFFFF, 0x100000000 - bmp_h).otherwise(bmp_h)
     width = (F.when(is_png, _be_u32(c, 17))
              .when(is_gif, _le_u16(c, 7))
+             .when(is_bmp & bmp_core, _le_u16(c, 19))
              .when(is_bmp, _le_u32(c, 19))).cast("int")
     height = (F.when(is_png, _be_u32(c, 21))
               .when(is_gif, _le_u16(c, 9))
+              .when(is_bmp & bmp_core, _le_u16(c, 21))
               .when(is_bmp, bmp_h)).cast("int")
     sample_rate = F.when(wav_fmt_first, _le_u32(c, 25)).cast("int")
     n_channels = F.when(wav_fmt_first, _le_u16(c, 23)).cast("int")
@@ -499,28 +505,47 @@ def parse_mp4_video_samples(data: Optional[bytes]) -> Optional[list]:
             wide = find(stbl, b"stco") is None
             if not (stsz and stsc and stco):
                 return None
-            # stsz: fixed size or per-sample table
+            # stsz: fixed size or per-sample table. Declared counts are
+            # untrusted u32s — clamp every table read to the bytes the
+            # box actually holds, so a corrupt/crafted count returns
+            # None instead of allocating gigabytes before any data read
             zs, ze = stsz
+            if ze - zs < 12:
+                return None
             fixed = int.from_bytes(data[zs + 4 : zs + 8], "big")
             n_samples = int.from_bytes(data[zs + 8 : zs + 12], "big")
             if fixed:
+                # no per-sample table backs the count; bound it by the
+                # file itself (a sample can't be smaller than one byte)
+                if n_samples > max(1, len(data) // max(1, fixed)):
+                    return None
                 sizes = [fixed] * n_samples
             else:
+                if n_samples > (ze - zs - 12) // 4:
+                    return None
                 sizes = [
                     int.from_bytes(data[zs + 12 + 4 * i : zs + 16 + 4 * i], "big")
                     for i in range(n_samples)
                 ]
             # stco/co64: chunk offsets
             cs, ce = stco
+            if ce - cs < 8:
+                return None
             n_chunks = int.from_bytes(data[cs + 4 : cs + 8], "big")
             width = 8 if wide else 4
+            if n_chunks > (ce - cs - 8) // width:
+                return None
             offsets = [
                 int.from_bytes(data[cs + 8 + width * i : cs + 8 + width * (i + 1)], "big")
                 for i in range(n_chunks)
             ]
             # stsc: (first_chunk, samples_per_chunk) runs -> per chunk
             ss, se = stsc
+            if se - ss < 8:
+                return None
             n_runs = int.from_bytes(data[ss + 4 : ss + 8], "big")
+            if n_runs > (se - ss - 8) // 12:
+                return None
             runs = [
                 (
                     int.from_bytes(data[ss + 8 + 12 * i : ss + 12 + 12 * i], "big"),
@@ -727,6 +752,25 @@ def _png_unpack_samples(line: bytes, n_pixels: int, depth: int) -> list[int]:
     return out
 
 
+def _png_expected_raw_len(w: int, h: int, channels: int, depth: int,
+                          interlace: int) -> int:
+    """Exact byte length of the filtered pixel stream a conforming
+    encoder produces for this IHDR: per (sub-)image, one filter byte
+    plus `stride` bytes per scanline (PNG spec §7.2/§8.2). Used to
+    bound zlib inflation before any pixel-grid allocation."""
+    if interlace == 0:
+        stride = (w * channels * depth + 7) // 8
+        return h * (stride + 1)
+    total = 0
+    for (x0, y0, dx, dy) in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        total += ph * ((pw * channels * depth + 7) // 8 + 1)
+    return total
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, int, bytes]:
     """Real, COMPLETE static-PNG decode with only the stdlib: chunk
     walk, zlib inflate of the concatenated IDAT stream, per-scanline
@@ -786,8 +830,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, int, bytes]:
         raise ValueError(f"PNG interlace method {interlace} is not in the spec")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+    if w == 0 or h == 0:
+        raise ValueError("PNG with zero width/height")
     channels = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    # Header-implied filtered-stream size: per pass, ph scanlines of
+    # (1 filter byte + stride). Capping the inflate at this bound —
+    # and requiring the stream to hit it exactly — means a crafted
+    # IHDR (or a zlib bomb) raises ValueError BEFORE any w*h pixel
+    # allocation instead of OOM-killing the executor.
+    expected = _png_expected_raw_len(w, h, channels, depth, interlace)
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, expected {expected}")
 
     # fast path — the overwhelmingly common layout (non-interlaced,
     # byte-aligned samples, no palette): the unfiltered buffer IS the
@@ -1380,9 +1436,11 @@ def decode_gif(data: Optional[bytes]):
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension
+            if pos + 1 >= len(data):
+                raise ValueError("truncated GIF extension block")
             label = data[pos + 1]
             pos += 2
-            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+            if (label == 0xF9 and pos + 4 < len(data) and data[pos] >= 4):
                 flags = data[pos + 1]
                 if flags & 1:
                     transparent = data[pos + 4]
@@ -1393,7 +1451,9 @@ def decode_gif(data: Optional[bytes]):
             continue
         if b != 0x2C:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
-        # image descriptor
+        # image descriptor (9 fixed bytes after the 0x2C introducer)
+        if pos + 9 >= len(data):
+            raise ValueError("truncated GIF image descriptor")
         left = data[pos + 1] | (data[pos + 2] << 8)
         top = data[pos + 3] | (data[pos + 4] << 8)
         fw = data[pos + 5] | (data[pos + 6] << 8)
@@ -1410,6 +1470,8 @@ def decode_gif(data: Optional[bytes]):
         if ct is None:
             raise ValueError("GIF frame has no color table")
         interlaced = bool(iflags & 0x40)
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
         min_code = data[pos]
         pos += 1
         lzw = bytearray()

@@ -823,3 +823,59 @@ def test_decode_jpeg_progressive_hand_vector():
                           * np.cos((2 * y + 1) * v * np.pi / 16))
             want[x, y] = min(255, max(0, round(s / 4) + 128))
     assert np.array_equal(got, want.astype(np.uint8))
+
+
+# ---------------------------------------------------------------------
+# 3-component colorspace signalling (ADVICE r11): Adobe APP14
+# transform 0 and component IDs 'R','G','B' mean already-RGB — the
+# YCbCr->RGB conversion must be skipped, not applied blindly
+# ---------------------------------------------------------------------
+
+
+def _adobe_app14(transform):
+    body = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+    return b"\xff\xee" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _patch_component_ids(blob, ids):
+    """Rewrite the SOF and SOS component IDs in an _encode_jpeg blob."""
+    b = bytearray(blob)
+    i = b.find(b"\xff\xc0")
+    assert i > 0
+    nf = b[i + 9]
+    for c in range(nf):
+        b[i + 10 + 3 * c] = ids[c]
+    j = b.find(b"\xff\xda")
+    assert j > 0
+    ns = b[j + 4]
+    for c in range(ns):
+        b[j + 5 + 2 * c] = ids[c]
+    return bytes(b)
+
+
+def test_decode_jpeg_adobe_rgb_and_rgb_component_ids():
+    w = h = 16
+    base = (np.arange(w, dtype=np.float64) * 12 % 256)
+    r = np.tile(base, (h, 1)).astype(np.uint8)
+    g = np.tile(base[::-1], (h, 1)).astype(np.uint8)
+    b = np.full((h, w), 128, dtype=np.uint8)
+    img = np.stack([r, g, b], axis=-1)
+    blob = _encode_jpeg([r, g, b], w, h, [(1, 1)] * 3, quant=1)
+
+    # bare 3-component: treated as YCbCr, so the output is NOT the planes
+    got_ycc = np.frombuffer(decode_jpeg(blob)[4], np.uint8).reshape(h, w, 3)
+    assert np.max(np.abs(got_ycc.astype(int) - img.astype(int))) > 16
+
+    # Adobe APP14 transform=0 -> the planes come back as stored
+    blob0 = blob[:2] + _adobe_app14(0) + blob[2:]
+    got = np.frombuffer(decode_jpeg(blob0)[4], np.uint8).reshape(h, w, 3)
+    assert np.max(np.abs(got.astype(int) - img.astype(int))) <= 3
+
+    # Adobe APP14 transform=1 -> still YCbCr
+    blob1 = blob[:2] + _adobe_app14(1) + blob[2:]
+    assert decode_jpeg(blob1)[4] == decode_jpeg(blob)[4]
+
+    # component IDs 'R','G','B' with no APP14 -> already RGB
+    blob_rgb = _patch_component_ids(blob, (0x52, 0x47, 0x42))
+    got2 = np.frombuffer(decode_jpeg(blob_rgb)[4], np.uint8).reshape(h, w, 3)
+    assert np.max(np.abs(got2.astype(int) - img.astype(int))) <= 3

@@ -1630,3 +1630,126 @@ def test_bmp_routes_and_decodes_end_to_end(spark):
     want = _sample_histogram(decode_bmp(blob)[4], 0, 255, 8)
     assert [round(v, 6) for v in feats[1]] == want
     assert decode_png(resize_image_bytes(blob, 3, 2))[:4] == (3, 2, 3, 8)
+
+
+# ---------------------------------------------------------------------
+# untrusted-header hardening (ADVICE r11): a crafted or truncated blob
+# must raise the documented ValueError (or return None) BEFORE any
+# header-implied allocation — never OOM, never IndexError
+# ---------------------------------------------------------------------
+
+
+def _png_chunk(ctype, body):
+    import binascii
+    import struct
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", binascii.crc32(ctype + body)))
+
+
+def test_decode_png_crafted_ihdr_rejected_before_allocation():
+    """An IHDR claiming 100k x 100k with a few real pixel bytes raises
+    ValueError fast: the inflate is capped at the header-implied stream
+    size and the byte count must match EXACTLY before the pixel grid is
+    allocated."""
+    import struct
+    import time
+    import zlib
+
+    from goconnect_spark.operators.multimodal import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 3, 0, 0, 0)
+    blob = (sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", bytes(3))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(11)))
+            + _png_chunk(b"IEND", b""))
+    t0 = time.time()
+    with pytest.raises(ValueError, match="pixel stream"):
+        decode_png(blob)
+    assert time.time() - t0 < 2.0
+    # zero-dimension headers are rejected outright
+    ihdr0 = struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="zero"):
+        decode_png(sig + _png_chunk(b"IHDR", ihdr0)
+                   + _png_chunk(b"IDAT", zlib.compress(b"")) 
+                   + _png_chunk(b"IEND", b""))
+
+
+def test_decode_png_zlib_bomb_capped():
+    """An IDAT that inflates far past the header-implied size trips the
+    max_length cap instead of materializing the bomb."""
+    import struct
+    import zlib
+
+    from goconnect_spark.operators.multimodal import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 4x4 gray/8: expected stream is 4*(4+1) = 20 bytes
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(bytes(10_000_000))  # ~10 KB compressed
+    blob = (sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", bomb)
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="expected 20"):
+        decode_png(blob)
+
+
+def test_decode_gif_truncation_sweep_never_indexerror():
+    """Every prefix of a real GIF either decodes (only once complete)
+    or raises ValueError — the truncated-input contract the other
+    decoders document; IndexError is a bug (ADVICE r11)."""
+    from goconnect_spark.operators.multimodal import decode_gif
+
+    idx = [0, 1, 2, 3, 1, 0]
+    blob = _make_gif(idx, 3, 2, _GIF_PAL, gce_transparent=1)
+    for cut in range(len(blob)):
+        try:
+            decode_gif(blob[:cut])
+        except ValueError:
+            pass  # the documented contract
+        # any other exception (IndexError) propagates and fails
+
+
+def test_parse_mp4_video_samples_corrupt_table_counts():
+    """stsz/stco/stsc counts are untrusted u32s: a count that doesn't
+    fit the declaring box returns None instead of allocating
+    gigabyte-scale tables (ADVICE r11)."""
+    from goconnect_spark.operators.multimodal import parse_mp4_video_samples
+
+    frames = [bytes([k]) * 8 for k in range(4)]
+    good = _mp4_with_samples(frames)
+    assert parse_mp4_video_samples(good) is not None  # fixture sane
+
+    for fourcc, count_off in ((b"stsz", 12), (b"stco", 8), (b"stsc", 8)):
+        blob = bytearray(good)
+        i = bytes(blob).find(fourcc)
+        assert i > 0
+        blob[i + count_off : i + count_off + 4] = b"\xff\xff\xff\xff"
+        assert parse_mp4_video_samples(bytes(blob)) is None, fourcc
+
+    # fixed-size stsz: the count has no backing table, so it is bounded
+    # by the file itself
+    fixed = _mp4_with_samples([bytes(12)] * 3, fixed=12)
+    blob = bytearray(fixed)
+    i = bytes(blob).find(b"stsz")
+    blob[i + 12 : i + 16] = b"\xff\xff\xff\xff"
+    assert parse_mp4_video_samples(bytes(blob)) is None
+
+
+def test_parse_media_headers_bmp_core_header(spark):
+    """BITMAPCOREHEADER (hsize 12, OS/2) stores u16 width/height at
+    different offsets than BITMAPINFOHEADER; the JVM-side parser must
+    read the right ones (ADVICE r11: was reading INFO offsets)."""
+    import struct
+
+    from goconnect_spark.operators.multimodal import parse_media_headers
+
+    core = (b"BM" + struct.pack("<IHHI", 26 + 6, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 17, 9, 1, 24) + bytes(6))
+    info = (b"BM" + struct.pack("<IHHI", 54 + 4, 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 0, 0, 0, 0)
+            + bytes(4))
+    df = parse_media_headers(spark.createDataFrame(
+        [(1, core), (2, info)], "media_id long, media binary"))
+    out = {r.media_id: r.media_meta for r in df.collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("bmp", 17, 9)
+    assert (out[2].format, out[2].width, out[2].height) == ("bmp", 1, 1)
