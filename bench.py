@@ -104,21 +104,54 @@ def main():
     # warm up the JVM + parquet footer caches with one tiny action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # fixed-work box-speed yardstick: 2B-row codegen aggregate, no
-    # I/O, no shuffle, constant regardless of catalog/sf — the MIN of
-    # two runs, same noise insulation as the queries. Sized so the
-    # 32-thread driver box measures ~0.5-1 s (well above timer noise;
-    # r7's 1.28x drift needs resolution well under 10%)
-    calib = None
+    # fixed-work box-speed yardsticks, each the MEDIAN of 5 probes.
+    # Round 12 rework (VERDICT r11 items 1+2): a min-of-2 probe swung
+    # 0.36<->0.74 s across back-to-back idle-box runs, and worse, the
+    # r12 A/B bisect proved the pure-codegen probe measures a dimension
+    # that can stay FLAT while real query walls drift 1.45x (r10 code
+    # re-run on the r12 box: 25.5 s headline at calibration 0.384 vs
+    # the recorded 15.26 s at 0.394 — the drift lives in scheduler/
+    # shuffle/JVM overhead, not codegen CPU). So:
+    #  - calibration_wall: 2B-row codegen aggregate (pure JVM CPU),
+    #    median of 5, with the probe spread (max/min) reported so a
+    #    consumer can refuse an unstable calibration;
+    #  - shuffle_calibration_wall: fixed-work 64->shuffle groupBy round
+    #    trip — scheduler + exchange overhead, the dimension that
+    #    actually moved on the r11/r12 driver boxes.
+    import statistics
+
+    # untimed warm-ups: the first executions carry JIT/codegen tiers
+    # that would otherwise inflate the spread metric with warm-up
+    # decay, not instability (measured: the cpu probe keeps dropping
+    # 0.51 -> 0.27 s over its first ~5 runs on an idle 32-thread box)
     for _ in range(2):
+        spark.range(0, 500_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 7) as s").collect()
+        spark.range(0, 4_000_000, 1, 64).selectExpr(
+            "id % 9973 as k").groupBy("k").count().count()
+    cpu_probes, sched_probes = [], []
+    for _ in range(5):
         t0 = time.time()
         spark.range(0, 2_000_000_000, 1, 32).selectExpr(
             "sum(id * 3 + 7) as s"
         ).collect()
-        dt = time.time() - t0
-        calib = dt if calib is None else min(calib, dt)
-    calib = round(calib, 3)
-    print(f"# calibration_wall {calib}s (2B-row fixed-work aggregate)",
+        cpu_probes.append(time.time() - t0)
+        t0 = time.time()
+        spark.range(0, 4_000_000, 1, 64).selectExpr(
+            "id % 9973 as k"
+        ).groupBy("k").count().count()
+        sched_probes.append(time.time() - t0)
+    calib = round(statistics.median(cpu_probes), 3)
+    calib_spread = round(max(cpu_probes) / max(1e-9, min(cpu_probes)), 3)
+    sched_calib = round(statistics.median(sched_probes), 3)
+    sched_spread = round(max(sched_probes) / max(1e-9, min(sched_probes)), 3)
+    print(f"# calibration_wall {calib}s (2B-row fixed-work aggregate; "
+          f"median of 5)", file=sys.stderr)
+    print(f"# calibration_spread {calib_spread}x (max/min of 5 probes)",
+          file=sys.stderr)
+    print(f"# shuffle_calibration_wall {sched_calib}s (4M-row 64-part "
+          f"groupBy; median of 5)", file=sys.stderr)
+    print(f"# shuffle_calibration_spread {sched_spread}x (max/min of 5)",
           file=sys.stderr)
 
     # two passes, keep the per-query MIN: the steady-state cost of the
@@ -160,6 +193,9 @@ def main():
                 "headline31_total_wall": headline31_total,
                 "headline34_total_wall": headline_total,
                 "calibration_wall": calib,
+                "calibration_spread": calib_spread,
+                "shuffle_calibration_wall": sched_calib,
+                "shuffle_calibration_spread": sched_spread,
                 "all_queries_total_wall": all_total,
                 "n_queries_all": len(times),
                 "sf": sf_val,

@@ -82,7 +82,7 @@ def test_cli_calibrated_ratio_gates(tmp_path):
         capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stdout
-    assert "box drift 2.00x" in r.stdout
+    assert "drift 2.00x" in r.stdout
     # and a REAL regression on top of drift still gates: q 4x raw on a
     # 2x-drift box is 2x calibrated > 1.5
     new.write_text(json.dumps(
@@ -167,3 +167,77 @@ def test_cli_regression_exit_code(tmp_path):
         capture_output=True, text=True,
     )
     assert r2.returncode == 0
+
+
+def test_cli_uniform_drift_median_normalization(tmp_path):
+    # the r11/r12 driver scenario: query walls uniformly ~1.45x slower
+    # while the cpu probe is FLAT (scheduler-side box drift the codegen
+    # probe can't see). The median per-query drift estimator must clear
+    # the board, print the unexplained-drift NOTE, and still flag a
+    # genuine outlier riding on top of the drift
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    qs_old = {f"q{i}": 1.0 for i in range(10)}
+    qs_new = {f"q{i}": 1.45 for i in range(10)}
+    old.write_text(json.dumps({"queries": qs_old, "calibration_wall": 0.4}))
+    new.write_text(json.dumps({"queries": qs_new, "calibration_wall": 0.4}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout
+    assert "uniform drift" in r.stdout and "NOT explained" in r.stdout
+    # a real 4x outlier on the same drifting box still gates
+    qs_new["q9"] = 4.0
+    new.write_text(json.dumps({"queries": qs_new, "calibration_wall": 0.4}))
+    r2 = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r2.returncode == 1 and "q9" in r2.stdout.split("regression(s)")[-1]
+
+
+def test_cli_unstable_probe_excluded_from_gate(tmp_path):
+    # a probe whose 5 samples spread past the 1.3x acceptance band is
+    # excluded: its (spurious) 2x drift may NOT waive a real regression
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"a": 1.0, "b": 1.0},
+                               "calibration_wall": 0.4,
+                               "calibration_spread": 1.05}))
+    new.write_text(json.dumps({"queries": {"a": 2.0, "b": 1.0},
+                               "calibration_wall": 0.8,
+                               "calibration_spread": 2.1}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 1 and "UNSTABLE" in r.stdout
+    # with a stable probe the same drift legitimately clears it
+    new.write_text(json.dumps({"queries": {"a": 2.0, "b": 1.0},
+                               "calibration_wall": 0.8,
+                               "calibration_spread": 1.05}))
+    r2 = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r2.returncode == 0, r2.stdout
+
+
+def test_cli_shuffle_calibration_normalizes(tmp_path):
+    # the shuffle yardstick alone (cpu probe flat) explains a uniform
+    # 2x wall drift on a 2-query artifact (too few for the median path)
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    old.write_text(json.dumps({"queries": {"a": 1.0, "b": 2.0},
+                               "calibration_wall": 0.4,
+                               "shuffle_calibration_wall": 0.5}))
+    new.write_text(json.dumps({"queries": {"a": 2.0, "b": 4.0},
+                               "calibration_wall": 0.4,
+                               "shuffle_calibration_wall": 1.0}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout
+    assert "shuffle/scheduler" in r.stdout

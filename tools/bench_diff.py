@@ -21,13 +21,24 @@ then a summary: total old/new, queries added/removed, and the list of
 regressions past the threshold. Exit code 1 if any regression — usable
 as a gate in round workflows.
 
-Calibration (round 8, VERDICT r7 item 3): when BOTH artifacts carry
-bench.py's fixed-work `calibration_wall` yardstick, every ratio is
-also reported CALIBRATED — divided by (calib_new / calib_old) — so
-uniform box-speed drift (the r7 driver capture ran ~1.28x slower on
-ALL 31 common queries, untouched ones included) is mechanically
-separable from real plan regressions. The regression gate then uses
-the calibrated ratio; raw stays printed beside it.
+Calibration (reworked round 12, VERDICT r11 items 1+2): box-speed
+drift is estimated three ways and a query must exceed the threshold
+under EVERY available normalization to flag —
+- cpu: bench.py's fixed-work codegen probe ratio (median of 5 with a
+  1.5x max/min acceptance band; excluded when unstable). The r12
+  bisect proved this probe can stay FLAT while real query walls drift
+  1.45-1.67x (scheduler/shuffle-side box differences), so it is never
+  the only normalizer;
+- shuffle/scheduler: bench.py's fixed-work shuffle probe ratio (the
+  dimension that actually moved on the r11/r12 driver boxes);
+- uniform: the MEDIAN per-query raw ratio over >= 8 above-noise
+  common queries — probe-free and robust: a few real regressions
+  cannot move it, and when it is large but unexplained by the probes
+  a loud NOTE demands the one-box A/B protocol (bench_captures/
+  r12_bench_regression_bisect.md) instead of a silent pass.
+This min-over-normalizations gate cannot produce a false regression
+from single-dimension box drift, while a genuine per-query regression
+stands out under all estimators.
 """
 
 from __future__ import annotations
@@ -73,32 +84,38 @@ def load_times(path: str) -> dict[str, float]:
     raise SystemExit(f"{path}: unrecognized bench artifact shape")
 
 
-def load_calib(path: str) -> float | None:
-    """The fixed-work `calibration_wall` yardstick, from any of the
-    three artifact shapes; None when the artifact predates it."""
+def load_scalar(path: str, field: str) -> float | None:
+    """A named scalar (calibration_wall, shuffle_calibration_wall,
+    calibration_spread, ...) from any of the three artifact shapes;
+    None when the artifact predates it."""
     with open(path) as f:
         text = f.read()
     lines = [l for l in text.splitlines()
-             if l.startswith("# calibration_wall ")]
+             if l.startswith(f"# {field} ")]
     if lines:
-        return float(lines[-1].split()[2].rstrip("s"))
+        return float(lines[-1].split()[2].rstrip("sx"))
     try:
         obj = json.loads(text)
     except json.JSONDecodeError:
         return None
     if isinstance(obj, dict) and "parsed" in obj:
         parsed = obj.get("parsed") or {}
-        v = parsed.get("calibration_wall") if isinstance(parsed, dict) else None
+        v = parsed.get(field) if isinstance(parsed, dict) else None
         if v is None:
             import re
 
-            m = re.findall(r'"calibration_wall":\s*([0-9.]+)', obj.get("tail") or "")
+            m = re.findall(rf'"{field}":\s*([0-9.]+)', obj.get("tail") or "")
             v = m[-1] if m else None
         return float(v) if v is not None else None
     if isinstance(obj, dict):
-        v = obj.get("calibration_wall")
+        v = obj.get(field)
         return float(v) if v is not None else None
     return None
+
+
+def load_calib(path: str) -> float | None:
+    """The fixed-work `calibration_wall` yardstick (back-compat name)."""
+    return load_scalar(path, "calibration_wall")
 
 
 def main() -> None:
@@ -127,14 +144,48 @@ def main() -> None:
         allowed[q] = reason.strip()
     old, new = load_times(ns.old), load_times(ns.new)
     cal_o, cal_n = load_calib(ns.old), load_calib(ns.new)
-    # box-speed drift factor: >1 means the new box/run was slower on
-    # the fixed workload; dividing query ratios by it normalizes drift
-    drift = (cal_n / cal_o) if (cal_o and cal_n) else None
+    # box-speed drift estimates, each >1 = new box/run slower:
+    #  - drift_cpu: fixed-work codegen probe ratio. PROVEN BLIND to
+    #    scheduler/shuffle-side drift (r12 bisect: r10 code re-run on
+    #    the r12 box was 1.67x slower on query walls with this probe
+    #    flat), so it cannot be the only normalizer.
+    #  - drift_sched: fixed-work shuffle probe ratio (when both
+    #    artifacts carry it) — the dimension that actually moved.
+    #  - drift_uniform: MEDIAN per-query raw ratio over the common
+    #    above-noise queries — a probe-free, robust estimator of the
+    #    uniform component. A few real regressions can't move it; a
+    #    genuinely uniform code regression would be absorbed, which is
+    #    why a loud warning (not a silent pass) prints whenever the
+    #    uniform component is large.
+    drift_cpu = (cal_n / cal_o) if (cal_o and cal_n) else None
+    sch_o = load_scalar(ns.old, "shuffle_calibration_wall")
+    sch_n = load_scalar(ns.new, "shuffle_calibration_wall")
+    drift_sched = (sch_n / sch_o) if (sch_o and sch_n) else None
+    spread_o = load_scalar(ns.old, "calibration_spread")
+    spread_n = load_scalar(ns.new, "calibration_spread")
     common = sorted(set(old) & set(new))
 
     def floored_ratio(o: float, n: float) -> float:
         # sub-100ms noise floor: ratios on tiny times are meaningless
         return n / o if o >= 0.1 else (1.0 if n < 0.1 else n / 0.1)
+
+    eligible = [new[q] / old[q] for q in common
+                if old[q] >= 0.1 and new[q] >= 0.1]
+    drift_uniform = None
+    if len(eligible) >= 8:  # median of a handful is not robust
+        import statistics
+
+        drift_uniform = statistics.median(eligible)
+    # acceptance band on the cpu probe itself (VERDICT r11 item 2): a
+    # probe whose 5 samples spread past 1.5x max/min is too unstable
+    # to normalize with (idle-box spread after JIT warm-up measures
+    # ~1.2-1.4x; past 1.5x the box is contended or the probe broken)
+    cpu_probe_ok = not ((spread_o and spread_o > 1.5)
+                        or (spread_n and spread_n > 1.5))
+    if drift_cpu and not cpu_probe_ok:
+        print("# WARNING: calibration probe spread exceeds the 1.5x "
+              f"acceptance band (old {spread_o}, new {spread_n}) — "
+              "cpu-calibrated ratios are untrusted", file=sys.stderr)
 
     rows = []
     for q in common:
@@ -143,10 +194,23 @@ def main() -> None:
         # calibrate the TIME first, then apply the noise floor — the
         # floor clamps tiny-time ratios to 1.0, and dividing that
         # clamped 1.0 by a <1 drift factor would re-inflate sub-noise
-        # queries into spurious gate failures on a faster box
-        gate = floored_ratio(o, n / drift) if drift else ratio
+        # queries into spurious gate failures on a faster box.
+        # The gate is the MOST FORGIVING of the available drift
+        # normalizations: a query must look regressed under EVERY
+        # estimator to fail — box drift in any single dimension can't
+        # produce a false regression, while a real per-query
+        # regression stands out under all of them.
+        cands = [ratio]
+        if drift_cpu and cpu_probe_ok:
+            cands.append(floored_ratio(o, n / drift_cpu))
+        if drift_sched:
+            cands.append(floored_ratio(o, n / drift_sched))
+        if drift_uniform:
+            cands.append(floored_ratio(o, n / drift_uniform))
+        gate = min(cands) if len(cands) > 1 else ratio
         rows.append((gate, ratio, q, o, n))
     rows.sort(reverse=True)
+    drift = drift_cpu  # display factor for the per-row 'cal' column
     cal_hdr = f" {'cal':>6}" if drift else ""
     print(f"{'query':<42} {'old_s':>8} {'new_s':>8} {'ratio':>6}{cal_hdr}")
     for gate, ratio, q, o, n in rows:
@@ -162,17 +226,34 @@ def main() -> None:
     tot_n = sum(new[q] for q in common)
     if common and tot_o > 0:
         raw = tot_n / tot_o
-        cal_txt = (f", calibrated {raw / drift:.2f}x" if drift else "")
+        cal_txt = (f", cpu-calibrated {raw / drift:.2f}x" if drift else "")
         print(f"\ncommon {len(common)} queries: {tot_o:.2f}s -> {tot_n:.2f}s "
               f"({raw:.2f}x{cal_txt})")
     else:
         print(f"\nno comparable queries between the two runs "
               f"(old={len(old)}, new={len(new)} entries)")
     if drift:
-        print(f"calibration: {cal_o:.3f}s -> {cal_n:.3f}s "
-              f"(box drift {drift:.2f}x; gate uses calibrated ratios)")
+        print(f"calibration (codegen cpu): {cal_o:.3f}s -> {cal_n:.3f}s "
+              f"(drift {drift:.2f}x"
+              + ("" if cpu_probe_ok else "; UNSTABLE, excluded from gate")
+              + ")")
     elif cal_o or cal_n:
         print("calibration present in only one artifact — raw ratios gate")
+    if drift_sched:
+        print(f"calibration (shuffle/scheduler): {sch_o:.3f}s -> "
+              f"{sch_n:.3f}s (drift {drift_sched:.2f}x)")
+    if drift_uniform:
+        print(f"uniform drift (median per-query ratio, n={len(eligible)}): "
+              f"{drift_uniform:.2f}x")
+        probe_best = max(x for x in (drift_cpu or 1.0, drift_sched or 1.0))
+        if drift_uniform > 1.25 and drift_uniform > 1.25 * probe_best:
+            print("NOTE: large uniform wall drift NOT explained by the "
+                  "fixed-work probes — per the r12 protocol, confirm via "
+                  "an A/B of old-code vs new-code on ONE box before "
+                  "reading this as a code regression (see "
+                  "tools/bench_captures/r12_bench_regression_bisect.md)")
+    print("gate: each query must exceed the threshold under EVERY "
+          "available drift normalization to flag")
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     if added:
