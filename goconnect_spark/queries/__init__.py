@@ -22,6 +22,7 @@ from goconnect_spark.queries import (
     events_series,
     graph_queries,
     layout,
+    media,
     mixing,
     packing,
     pq,
@@ -38,86 +39,31 @@ from goconnect_spark.queries import (
     text2,
 )
 
-ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph_queries, curation, dedup, dedup2, filtering, layout, mixing, sampling, similarity, similarity2, pq, sketches, text, text2, packing, quality)
+ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph_queries, curation, dedup, dedup2, filtering, layout, media, mixing, sampling, similarity, similarity2, pq, sketches, text, text2, packing, quality)
 
 # Driver-verification priority: the per-round correctness harness runs the
 # catalog in registration order and may cap the run (~50 of the catalog).
-# Rebuilt for round 11 per VERDICT r10 item 1 — priority = staleness:
-#   tier 0 = changed at HEAD this round: fingerprint_collision_dedup
-#   (the r11 100x measurement caught the planner flipping its
-#   corpus-scale joins to broadcast on optimistic unmaterialized-cache
-#   stats, blowing spark.driver.maxResultSize — fixed SYSTEMICALLY by
-#   making cached_table materialize eagerly so every consumer plans
-#   against the cache's real bytes) and source_overlap_jaccard (its
-#   explicit F.broadcast on the doc-grain (doc_id, source) table —
-#   the one hard-coded corpus-scale broadcast the r11 plan audit
-#   found — removed in favor of the scan's accurate file-backed
-#   stats). The cached_table change shifts only WHEN materialization
-#   happens (first consumer pays it before planning instead of
-#   after), not semantics; the full-catalog oracle sweeps at
-#   sf0.001/0.01/0.1 in the r11 gate chain re-verify every consumer.
-#   The multimodal fast-parse hardening is NOT catalog-facing
-#   (grep-verified no catalog module imports operators/multimodal).
-#   Then EVERY other query ordered by the ROUND OF ITS NEWEST
-#   GREEN DRIVER ROW, oldest first (computed from CORRECTNESS_r*.json):
-#   the 29-query r7 remainder, then the r8 cohort (its oldest 19 fill
-#   the ~50-slot cap), then the r9- and r10-fresh certificates.
-#   Slots 1-50 = 2 tier-0 + 29 r7 + 19 r8, so max certificate age
-#   stays <= 3 rounds.
+# Rebuilt for round 12 per VERDICT r11 item 3 — priority = staleness:
+#   tier 0 = changed at HEAD this round: media_classify_counts (NEW —
+#   the first oracle-gated certificate of the multimodal header-routing
+#   layer, VERDICT r11 item 4: parse_media_headers recovers planted
+#   container metadata from real constructed bytes while the DuckDB
+#   oracle aggregates the planted values directly) and
+#   customers_order_presence (the r12 merge of the two r9-certified
+#   semi/anti-join twins into one query, holding the catalog at 177
+#   while media_classify_counts joins — both operator certificates
+#   preserved plus a union).
+#   Then EVERY other query ordered by the ROUND OF ITS NEWEST GREEN
+#   DRIVER ROW, oldest first (computed from CORRECTNESS_r*.json at the
+#   r12 HEAD): the 27-query r8 remainder, then the r9 cohort (its
+#   oldest 21 fill the ~50-slot cap), then the r10- and r11-fresh
+#   certificates. Slots 1-50 = 2 tier-0 + 27 r8 + 21 r9, so after r12
+#   no certificate is older than r9 (max age 3 rounds).
 _DRIVER_PRIORITY = (
-    # --- tier 0: changed at HEAD in round 11 (broadcast-honesty fixes) ---
-    "fingerprint_collision_dedup",
-    "source_overlap_jaccard",
-    # last green: r7
-    "limit_events",
-    "map_filter",
-    "ordered_merge",
-    "orders_profile",
-    "orders_rollup",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q1_pricing_summary",
-    "q22_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "referential_integrity",
-    "roundrobin_replay",
-    "semantic_dedup",
-    "sequence_packing",
-    "source_mix_weights",
-    "stratified_sample",
-    "streaming_ann_lookup",
-    "text_quality_score",
-    "top_customers_per_segment",
-    "user_history_scd2",
-    "user_rolling_7d",
-    "value_histogram_quantiles",
-    "value_outliers_mad",
-    "vocab_oov_rate",
-    "xml_extract_fold",
+    # --- tier 0: changed at HEAD in round 12 ---
+    "media_classify_counts",
+    "customers_order_presence",
     # last green: r8
-    "ann_index_comparison",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_rerank",
-    "ann_retrieval_quality",
-    "ann_sq8_rerank",
-    "bigram_cond_prob",
-    "bloom_prune_join",
-    "boilerplate_top_shingles",
-    "brand_basket_lift",
-    "chunk_dedup_stats",
-    "containment_dedup",
-    "corpus_novelty_curve",
-    "daily_new_users_cumulative",
-    "doc_chunking",
-    "doc_lexical_gini",
-    "duplicated_ngram_coverage",
-    "embedding_near_dup",
-    "embedding_outliers",
     "event_hour_contingency",
     "event_interarrival_gaps",
     "event_transition_matrix",
@@ -191,8 +137,6 @@ _DRIVER_PRIORITY = (
     "curated_corpus_stats",
     "customer_name_fuzzy_pairs",
     "customer_supplier_nations",
-    "customers_with_open_orders",
-    "customers_without_orders",
     "dedup_cluster_size_histogram",
     "dedup_connected_components",
     "dedup_filtered_corpus",
@@ -247,6 +191,57 @@ _DRIVER_PRIORITY = (
     "fold_global",
     "funnel_view_click_purchase",
     "kv_roundtrip",
+    # last green: r11
+    "fingerprint_collision_dedup",
+    "source_overlap_jaccard",
+    "limit_events",
+    "map_filter",
+    "ordered_merge",
+    "orders_profile",
+    "orders_rollup",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "referential_integrity",
+    "roundrobin_replay",
+    "semantic_dedup",
+    "sequence_packing",
+    "source_mix_weights",
+    "stratified_sample",
+    "streaming_ann_lookup",
+    "text_quality_score",
+    "top_customers_per_segment",
+    "user_history_scd2",
+    "user_rolling_7d",
+    "value_histogram_quantiles",
+    "value_outliers_mad",
+    "vocab_oov_rate",
+    "xml_extract_fold",
+    "ann_index_comparison",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_rerank",
+    "ann_retrieval_quality",
+    "ann_sq8_rerank",
+    "bigram_cond_prob",
+    "bloom_prune_join",
+    "boilerplate_top_shingles",
+    "brand_basket_lift",
+    "chunk_dedup_stats",
+    "containment_dedup",
+    "corpus_novelty_curve",
+    "daily_new_users_cumulative",
+    "doc_chunking",
+    "doc_lexical_gini",
+    "duplicated_ngram_coverage",
+    "embedding_near_dup",
+    "embedding_outliers",
 )
 
 

@@ -93,42 +93,47 @@ ORDER BY o_orderstatus, o_orderpriority
 # --------------------------------------------------------------------
 # Anti / semi joins.
 # --------------------------------------------------------------------
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customers_order_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI and LEFT ANTI join certificates in ONE query (round-12
+    merge of customers_with_open_orders + customers_without_orders,
+    preserving both operator certificates plus a union): customers with
+    at least one open order, labeled 'open_orders' and carrying their
+    market segment, unioned with order-less customers labeled
+    'no_orders' and carrying their nation key."""
     cust = load(spark, "customer", sf_dir)
     orders = load(spark, "orders", sf_dir)
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name", "c_nationkey")
-        .orderBy("c_custkey")
+    open_orders = orders.where(F.col("o_orderstatus") == "O")
+    semi = (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey,
+                  "left_semi")
+        .select(
+            "c_custkey",
+            F.lit("open_orders").alias("presence"),
+            F.col("c_mktsegment").alias("detail"),
+        )
     )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            "c_custkey",
+            F.lit("no_orders").alias("presence"),
+            F.col("c_nationkey").cast("string").alias("detail"),
+        )
+    )
+    return semi.unionByName(anti).orderBy("presence", "c_custkey")
 
 
 
-_ANTI_SQL = """
-SELECT c_custkey, c_name, c_nationkey
+_ORDER_PRESENCE_SQL = """
+SELECT c_custkey, 'open_orders' AS presence, c_mktsegment AS detail
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+UNION ALL
+SELECT c_custkey, 'no_orders' AS presence, CAST(c_nationkey AS VARCHAR) AS detail
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-ORDER BY c_custkey
-"""
-
-
-
-def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, "customer", sf_dir)
-    orders = load(spark, "orders", sf_dir).where(F.col("o_orderstatus") == "O")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
-    )
-
-
-
-_SEMI_SQL = """
-SELECT c_custkey, c_mktsegment
-FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-ORDER BY c_custkey
+ORDER BY presence, c_custkey
 """
 
 
@@ -918,8 +923,7 @@ FROM per_dec CROSS JOIN total ORDER BY decile
 QUERIES = {
     "top_customers_per_segment": top_customers_per_segment,
     "orders_rollup": orders_rollup,
-    "customers_without_orders": customers_without_orders,
-    "customers_with_open_orders": customers_with_open_orders,
+    "customers_order_presence": customers_order_presence,
     "customer_supplier_nations": customer_supplier_nations,
     "quantity_percentiles": quantity_percentiles,
     "lineitem_cube": lineitem_cube,
@@ -938,8 +942,7 @@ QUERIES = {
 ORACLE = {
     "top_customers_per_segment": _TOPCUST_SQL,
     "orders_rollup": _ROLLUP_SQL,
-    "customers_without_orders": _ANTI_SQL,
-    "customers_with_open_orders": _SEMI_SQL,
+    "customers_order_presence": _ORDER_PRESENCE_SQL,
     "customer_supplier_nations": _SETOPS_SQL,
     "quantity_percentiles": _PERCENTILES_SQL,
     "lineitem_cube": _CUBE_SQL,

@@ -165,8 +165,7 @@ RELATIONAL_QUERIES = [
     "q14_promo_revenue",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
-    "customers_without_orders",
-    "customers_with_open_orders",
+    "customers_order_presence",
     "top_customers_per_segment",
     "orders_rollup",
     "order_value_pareto",
