@@ -1517,6 +1517,133 @@ def decode_gif(data: Optional[bytes]):
     raise ValueError("GIF has no image frame")
 
 
+def decode_gif_frames(data: Optional[bytes]):
+    """EVERY frame of a (possibly animated) GIF, composed onto the
+    logical-screen canvas with real GIF89a animation semantics:
+    per-frame graphic-control extensions (transparency index AND
+    disposal method — 0/1 leave, 2 restore-to-background, 3
+    restore-to-previous, GIF89a spec §23), local color tables,
+    interlacing. Returns (sw, sh, [rgba_canvas_bytes, ...]) where each
+    canvas is the sw*sh*4 RGBA state AS DISPLAYED after that frame —
+    i.e. what a viewer shows, not the raw sub-rectangle. The single-
+    frame `decode_gif` keeps its tighter RGB/RGBA first-frame
+    contract; this is the multi-frame twin `sample_frames` fans out
+    (VERDICT r11 item 5: GIF parity with the MP4 frame path)."""
+    if data is None or len(data) < 13 or bytes(data[:6]) not in (
+            b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF container")
+    data = bytes(data)
+    sw = data[6] | (data[7] << 8)
+    sh = data[8] | (data[9] << 8)
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    canvas = bytearray(sw * sh * 4)  # transparent background
+    frames: list[bytes] = []
+    transparent = None
+    disposal = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 1 >= len(data):
+                raise ValueError("truncated GIF extension block")
+            label = data[pos + 1]
+            pos += 2
+            if (label == 0xF9 and pos + 4 < len(data) and data[pos] >= 4):
+                flags = data[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = data[pos + 4] if flags & 1 else None
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        if pos + 9 >= len(data):
+            raise ValueError("truncated GIF image descriptor")
+        left = data[pos + 1] | (data[pos + 2] << 8)
+        top = data[pos + 3] | (data[pos + 4] << 8)
+        fw = data[pos + 5] | (data[pos + 6] << 8)
+        fh = data[pos + 7] | (data[pos + 8] << 8)
+        iflags = data[pos + 9]
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = data[pos : pos + 3 * n]
+            if len(ct) < 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            n = data[pos]
+            lzw += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        indices = _gif_lzw_decode(bytes(lzw), min_code)
+        if len(indices) < fw * fh:
+            raise ValueError(
+                f"GIF frame has {len(indices)} pixels, expected {fw * fh}")
+        if iflags & 0x40:  # interlaced
+            rows = [None] * fh
+            k = 0
+            for start, step in _GIF_INTERLACE:
+                for y in range(start, fh, step):
+                    rows[y] = indices[k * fw : (k + 1) * fw]
+                    k += 1
+            frame = [v for row in rows for v in row]
+        else:
+            frame = indices[: fw * fh]
+        n_entries = len(ct) // 3
+        saved = bytes(canvas) if disposal == 3 else None
+        for y in range(fh):
+            cy = top + y
+            if cy >= sh:
+                break
+            for x in range(fw):
+                cx = left + x
+                if cx >= sw:
+                    continue
+                idx = frame[y * fw + x]
+                if idx == transparent:
+                    continue  # transparent pixels leave the canvas
+                if idx >= n_entries:
+                    raise ValueError("GIF index outside color table")
+                o = (cy * sw + cx) * 4
+                canvas[o : o + 3] = ct[idx * 3 : idx * 3 + 3]
+                canvas[o + 3] = 255
+        frames.append(bytes(canvas))
+        if disposal == 2:  # restore the frame rect to background
+            for y in range(fh):
+                cy = top + y
+                if cy >= sh:
+                    break
+                row0 = (cy * sw + left) * 4
+                row1 = (cy * sw + min(sw, left + fw)) * 4
+                canvas[row0:row1] = bytes(row1 - row0)
+        elif disposal == 3 and saved is not None:
+            canvas = bytearray(saved)
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF has no image frame")
+    return int(sw), int(sh), frames
+
+
 def _sample_histogram(values, lo: int, hi: int, dim: int) -> list[float]:
     """Normalized value histogram over decoded samples — the feature
     contract both decode paths share (`dim` buckets, sums to 1)."""
@@ -1648,7 +1775,16 @@ def sample_frames(df: DataFrame, media_col: str = "media",
     not, and evenly-spaced encoded-frame sampling is exactly the
     shard-a-video-corpus operation.
 
-    Non-MP4 / unparseable rows keep the byte-slicing stand-in
+    GIF rows (round 12) decode for REAL with the same evenly-spaced
+    contract: every animation frame is composed on the logical-screen
+    canvas (decode_gif_frames — transparency, disposal methods, local
+    palettes), up to `max_frames` evenly-spaced composed frames are
+    selected, and each is emitted as a self-contained lossless PNG
+    (unlike MP4's independently-decodable encoded samples, a GIF
+    frame's bytes are meaningless without palette + canvas state, so
+    the faithful per-frame payload is the composed canvas).
+
+    Non-MP4/GIF / unparseable rows keep the byte-slicing stand-in
     (format-agnostic plumbing shape, documented as such)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -1669,6 +1805,21 @@ def sample_frames(df: DataFrame, media_col: str = "media",
                         idxs.append(k)
                         frames.append(data[off : off + size])
                     continue
+                if data[:4] == b"GIF8":
+                    try:
+                        gw, gh, canvases = decode_gif_frames(data)
+                    except ValueError:
+                        canvases = None
+                    if canvases:
+                        n = len(canvases)
+                        take = min(max_frames, n)
+                        picks = [i * n // take for i in range(take)]
+                        for k, si in enumerate(picks):
+                            ids.append(mid)
+                            idxs.append(k)
+                            frames.append(
+                                encode_png(canvases[si], gw, gh, 4))
+                        continue
                 for k in range(min(max_frames, max(1, len(data) // every_n_bytes))):
                     ids.append(mid)
                     idxs.append(k)

@@ -1753,3 +1753,119 @@ def test_parse_media_headers_bmp_core_header(spark):
     out = {r.media_id: r.media_meta for r in df.collect()}
     assert (out[1].format, out[1].width, out[1].height) == ("bmp", 17, 9)
     assert (out[2].format, out[2].width, out[2].height) == ("bmp", 1, 1)
+
+
+# ---------------------------------------------------------------------
+# animated GIF: decode_gif_frames + sample_frames fan-out (r12)
+# ---------------------------------------------------------------------
+
+
+def _make_animated_gif(frames_spec, sw, sh, palette, min_code=2):
+    """Multi-frame GIF89a: frames_spec is a list of dicts with keys
+    indices, left, top, w, h, transparent (or None), disposal."""
+    import struct
+
+    n = len(palette) // 3
+    gct_bits = 0
+    while (2 << gct_bits) < n:
+        gct_bits += 1
+    pal = palette + bytes(3 * ((2 << gct_bits) - n))
+    out = b"GIF89a" + struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | gct_bits, 0, 0]) + pal
+    for f in frames_spec:
+        tflag = 1 if f.get("transparent") is not None else 0
+        gce_flags = (f.get("disposal", 0) << 2) | tflag
+        out += bytes([0x21, 0xF9, 4, gce_flags, 0, 0,
+                      f.get("transparent") or 0, 0])
+        out += bytes([0x2C]) + struct.pack(
+            "<HHHH", f.get("left", 0), f.get("top", 0), f["w"], f["h"])
+        out += bytes([0, min_code])
+        raw = _lzw_encode_literal(f["indices"], min_code)
+        for i in range(0, len(raw), 255):
+            chunk = raw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return out + b"\x3b"
+
+
+def _rgba(idx, pal):
+    return bytes(pal[idx * 3 : idx * 3 + 3]) + b"\xff"
+
+
+def test_decode_gif_frames_animation_composition():
+    """4-frame animation exercising every disposal method, sub-rect
+    placement, and per-frame transparency — expected canvases are
+    hand-composed per GIF89a §23."""
+    from goconnect_spark.operators.multimodal import decode_gif_frames
+
+    pal = _GIF_PAL  # red, green, blue, gray(9,9,9)
+    blob = _make_animated_gif([
+        # frame 0: full cover, opaque
+        dict(indices=[0, 1, 2, 3, 0, 1], w=3, h=2, disposal=1),
+        # frame 1: 1x1 blue at (1,0), restore-to-PREVIOUS after display
+        dict(indices=[2], left=1, top=0, w=1, h=1, disposal=3),
+        # frame 2: 2x1 at (0,1), index 3 transparent -> only (1,1) paints;
+        # restore-to-BACKGROUND (clears the rect) after display
+        dict(indices=[3, 0], left=0, top=1, w=2, h=1,
+             transparent=3, disposal=2),
+        # frame 3: full cover green
+        dict(indices=[1] * 6, w=3, h=2),
+    ], 3, 2, pal)
+
+    sw, sh, frames = decode_gif_frames(blob)
+    assert (sw, sh, len(frames)) == (3, 2, 4)
+    r, g, b, y = (_rgba(i, pal) for i in range(4))
+    canvas_a = r + g + b + y + r + g                     # frame 0 displayed
+    canvas_b = r + b + b + y + r + g                     # (1,0) -> blue
+    assert frames[0] == canvas_a
+    assert frames[1] == canvas_b
+    # after frame 1, disposal 3 restores canvas_a; frame 2 paints (1,1) red
+    expect2 = bytearray(canvas_a)
+    expect2[16:20] = r  # pixel (x=1, y=1)
+    assert frames[2] == bytes(expect2)
+    # after frame 2, disposal 2 cleared rect (0..1, y=1) to transparent;
+    # frame 3 repaints the whole screen green
+    assert frames[3] == g * 6
+
+
+def test_decode_gif_frames_first_frame_matches_decode_gif():
+    from goconnect_spark.operators.multimodal import decode_gif, decode_gif_frames
+
+    idx = [0, 1, 2, 3, 1, 0]
+    blob = _make_gif(idx, 3, 2, _GIF_PAL)
+    w, h, ch, _, px = decode_gif(blob)
+    sw, sh, frames = decode_gif_frames(blob)
+    assert (sw, sh) == (w, h) and len(frames) == 1
+    # decode_gif returns RGB for a full-cover opaque frame; the frames
+    # API is uniformly RGBA with alpha 255
+    rgb = bytes(v for i in range(sw * sh) for v in frames[0][i * 4 : i * 4 + 3])
+    alphas = frames[0][3::4]
+    assert rgb == px and set(alphas) == {255}
+
+
+def test_sample_frames_gif_fan_out(spark):
+    """GIF rows fan out composed frames as self-contained PNGs with
+    the MP4 path's evenly-spaced contract; non-GIF rows keep their
+    stand-in shape."""
+    from goconnect_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_png,
+        sample_frames,
+    )
+
+    pal = _GIF_PAL
+    specs = [dict(indices=[i % 4] * 6, w=3, h=2) for i in range(6)]
+    blob = _make_animated_gif(specs, 3, 2, pal)
+    rows = [(1, blob), (2, b"x" * 2048)]
+    out = sample_frames(
+        spark.createDataFrame(rows, "media_id long, media binary"),
+        max_frames=3).collect()
+    gif_rows = sorted((r.frame_idx, bytes(r.frame))
+                      for r in out if r.media_id == 1)
+    assert [i for i, _ in gif_rows] == [0, 1, 2]
+    _, _, frames = decode_gif_frames(blob)
+    # evenly spaced over 6 frames at take=3 -> picks 0, 2, 4
+    for (k, png), si in zip(gif_rows, (0, 2, 4)):
+        got = decode_png(png)
+        assert got == (3, 2, 4, 8, frames[si])
+    assert len([r for r in out if r.media_id == 2]) == 2  # byte stand-in
