@@ -619,6 +619,87 @@ def with_mp4_metadata(df: DataFrame, media_col: str = "media",
     )
 
 
+def parse_gif_frame_count(data: Optional[bytes]) -> Optional[int]:
+    """Number of COMPLETE image frames in a GIF, from the block
+    structure alone — descriptor/extension walk with sub-block skips,
+    NO LZW decode and no pixel work (the GIF analog of the mp4 stts
+    frame count). Returns None for non-GIF bytes; a truncated GIF
+    reports the frames whose data blocks are fully present."""
+    if data is None or len(data) < 13 or bytes(data[:6]) not in (
+            b"GIF87a", b"GIF89a"):
+        return None
+    data = bytes(data)
+    pos = 13
+    if data[10] & 0x80:
+        pos += 3 * (2 << (data[10] & 0x07))
+    count = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C or pos + 9 >= len(data):
+            break
+        iflags = data[pos + 9]
+        pos += 10
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x07))
+        pos += 1  # LZW min code size
+        complete = False
+        while pos < len(data):
+            if data[pos] == 0:
+                complete = True
+                pos += 1
+                break
+            pos += 1 + data[pos]
+        if complete:
+            count += 1
+    return count
+
+
+def with_gif_metadata(df: DataFrame, media_col: str = "media",
+                      meta_col: str = "media_meta") -> DataFrame:
+    """Fill n_frames for rows classified gif — the routing column that
+    separates static images from animations BEFORE any decode, the way
+    with_mp4_metadata does for video (round 12: pairs the
+    decode_gif_frames/sample_frames animation path).
+
+    Scale note: like the mp4 twin, only gif rows reach the Arrow
+    worker (others pass NULL), and the walk skips every data sub-block
+    by its declared length — no LZW, no pixels."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _frames(blob: pd.Series) -> pd.Series:
+        return pd.Series(
+            [parse_gif_frame_count(None if b is None else bytes(b))
+             for b in blob],
+            dtype="Int32",
+        )
+
+    m = F.col(meta_col)
+    n = _frames(F.when(m["format"] == "gif", F.col(media_col)))
+    return df.withColumn(
+        meta_col,
+        F.struct(
+            m["kind"].alias("kind"),
+            m["format"].alias("format"),
+            m["width"].alias("width"),
+            m["height"].alias("height"),
+            m["sample_rate"].alias("sample_rate"),
+            m["n_channels"].alias("n_channels"),
+            F.coalesce(m["n_frames"], n).cast("int").alias("n_frames"),
+            m["duration_ms"].alias("duration_ms"),
+            m["n_bytes"].alias("n_bytes"),
+        ),
+    )
+
+
 def media_repartition(df: DataFrame, media_col: str = "media",
                       target_bytes: int = 256 * 1024 * 1024) -> DataFrame:
     """Repartition so each partition carries ~target_bytes of media.

@@ -1869,3 +1869,41 @@ def test_sample_frames_gif_fan_out(spark):
         got = decode_png(png)
         assert got == (3, 2, 4, 8, frames[si])
     assert len([r for r in out if r.media_id == 2]) == 2  # byte stand-in
+
+
+def test_parse_gif_frame_count_block_walk():
+    from goconnect_spark.operators.multimodal import parse_gif_frame_count
+
+    single = _make_gif([0, 1, 2, 3, 1, 0], 3, 2, _GIF_PAL)
+    assert parse_gif_frame_count(single) == 1
+    anim = _make_animated_gif(
+        [dict(indices=[i % 4] * 6, w=3, h=2) for i in range(5)], 3, 2, _GIF_PAL)
+    assert parse_gif_frame_count(anim) == 5
+    # truncated mid-frame: only the complete frames count
+    cut = anim[: len(anim) - 8]
+    got = parse_gif_frame_count(cut)
+    assert got is not None and got < 5
+    assert parse_gif_frame_count(b"not a gif") is None
+    assert parse_gif_frame_count(None) is None
+
+
+def test_with_gif_metadata_routes_animations(spark):
+    from goconnect_spark.operators.multimodal import (
+        parse_media_headers,
+        with_gif_metadata,
+    )
+
+    anim = _make_animated_gif(
+        [dict(indices=[i % 4] * 6, w=3, h=2) for i in range(4)], 3, 2, _GIF_PAL)
+    rows = [
+        (1, anim),
+        (2, _make_gif([0, 1, 2, 3, 1, 0], 3, 2, _GIF_PAL)),
+        (3, _encode_png(_pixels(16), 4, 4, 1)),
+    ]
+    df = with_gif_metadata(parse_media_headers(
+        spark.createDataFrame(rows, "media_id long, media binary")))
+    assert df.schema["media_meta"].dataType.simpleString() == MEDIA_META_SCHEMA
+    out = {r.media_id: r.media_meta for r in df.collect()}
+    assert (out[1].format, out[1].n_frames, out[1].width) == ("gif", 4, 3)
+    assert (out[2].format, out[2].n_frames) == ("gif", 1)
+    assert (out[3].format, out[3].n_frames) == ("png", None)
