@@ -48,6 +48,8 @@ from goconnect_spark.operators.multimodal import (  # noqa: E402
     parse_media_headers,
     resample_audio,
     resize_images,
+    sample_frames,
+    with_gif_metadata,
     with_jpeg_dimensions,
     with_jpeg_profile,
     with_mp4_metadata,
@@ -176,6 +178,14 @@ def main() -> None:
                  + _bx(b"mdat", b"\x5a" * 64)
                  + _bx(b"moov", _bx(b"mvhd", mvhd) + trak)))
     rows.append((25, b"not media at all"))
+    # an ANIMATED gif: 5 full-cover frames cycling the palette — the
+    # n_frames routing column separates it from the static gifs and
+    # sample_frames fans its composed frames out as PNGs
+    anim = bytearray(make_gif(6, 4, seed=0))
+    body = bytes(anim[: len(anim) - 1])  # drop the trailer
+    extra = make_gif(6, 4, seed=2)
+    frame_blocks = extra[13 + 12 : len(extra) - 1]  # descriptor..data
+    rows.append((30, body + frame_blocks * 4 + b"\x3b"))
     corpus = spark.createDataFrame(rows, "media_id long, media binary")
 
     # 2. JVM-side header classification (no Python, no full-blob read)
@@ -186,7 +196,20 @@ def main() -> None:
 
     # 2b. JPEG dimensions + coding profile via the bounded-prefix SOF
     # scan (Arrow UDF over the leading bytes only)
-    classified = with_mp4_metadata(with_jpeg_profile(with_jpeg_dimensions(classified)))
+    classified = with_gif_metadata(
+        with_mp4_metadata(with_jpeg_profile(with_jpeg_dimensions(classified))))
+    print("-- animation routing: gif frame counts, no decode --")
+    classified.where(F.col("media_meta.format") == "gif") \
+        .select("media_id", "media_meta.n_frames").orderBy("media_id").show()
+
+    # 2c. frame sampling: the animated gif fans out composed frames as
+    # self-contained PNGs; the mp4's encoded samples would too if its
+    # fixture carried sample tables (this one is metadata-only)
+    frames = sample_frames(
+        classified.where(F.col("media_meta.n_frames") > 1), max_frames=3)
+    print("-- evenly-spaced frames from the animated gif (as PNGs) --")
+    frames.select("media_id", "frame_idx", F.length("frame").alias("png_bytes")) \
+        .orderBy("media_id", "frame_idx").show()
     print("-- image rows routable by dimensions (incl. jpeg via SOF scan) --")
     classified.where(F.col("media_meta.kind") == "image") \
         .select("media_id", "media_meta.format", "jpeg_profile",
