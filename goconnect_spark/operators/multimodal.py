@@ -619,11 +619,13 @@ def with_mp4_metadata(df: DataFrame, media_col: str = "media",
     )
 
 
-def parse_gif_frame_count(data: Optional[bytes]) -> Optional[int]:
-    """Number of COMPLETE image frames in a GIF, from the block
-    structure alone — descriptor/extension walk with sub-block skips,
-    NO LZW decode and no pixel work (the GIF analog of the mp4 stts
-    frame count). Returns None for non-GIF bytes; a truncated GIF
+def parse_gif_metadata(data: Optional[bytes]) -> Optional[dict]:
+    """{n_frames, duration_ms} for a GIF, from the block structure
+    alone — descriptor/extension walk with sub-block skips, NO LZW
+    decode and no pixel work (the GIF analog of the mp4 stts frame
+    count / mvhd duration). duration_ms sums the GCE frame delays
+    (centiseconds, GIF89a §23) and is None when no frame declares one
+    (static images). Returns None for non-GIF bytes; a truncated GIF
     reports the frames whose data blocks are fully present."""
     if data is None or len(data) < 13 or bytes(data[:6]) not in (
             b"GIF87a", b"GIF89a"):
@@ -633,12 +635,19 @@ def parse_gif_frame_count(data: Optional[bytes]) -> Optional[int]:
     if data[10] & 0x80:
         pos += 3 * (2 << (data[10] & 0x07))
     count = 0
+    total_cs = None
+    pending_cs = 0
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:
             break
         if b == 0x21:  # extension: label + sub-blocks
+            if pos + 1 >= len(data):
+                break
+            label = data[pos + 1]
             pos += 2
+            if (label == 0xF9 and pos + 3 < len(data) and data[pos] >= 4):
+                pending_cs = data[pos + 2] | (data[pos + 3] << 8)
             while pos < len(data) and data[pos]:
                 pos += 1 + data[pos]
             pos += 1
@@ -659,13 +668,27 @@ def parse_gif_frame_count(data: Optional[bytes]) -> Optional[int]:
             pos += 1 + data[pos]
         if complete:
             count += 1
-    return count
+            if pending_cs:
+                total_cs = (total_cs or 0) + pending_cs
+        pending_cs = 0
+    return {
+        "n_frames": count,
+        "duration_ms": None if total_cs is None else total_cs * 10,
+    }
+
+
+def parse_gif_frame_count(data: Optional[bytes]) -> Optional[int]:
+    """Number of COMPLETE image frames in a GIF (see
+    parse_gif_metadata)."""
+    meta = parse_gif_metadata(data)
+    return None if meta is None else meta["n_frames"]
 
 
 def with_gif_metadata(df: DataFrame, media_col: str = "media",
                       meta_col: str = "media_meta") -> DataFrame:
-    """Fill n_frames for rows classified gif — the routing column that
-    separates static images from animations BEFORE any decode, the way
+    """Fill n_frames (and duration_ms, from summed GCE frame delays)
+    for rows classified gif — the routing columns that separate static
+    images from animations BEFORE any decode, the way
     with_mp4_metadata does for video (round 12: pairs the
     decode_gif_frames/sample_frames animation path).
 
@@ -674,16 +697,20 @@ def with_gif_metadata(df: DataFrame, media_col: str = "media",
     by its declared length — no LZW, no pixels."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int")
-    def _frames(blob: pd.Series) -> pd.Series:
-        return pd.Series(
-            [parse_gif_frame_count(None if b is None else bytes(b))
-             for b in blob],
-            dtype="Int32",
-        )
+    @pandas_udf("struct<n_frames:int,duration_ms:bigint>")
+    def _meta(blob: pd.Series) -> pd.DataFrame:
+        ns, ds = [], []
+        for b in blob:
+            r = parse_gif_metadata(None if b is None else bytes(b))
+            ns.append(None if r is None else r["n_frames"])
+            ds.append(None if r is None else r["duration_ms"])
+        return pd.DataFrame({
+            "n_frames": pd.array(ns, dtype="Int32"),
+            "duration_ms": pd.array(ds, dtype="Int64"),
+        })
 
     m = F.col(meta_col)
-    n = _frames(F.when(m["format"] == "gif", F.col(media_col)))
+    g = _meta(F.when(m["format"] == "gif", F.col(media_col)))
     return df.withColumn(
         meta_col,
         F.struct(
@@ -693,8 +720,10 @@ def with_gif_metadata(df: DataFrame, media_col: str = "media",
             m["height"].alias("height"),
             m["sample_rate"].alias("sample_rate"),
             m["n_channels"].alias("n_channels"),
-            F.coalesce(m["n_frames"], n).cast("int").alias("n_frames"),
-            m["duration_ms"].alias("duration_ms"),
+            F.coalesce(m["n_frames"], g["n_frames"]).cast("int").alias(
+                "n_frames"),
+            F.coalesce(m["duration_ms"], g["duration_ms"]).cast(
+                "bigint").alias("duration_ms"),
             m["n_bytes"].alias("n_bytes"),
         ),
     )

@@ -1775,7 +1775,8 @@ def _make_animated_gif(frames_spec, sw, sh, palette, min_code=2):
     for f in frames_spec:
         tflag = 1 if f.get("transparent") is not None else 0
         gce_flags = (f.get("disposal", 0) << 2) | tflag
-        out += bytes([0x21, 0xF9, 4, gce_flags, 0, 0,
+        delay = f.get("delay_cs", 0)
+        out += bytes([0x21, 0xF9, 4, gce_flags, delay % 256, delay // 256,
                       f.get("transparent") or 0, 0])
         out += bytes([0x2C]) + struct.pack(
             "<HHHH", f.get("left", 0), f.get("top", 0), f["w"], f["h"])
@@ -1887,6 +1888,19 @@ def test_parse_gif_frame_count_block_walk():
     assert parse_gif_frame_count(None) is None
 
 
+def test_parse_gif_metadata_duration_from_gce_delays():
+    from goconnect_spark.operators.multimodal import parse_gif_metadata
+
+    anim = _make_animated_gif(
+        [dict(indices=[i % 4] * 6, w=3, h=2, delay_cs=7 + i) for i in range(4)],
+        3, 2, _GIF_PAL)
+    got = parse_gif_metadata(anim)
+    # delays 7+8+9+10 cs -> 340 ms
+    assert got == {"n_frames": 4, "duration_ms": 340}
+    static = _make_gif([0, 1, 2, 3, 1, 0], 3, 2, _GIF_PAL)
+    assert parse_gif_metadata(static) == {"n_frames": 1, "duration_ms": None}
+
+
 def test_with_gif_metadata_routes_animations(spark):
     from goconnect_spark.operators.multimodal import (
         parse_media_headers,
@@ -1894,7 +1908,8 @@ def test_with_gif_metadata_routes_animations(spark):
     )
 
     anim = _make_animated_gif(
-        [dict(indices=[i % 4] * 6, w=3, h=2) for i in range(4)], 3, 2, _GIF_PAL)
+        [dict(indices=[i % 4] * 6, w=3, h=2, delay_cs=5) for i in range(4)],
+        3, 2, _GIF_PAL)
     rows = [
         (1, anim),
         (2, _make_gif([0, 1, 2, 3, 1, 0], 3, 2, _GIF_PAL)),
@@ -1905,5 +1920,6 @@ def test_with_gif_metadata_routes_animations(spark):
     assert df.schema["media_meta"].dataType.simpleString() == MEDIA_META_SCHEMA
     out = {r.media_id: r.media_meta for r in df.collect()}
     assert (out[1].format, out[1].n_frames, out[1].width) == ("gif", 4, 3)
-    assert (out[2].format, out[2].n_frames) == ("gif", 1)
+    assert out[1].duration_ms == 4 * 50  # 5 cs per frame
+    assert (out[2].format, out[2].n_frames, out[2].duration_ms) == ("gif", 1, None)
     assert (out[3].format, out[3].n_frames) == ("png", None)
