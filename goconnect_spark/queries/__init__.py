@@ -52,7 +52,13 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 #   customers_order_presence (the r12 merge of the two r9-certified
 #   semi/anti-join twins into one query, holding the catalog at 177
 #   while media_classify_counts joins — both operator certificates
-#   preserved plus a union).
+#   preserved plus a union); later in the round media_jpeg_dims_profile
+#   (planted variable-position-SOF corpus certifying the bounded-prefix
+#   JPEG dims/profile routing layer) joined, with density held by
+#   folding the exact distinct_users_by_type into
+#   distinct_users_kmv_by_type (whose exact_distinct column already
+#   subsumed it; n_events added, so both certificates survive in one
+#   query — it recertifies in tier 0 because its schema changed).
 #   Then EVERY other query ordered by the ROUND OF ITS NEWEST GREEN
 #   DRIVER ROW, oldest first (computed from CORRECTNESS_r*.json at the
 #   r12 HEAD): the 27-query r8 remainder, then the r9 cohort (its
@@ -63,6 +69,8 @@ _DRIVER_PRIORITY = (
     # --- tier 0: changed at HEAD in round 12 ---
     "media_classify_counts",
     "customers_order_presence",
+    "media_jpeg_dims_profile",
+    "distinct_users_kmv_by_type",
     # last green: r8
     "event_hour_contingency",
     "event_interarrival_gaps",
@@ -144,7 +152,6 @@ _DRIVER_PRIORITY = (
     "bpe_vocab_deep_tokens",
     "text_token_stats",
     "dedup_quality_keepers",
-    "distinct_users_by_type",
     "doc_lm_score",
     "epoch_shard_assignment",
     "events_daily_pivot",
@@ -179,7 +186,6 @@ _DRIVER_PRIORITY = (
     "ann_ivf_kmeans_topk",
     "benchmark_contamination",
     "daily_reconciliation",
-    "distinct_users_kmv_by_type",
     "doc_length_buckets",
     "doc_repetition_ratio",
     "events_distinct_kmv",

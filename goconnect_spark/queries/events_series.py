@@ -187,27 +187,6 @@ FROM per_sess GROUP BY user_id ORDER BY user_id
 
 
 # --------------------------------------------------------------------
-# Exact distinct per key (the scalable twin approx_count_distinct is
-# exercised in tests; exact here so the oracle hash-matches).
-# --------------------------------------------------------------------
-def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, "events", sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events"))
-        .orderBy("event_type")
-    )
-
-
-
-_DISTINCT_USERS_SQL = """
-SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
-
-# --------------------------------------------------------------------
 # JSON decode + aggregate: props is a JSON string column; extract k,
 # bucket it, aggregate. get_json_object stays JVM-side (Jackson).
 # --------------------------------------------------------------------
@@ -1279,8 +1258,12 @@ def distinct_users_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = kmin.groupBy("event_type").agg(
         F.count("*").alias("k"), F.max("hv").alias("kth_min")
     )
+    # exact distinct AND total counts alongside (round 12: absorbs the
+    # former distinct_users_by_type — the exact per-key distinct was a
+    # strict subset of this query's exact_distinct column)
     exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("n_events"),
     )
     return (
         agg.join(exact, "event_type")
@@ -1290,6 +1273,7 @@ def distinct_users_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kth_min",
             "cast(k - 1 as double) * 1152921504606846976.0 / cast(kth_min as double) as estimate",
             "exact_distinct",
+            "n_events",
         )
         .orderBy("event_type")
     )
@@ -1312,12 +1296,13 @@ agg AS (
   FROM kmin WHERE rk <= {_GKMV_K} GROUP BY event_type
 ),
 ex AS (
-  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+         CAST(COUNT(*) AS BIGINT) AS n_events
   FROM events GROUP BY event_type
 )
 SELECT a.event_type, k, kth_min,
        CAST(k - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_min AS DOUBLE) AS estimate,
-       exact_distinct
+       exact_distinct, n_events
 FROM agg a JOIN ex USING (event_type)
 ORDER BY event_type
 """
@@ -1586,7 +1571,6 @@ ORDER BY lag_hours
 QUERIES = {
     "events_hourly": events_hourly,
     "user_sessions": user_sessions,
-    "distinct_users_by_type": distinct_users_by_type,
     "events_json_buckets": events_json_buckets,
     "events_daily_pivot": events_daily_pivot,
     "events_value_stats": events_value_stats,
@@ -1616,7 +1600,6 @@ QUERIES = {
 ORACLE = {
     "events_hourly": _EVENTS_HOURLY_SQL,
     "user_sessions": _SESSIONS_SQL,
-    "distinct_users_by_type": _DISTINCT_USERS_SQL,
     "events_json_buckets": _JSON_SQL,
     "events_daily_pivot": _PIVOT_SQL,
     "events_value_stats": _STATS_SQL,

@@ -182,10 +182,119 @@ ORDER BY format, kind
 """
 
 
+def _be16(col):
+    return F.lpad(F.hex(col), 4, "0")
+
+
+def _jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, media): one deterministic JPEG per document row with a
+    VARIABLE-POSITION SOF — the APP0 (and, for some variants, COM)
+    segment lengths derive from doc_id, so recovering the planted
+    dimensions requires an actual marker walk, not a fixed offset.
+    Variant = doc_id % 6:
+      0 baseline (C0)   1 extended (C1)   2 progressive (C2)
+      3 arith-sequential (C9 — a gated profile: routes to quarantine)
+      4 desynced marker stream (profile/dims honestly NULL)
+      5 SOS before any SOF (profile/dims honestly NULL)"""
+    d = F.col("doc_id")
+    w = (d % 900 + 16).cast("long")
+    h = (d % 600 + 16).cast("long")
+    v = d % 6
+    app0_pad = ((d % 5) * 3).cast("int")        # 0..12 extra body bytes
+    com_pad = ((d % 4 + 1) * 2).cast("int")     # 2..8 body bytes
+    app0 = F.concat(F.lit("FFE0"), _be16(app0_pad + 8),
+                    F.lit("4A4649460000"),  # 'JFIF\0\0' (6 body bytes)
+                    F.repeat(F.lit("00"), app0_pad))
+    com = F.concat(F.lit("FFFE"), _be16(com_pad + 2),
+                   F.repeat(F.lit("00"), com_pad))
+    def sof(marker):
+        return F.concat(F.lit(marker), F.lit("000B08"), _be16(h), _be16(w),
+                        F.lit("011100"))
+    soi = F.lit("FFD8")
+    tail = F.lit("FFDA0008010100003F00ABCD")  # SOS + entropy-ish bytes
+    hexstr = (
+        F.when(v == 0, F.concat(soi, app0, sof("FFC0"), tail))
+        .when(v == 1, F.concat(soi, app0, com, sof("FFC1"), tail))
+        .when(v == 2, F.concat(soi, com, app0, sof("FFC2"), tail))
+        .when(v == 3, F.concat(soi, app0, sof("FFC9"), tail))
+        # FFD8, a 4-byte APP1, then a 0x00 where the next marker's FF
+        # must be: the scanner bails instead of guessing
+        .when(v == 4, F.lit("FFD8FFE1000400001234"))
+        # SOS with no preceding SOF: dims/profile must be NULL
+        .otherwise(F.concat(soi, app0, tail))
+    )
+    return (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", F.unhex(hexstr).alias("media"))
+    )
+
+
+def media_jpeg_dims_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certificate for the bounded-prefix JPEG SOF routing layer
+    (with_jpeg_dimensions + with_jpeg_profile): Spark walks REAL
+    marker streams whose segment lengths vary per row and aggregates
+    the RECOVERED profile/dimensions; the oracle aggregates the
+    planted values. A wrong marker-length read, a missed fill byte, a
+    wrong SOF field offset, or a profile-table defect breaks the
+    hash. `decodable` certifies the quarantine routing key
+    (JPEG_DECODABLE_PROFILES)."""
+    from goconnect_spark.operators.multimodal import (
+        JPEG_DECODABLE_PROFILES,
+        with_jpeg_dimensions,
+        with_jpeg_profile,
+    )
+
+    df = with_jpeg_profile(with_jpeg_dimensions(
+        parse_media_headers(_jpeg_corpus(spark, sf_dir))))
+    m = F.col("media_meta")
+    prof = F.coalesce(F.col("jpeg_profile"), F.lit("unparseable"))
+    decodable = F.coalesce(
+        F.col("jpeg_profile").isin(*JPEG_DECODABLE_PROFILES), F.lit(False))
+    return (
+        df.groupBy(prof.alias("profile"), decodable.alias("decodable"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(m["width"]).alias("n_with_dims"),
+            F.sum(m["width"].cast("long")).alias("sum_width"),
+            F.sum(m["height"].cast("long")).alias("sum_height"),
+        )
+        .orderBy("profile")
+    )
+
+
+_MEDIA_JPEG_SQL = """
+WITH planted AS (
+    SELECT doc_id % 6 AS v,
+           doc_id % 900 + 16 AS w,
+           doc_id % 600 + 16 AS h
+    FROM documents
+), c AS (
+    SELECT CASE WHEN v = 0 THEN 'baseline' WHEN v = 1 THEN 'extended'
+                WHEN v = 2 THEN 'progressive'
+                WHEN v = 3 THEN 'arith-sequential'
+                ELSE 'unparseable' END AS profile,
+           v IN (0, 1, 2) AS decodable,
+           CASE WHEN v <= 3 THEN w END AS width,
+           CASE WHEN v <= 3 THEN h END AS height
+    FROM planted
+)
+SELECT profile, decodable,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(width) AS BIGINT) AS n_with_dims,
+       CAST(SUM(width) AS BIGINT) AS sum_width,
+       CAST(SUM(height) AS BIGINT) AS sum_height
+FROM c
+GROUP BY profile, decodable
+ORDER BY profile
+"""
+
+
 QUERIES = {
     "media_classify_counts": media_classify_counts,
+    "media_jpeg_dims_profile": media_jpeg_dims_profile,
 }
 
 ORACLE = {
     "media_classify_counts": _MEDIA_CLASSIFY_SQL,
+    "media_jpeg_dims_profile": _MEDIA_JPEG_SQL,
 }

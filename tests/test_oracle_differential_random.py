@@ -50,6 +50,10 @@ DOC_QUERIES = [
     "bpe_doc_tokens",
     "bpe_vocab_deep_tokens",
     "text_token_stats",
+    # media routing certificates: blobs derive from doc_id, so the
+    # planted-truth match must hold on ANY documents table
+    "media_classify_counts",
+    "media_jpeg_dims_profile",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]
@@ -296,7 +300,7 @@ EVENT_QUERIES = [
     "user_rolling_7d",
     "events_json_buckets",
     "events_value_stats",
-    "distinct_users_by_type",
+    "distinct_users_kmv_by_type",
     "events_distinct_hll",
     "zorder_pruning_stats",
     "streaming_windowed_hourly",

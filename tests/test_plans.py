@@ -274,6 +274,12 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         # Spark-side engine; the udf touches only the distinct-word
         # vocab, never corpus-sized rows
         "bpe_vocab_deep_tokens": {"EvalPython"},
+        # the FOURTH deliberate Arrow pandas_udf: the JPEG SOF routing
+        # certificate exercises with_jpeg_dimensions/with_jpeg_profile,
+        # whose DOCUMENTED design is a bounded-prefix Arrow scan —
+        # only jpeg-classified rows' leading 64 KiB cross to Python,
+        # never the payload column (multimodal.py:308)
+        "media_jpeg_dims_profile": {"EvalPython"},
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
