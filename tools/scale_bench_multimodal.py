@@ -105,6 +105,51 @@ def make_jpeg_baseline(w: int, h: int, dc: int) -> bytes:
             + entropy + b"\xff\xd9")
 
 
+def _lzw_literal(indices, min_code: int) -> bytes:
+    """Literal-code GIF-LZW stream (decoder dictionary growth tracked
+    for code-width bumps)."""
+    clear, eoi, width, size = 1 << min_code, (1 << min_code) + 1, min_code + 1, (1 << min_code) + 2
+    bits = []
+
+    def put(code, wd):
+        for i in range(wd):
+            bits.append((code >> i) & 1)
+
+    put(clear, min_code + 1)
+    first = True
+    for v in indices:
+        put(v, width)
+        if not first:
+            size += 1
+            if size == (1 << width) and width < 12:
+                width += 1
+        first = False
+    put(eoi, width)
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for j, b in enumerate(bits[i:i + 8]):
+            v |= b << j
+        raw.append(v)
+    return bytes(raw)
+
+
+def make_gif_anim(w: int, h: int, n_frames: int, seed: int) -> bytes:
+    """Real animated GIF89a: n_frames full-cover frames, 4-color
+    global palette, per-frame GCE with a delay (so duration_ms routes)."""
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x81, 0, 0]) + pal
+    for f in range(n_frames):
+        out += bytes([0x21, 0xF9, 4, 0, 5, 0, 0, 0])  # GCE: 5 cs delay
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) + bytes([0, 2])
+        raw = _lzw_literal([(seed + f + i) % 4 for i in range(w * h)], 2)
+        for i in range(0, len(raw), 255):
+            chunk = raw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return out + b"\x3b"
+
+
 def synthesize(spark, m: int, out: str) -> int:
     rows = []
     mid = 0
@@ -118,9 +163,13 @@ def synthesize(spark, m: int, out: str) -> int:
                 rows.append((mid, make_jpeg_arith(320 + i % 7, 200 + i % 5, pad=i % 300)))
             mid += 1
             rows.append((mid, b"junk" + bytes([(k + i) % 256]) * 512)); mid += 1
+            if i % 4 == 0:  # one animated gif per 4 base rows
+                rows.append((mid, make_gif_anim(12 + i % 5, 8 + i % 3,
+                                                4 + i % 5, seed=k * 7 + i)))
+                mid += 1
     df = spark.createDataFrame(rows, "media_id long, media binary")
     df.repartition(8).write.mode("overwrite").parquet(out)
-    return sum(len(r[1]) for r in rows)
+    return sum(len(r[1]) for r in rows), len(rows)
 
 
 def main() -> None:
@@ -132,6 +181,8 @@ def main() -> None:
         parse_media_headers,
         resample_audio,
         resize_images,
+        sample_frames,
+        with_gif_metadata,
         with_jpeg_dimensions,
         with_jpeg_profile,
     )
@@ -142,7 +193,7 @@ def main() -> None:
     for m in mults:
         work = tempfile.mkdtemp(prefix=f"mm_scale_m{m}_")
         try:
-            total = synthesize(spark, m, f"{work}/media.parquet")
+            total, n_rows = synthesize(spark, m, f"{work}/media.parquet")
             corpus = spark.read.parquet(f"{work}/media.parquet")
             mb = total / 1e6
 
@@ -173,12 +224,23 @@ def main() -> None:
             t_resize = time.time() - t0
 
             t0 = time.time()
+            gifmeta = with_gif_metadata(classified)
+            n_anim = gifmeta.where(F.col("media_meta.n_frames") > 1).count()
+            t_gifmeta = time.time() - t0
+
+            t0 = time.time()
+            n_frames_out = sample_frames(
+                gifmeta.where(F.col("media_meta.n_frames") > 1),
+                max_frames=4).count()
+            t_frames = time.time() - t0
+
+            t0 = time.time()
             n_resampled = resample_audio(
                 sized.where(F.col("media_meta.kind") == "audio"), 16000).count()
             t_resample = time.time() - t0
 
             print(json.dumps({
-                "m": m, "blobs": 4 * N_BASE * m, "mb": round(mb, 1),
+                "m": m, "blobs": n_rows, "mb": round(mb, 1),
                 "classify_s": round(t_classify, 2),
                 "classify_mb_s": round(mb / t_classify, 1),
                 "jpegdim_s": round(t_jpegdim, 2),
@@ -186,6 +248,8 @@ def main() -> None:
                 "decode_mb_s": round(mb / t_decode, 1),
                 "resize_s": round(t_resize, 2), "n_resized": n_resized,
                 "resample_s": round(t_resample, 2), "n_resampled": n_resampled,
+                "gifmeta_s": round(t_gifmeta, 2), "n_anim": n_anim,
+                "gif_frames_s": round(t_frames, 2), "n_frames": n_frames_out,
                 "n_sized_dims": n_dim, "n_decoded": n_feat,
                 "counts": counts,
             }), flush=True)
