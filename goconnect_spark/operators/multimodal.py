@@ -950,7 +950,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, int, bytes]:
     # allocation instead of OOM-killing the executor.
     expected = _png_expected_raw_len(w, h, channels, depth, interlace)
     dobj = zlib.decompressobj()
-    raw = dobj.decompress(b"".join(idat), expected + 1)
+    try:
+        raw = dobj.decompress(b"".join(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG pixel stream: {e}") from None
     if len(raw) != expected:
         raise ValueError(
             f"PNG pixel stream is {len(raw)} bytes, expected {expected}")
@@ -1616,7 +1619,11 @@ def decode_gif(data: Optional[bytes]):
                 out[i * 3 : i * 3 + 3] = ct[idx * 3 : idx * 3 + 3]
         else:
             for y in range(fh):
+                if top + y >= sh:  # clip to the logical screen (a
+                    break          # malformed rect must not write OOB)
                 for x in range(fw):
+                    if left + x >= sw:
+                        continue
                     idx = frame[y * fw + x]
                     if idx >= n_entries:
                         raise ValueError("GIF index outside color table")
