@@ -116,7 +116,8 @@ def test_key_fold(spark):
 
 
 def test_approx_distinct_matches_exact_scale(spark, sf_dir):
-    # the 100 TB twin of distinct_users_by_type: HLL sketch (mergeable,
+    # the 100 TB twin of distinct_users_kmv_by_type's exact column: HLL
+    # sketch (mergeable,
     # map-side combinable) vs exact distinct — within rsd tolerance
     import pyspark.sql.functions as F
 
