@@ -183,15 +183,25 @@ def parse_media_headers(df: DataFrame, media_col: str = "media") -> DataFrame:
     bmp_core = _le_u32(c, 15) == 12
     bmp_h = _le_u32(c, 23)
     bmp_h = F.when(bmp_h > 0x7FFFFFFF, 0x100000000 - bmp_h).otherwise(bmp_h)
-    width = (F.when(is_png, _be_u32(c, 17))
-             .when(is_gif, _le_u16(c, 7))
-             .when(is_bmp & bmp_core, _le_u16(c, 19))
-             .when(is_bmp, _le_u32(c, 19))).cast("int")
-    height = (F.when(is_png, _be_u32(c, 21))
-              .when(is_gif, _le_u16(c, 9))
-              .when(is_bmp & bmp_core, _le_u16(c, 21))
-              .when(is_bmp, bmp_h)).cast("int")
-    sample_rate = F.when(wav_fmt_first, _le_u32(c, 25)).cast("int")
+
+    def _int_or_null(col: F.Column) -> F.Column:
+        # a corrupt header can carry a u32 past INT32_MAX; under ANSI
+        # mode a bare cast("int") then throws CAST_OVERFLOW and fails
+        # the TASK — the exact one-bad-blob failure this layer exists
+        # to prevent (found by the r12 fuzz sweep). NULL, never a crash
+        return F.when(col <= 0x7FFFFFFF, col).cast("int")
+
+    width = _int_or_null(
+        F.when(is_png, _be_u32(c, 17))
+        .when(is_gif, _le_u16(c, 7))
+        .when(is_bmp & bmp_core, _le_u16(c, 19))
+        .when(is_bmp, _le_u32(c, 19)))
+    height = _int_or_null(
+        F.when(is_png, _be_u32(c, 21))
+        .when(is_gif, _le_u16(c, 9))
+        .when(is_bmp & bmp_core, _le_u16(c, 21))
+        .when(is_bmp, bmp_h))
+    sample_rate = _int_or_null(F.when(wav_fmt_first, _le_u32(c, 25)))
     n_channels = F.when(wav_fmt_first, _le_u16(c, 23)).cast("int")
     return df.withColumn(
         "media_meta",
@@ -587,13 +597,18 @@ def with_mp4_metadata(df: DataFrame, media_col: str = "media",
 
     @pandas_udf("struct<width:int,height:int,n_frames:int,duration_ms:bigint>")
     def _meta(blob: pd.Series) -> pd.DataFrame:
+        def i32(v):  # corrupt tables can carry counts past INT32_MAX:
+            return v if v is None or 0 <= v <= 0x7FFFFFFF else None
+        def i64(v):
+            return v if v is None or 0 <= v < (1 << 63) else None
+
         ws, hs, fs, ds = [], [], [], []
         for b in blob:
             r = parse_mp4_metadata(None if b is None else bytes(b))
-            ws.append(None if r is None else r["width"])
-            hs.append(None if r is None else r["height"])
-            fs.append(None if r is None else r["n_frames"])
-            ds.append(None if r is None else r["duration_ms"])
+            ws.append(None if r is None else i32(r["width"]))
+            hs.append(None if r is None else i32(r["height"]))
+            fs.append(None if r is None else i32(r["n_frames"]))
+            ds.append(None if r is None else i64(r["duration_ms"]))
         return pd.DataFrame({
             "width": pd.array(ws, dtype="Int32"),
             "height": pd.array(hs, dtype="Int32"),

@@ -156,3 +156,45 @@ def test_valid_containers_actually_decode():
     assert decode_gif(VALID[2])[:2] == (2, 2)
     assert decode_bmp(VALID[3])[:2] == (2, 2)
     assert decode_jpeg(VALID[4])[:2] == (8, 8)
+
+
+def test_routing_stack_never_fails_on_arbitrary_blobs(spark):
+    """The full JVM+Arrow routing stack (parse_media_headers ->
+    with_jpeg_dimensions/profile -> with_gif_metadata ->
+    with_mp4_metadata) over random bytes, corrupted containers, empty
+    and NULL blobs: never a task failure, schema stable — the routing
+    layer must be total even on garbage, because at 100 TB it runs
+    BEFORE any quarantine exists."""
+    import random
+
+    from goconnect_spark.operators.multimodal import (
+        MEDIA_META_SCHEMA,
+        parse_media_headers,
+        with_gif_metadata,
+        with_jpeg_dimensions,
+        with_jpeg_profile,
+        with_mp4_metadata,
+    )
+
+    rng = random.Random(99)
+    rows = [(0, None), (1, b""), (2, b"\x00")]
+    mid = 3
+    for _ in range(60):
+        rows.append((mid, bytes(rng.randrange(256)
+                                for _ in range(rng.randrange(400)))))
+        mid += 1
+    for _ in range(60):
+        base = bytearray(VALID[rng.randrange(len(VALID))])
+        for _ in range(rng.randrange(8)):
+            if base:
+                base[rng.randrange(len(base))] = rng.randrange(256)
+        rows.append((mid, bytes(base[: max(1, rng.randrange(len(base) + 1))])))
+        mid += 1
+    df = with_mp4_metadata(with_gif_metadata(with_jpeg_profile(
+        with_jpeg_dimensions(parse_media_headers(
+            spark.createDataFrame(rows, "media_id long, media binary"))))))
+    assert df.schema["media_meta"].dataType.simpleString() == MEDIA_META_SCHEMA
+    out = df.collect()  # any task failure raises here
+    assert len(out) == len(rows)
+    assert {r.media_meta["format"] for r in out} <= {
+        "png", "wav", "jpeg", "gif", "bmp", "mp4", "unknown"}
