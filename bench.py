@@ -154,11 +154,16 @@ def main():
     print(f"# shuffle_calibration_spread {sched_spread}x (max/min of 5)",
           file=sys.stderr)
 
-    # two passes, keep the per-query MIN: the steady-state cost of the
-    # plan, insulated from CI-box scheduler noise (observed ~30% total
-    # swing between idle and loaded runs of identical code)
+    # three passes, keep the per-query MIN: the steady-state cost of
+    # the plan, insulated from CI-box scheduler noise (observed ~30%
+    # total swing between idle and loaded runs of identical code) AND
+    # from cache-retention nondeterminism — the r12 back-to-back pair
+    # showed a shared-token-cache consumer at 0.45 s in one run and
+    # 1.5 s in the other because the MEMORY_AND_DISK cache happened to
+    # stay cold through pass 1; with two warm passes the MIN reliably
+    # lands on a warm-cache execution
     times: dict[str, float] = {}
-    for pass_no in range(2):
+    for pass_no in range(3):
         for name in to_run:
             fn = qs[name]
             t0 = time.time()
