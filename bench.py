@@ -189,6 +189,15 @@ def main():
                 "metric": "headline31_total_wall",
                 "value": headline31_total,
                 "unit": "sec",
+                # box fingerprint FIRST (VERDICT r12 item 6): the
+                # cpu+shuffle probe pair distinguishes box classes, so
+                # leading with it makes a cross-round capture
+                # self-explaining — read any round-over-round delta
+                # through tools/bench_diff.py, never as raw walls
+                "calibration_wall": calib,
+                "calibration_spread": calib_spread,
+                "shuffle_calibration_wall": sched_calib,
+                "shuffle_calibration_spread": sched_spread,
                 # n_queries pairs with value/metric (the 31-query
                 # legacy total); the queries map carries the wider
                 # 34-query headline set, counted by n_queries_headline
@@ -197,10 +206,6 @@ def main():
                 "queries": {n: times[n] for n in HEADLINE if n in times},
                 "headline31_total_wall": headline31_total,
                 "headline34_total_wall": headline_total,
-                "calibration_wall": calib,
-                "calibration_spread": calib_spread,
-                "shuffle_calibration_wall": sched_calib,
-                "shuffle_calibration_spread": sched_spread,
                 "all_queries_total_wall": all_total,
                 "n_queries_all": len(times),
                 "sf": sf_val,

@@ -972,6 +972,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, int, bytes]:
     if len(raw) != expected:
         raise ValueError(
             f"PNG pixel stream is {len(raw)} bytes, expected {expected}")
+    if not dobj.eof:
+        # the stream produced exactly the expected bytes but never hit
+        # its zlib trailer (ADVICE r12: a stream truncated exactly at
+        # the byte count — adler32 missing — must stay as rejected as
+        # it was under plain zlib.decompress, not slip through the
+        # allocation-capped path)
+        raise ValueError("corrupt PNG pixel stream: truncated before "
+                         "the zlib trailer")
 
     # fast path — the overwhelmingly common layout (non-interlaced,
     # byte-aligned samples, no palette): the unfiltered buffer IS the
@@ -1759,7 +1767,12 @@ def decode_gif_frames(data: Optional[bytes]):
                 canvas[o : o + 3] = ct[idx * 3 : idx * 3 + 3]
                 canvas[o + 3] = 255
         frames.append(bytes(canvas))
-        if disposal == 2:  # restore the frame rect to background
+        if disposal == 2 and left < sw:
+            # restore the frame rect to background; the left < sw guard
+            # clips fully off-screen rects the same way the composition
+            # loop above does (ADVICE r12: left >= sw made row1 < row0
+            # and bytes(negative) raise after the draw loop tolerated
+            # the identical rect)
             for y in range(fh):
                 cy = top + y
                 if cy >= sh:

@@ -172,9 +172,11 @@ def test_cli_regression_exit_code(tmp_path):
 def test_cli_uniform_drift_median_normalization(tmp_path):
     # the r11/r12 driver scenario: query walls uniformly ~1.45x slower
     # while the cpu probe is FLAT (scheduler-side box drift the codegen
-    # probe can't see). The median per-query drift estimator must clear
-    # the board, print the unexplained-drift NOTE, and still flag a
-    # genuine outlier riding on top of the drift
+    # probe can't see). The median per-query drift estimator clears the
+    # per-query board, but an UNEXPLAINED uniform drift now fails with
+    # exit 2 (ADVICE r12: it used to be a stdout NOTE anyone could
+    # miss) until the one-box A/B evidence is cited; a genuine outlier
+    # riding on top of the drift still flags with exit 1
     old = tmp_path / "old.json"
     new = tmp_path / "new.json"
     qs_old = {f"q{i}": 1.0 for i in range(10)}
@@ -185,9 +187,26 @@ def test_cli_uniform_drift_median_normalization(tmp_path):
         [sys.executable, "tools/bench_diff.py", str(old), str(new)],
         capture_output=True, text=True,
     )
-    assert r.returncode == 0, r.stdout
+    assert r.returncode == 2, r.stdout
     assert "uniform drift" in r.stdout and "NOT explained" in r.stdout
-    # a real 4x outlier on the same drifting box still gates
+    assert "REGRESSION" not in r.stdout
+    # the documented waiver (citing A/B evidence) restores exit 0
+    rw = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new),
+         "--accept-uniform-drift", "one-box A/B in bench_captures/x.md"],
+        capture_output=True, text=True,
+    )
+    assert rw.returncode == 0, rw.stdout
+    assert "WAIVED" in rw.stdout
+    # a reason-less waiver is a usage error
+    re_ = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new),
+         "--accept-uniform-drift", "  "],
+        capture_output=True, text=True,
+    )
+    assert re_.returncode not in (0, 2)
+    # a real 4x outlier on the same drifting box still gates (exit 1
+    # takes precedence over the uniform-drift exit 2)
     qs_new["q9"] = 4.0
     new.write_text(json.dumps({"queries": qs_new, "calibration_wall": 0.4}))
     r2 = subprocess.run(
@@ -195,6 +214,46 @@ def test_cli_uniform_drift_median_normalization(tmp_path):
         capture_output=True, text=True,
     )
     assert r2.returncode == 1 and "q9" in r2.stdout.split("regression(s)")[-1]
+
+
+def test_cli_uniform_drift_probe_explained_passes(tmp_path):
+    # the same 1.45x uniform wall drift WITH a matching stable probe
+    # drift is box movement, not code — exit 0, no waiver needed
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    qs_old = {f"q{i}": 1.0 for i in range(10)}
+    qs_new = {f"q{i}": 1.45 for i in range(10)}
+    old.write_text(json.dumps({"queries": qs_old, "calibration_wall": 0.4,
+                               "calibration_spread": 1.1}))
+    new.write_text(json.dumps({"queries": qs_new, "calibration_wall": 0.58,
+                               "calibration_spread": 1.1}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout
+
+
+def test_cli_unstable_probe_cannot_explain_uniform_drift(tmp_path):
+    # ADVICE r12: an UNSTABLE cpu probe (excluded from the per-query
+    # gate) used to still count toward the probe-explained ceiling and
+    # suppress the unexplained-uniform-drift check — now a 1.45x
+    # uniform drift with only an unstable probe "explaining" it fails
+    # with exit 2
+    old = tmp_path / "old.json"
+    new = tmp_path / "new.json"
+    qs_old = {f"q{i}": 1.0 for i in range(10)}
+    qs_new = {f"q{i}": 1.45 for i in range(10)}
+    old.write_text(json.dumps({"queries": qs_old, "calibration_wall": 0.4,
+                               "calibration_spread": 1.1}))
+    new.write_text(json.dumps({"queries": qs_new, "calibration_wall": 0.58,
+                               "calibration_spread": 2.1}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_diff.py", str(old), str(new)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 2, r.stdout
+    assert "UNSTABLE" in r.stdout
 
 
 def test_cli_unstable_probe_excluded_from_gate(tmp_path):
@@ -240,4 +299,4 @@ def test_cli_shuffle_calibration_normalizes(tmp_path):
         capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stdout
-    assert "shuffle/scheduler" in r.stdout
+    assert "shuffle probe" in r.stdout

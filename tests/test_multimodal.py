@@ -1693,6 +1693,34 @@ def test_decode_png_zlib_bomb_capped():
         decode_png(blob)
 
 
+def test_decode_png_stream_truncated_at_exact_length_rejected():
+    """A zlib stream cut EXACTLY at the expected byte count (deflate
+    data complete, adler32 trailer missing) must still be rejected
+    (ADVICE r12): the allocation-capped inflate now also requires the
+    decompressor to reach end-of-stream, keeping corrupt-input
+    strictness identical to plain zlib.decompress."""
+    import struct
+    import zlib
+
+    from goconnect_spark.operators.multimodal import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 2x2 gray/8: expected filtered stream is 2*(2+1) = 6 bytes
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 1, 2, 0, 3, 4])
+    comp = zlib.compress(raw)
+    # sanity: the untruncated stream decodes
+    ok = (sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", comp)
+          + _png_chunk(b"IEND", b""))
+    assert decode_png(ok)[:2] == (2, 2)
+    # drop the 4-byte adler32: all 6 output bytes still inflate, but
+    # the stream never reaches eof
+    bad = (sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", comp[:-4])
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated|pixel stream"):
+        decode_png(bad)
+
+
 def test_decode_gif_truncation_sweep_never_indexerror():
     """Every prefix of a real GIF either decodes (only once complete)
     or raises ValueError — the truncated-input contract the other
@@ -1827,6 +1855,29 @@ def test_decode_gif_frames_animation_composition():
     # after frame 2, disposal 2 cleared rect (0..1, y=1) to transparent;
     # frame 3 repaints the whole screen green
     assert frames[3] == g * 6
+
+
+def test_decode_gif_frames_offscreen_rect_disposal2_clipped():
+    """A frame rect placed entirely past the right edge (left >= sw)
+    with disposal==2 must be clipped by the background-restore pass the
+    same way the composition loop clips it (ADVICE r12: it used to
+    raise bytes(negative) AFTER the draw loop had tolerated the rect)."""
+    from goconnect_spark.operators.multimodal import decode_gif_frames
+
+    pal = _GIF_PAL
+    blob = _make_animated_gif([
+        dict(indices=[0, 1, 2, 3, 0, 1], w=3, h=2, disposal=1),
+        # 1x1 frame fully off-screen to the right, restore-to-background
+        dict(indices=[2], left=3, top=0, w=1, h=1, disposal=2),
+        dict(indices=[1] * 6, w=3, h=2),
+    ], 3, 2, pal)
+    sw, sh, frames = decode_gif_frames(blob)
+    assert (sw, sh, len(frames)) == (3, 2, 3)
+    r, g, b, y = (_rgba(i, pal) for i in range(4))
+    canvas_a = r + g + b + y + r + g
+    # the off-screen frame paints nothing and its cleanup clears nothing
+    assert frames[1] == canvas_a
+    assert frames[2] == g * 6
 
 
 def test_decode_gif_frames_first_frame_matches_decode_gif():

@@ -33,12 +33,17 @@ under EVERY available normalization to flag —
   dimension that actually moved on the r11/r12 driver boxes);
 - uniform: the MEDIAN per-query raw ratio over >= 8 above-noise
   common queries — probe-free and robust: a few real regressions
-  cannot move it, and when it is large but unexplained by the probes
-  a loud NOTE demands the one-box A/B protocol (bench_captures/
-  r12_bench_regression_bisect.md) instead of a silent pass.
+  cannot move it. When it exceeds 1.25x AND 1.25x of the largest
+  TRUSTED probe drift, the run FAILS with exit 2 (round 13, ADVICE
+  r12: a genuinely uniform code regression used to be absorbed with
+  only a stdout NOTE) until the one-box A/B protocol (bench_captures/
+  r12_bench_regression_bisect.md) is run and its evidence cited via
+  --accept-uniform-drift REASON.
 This min-over-normalizations gate cannot produce a false regression
 from single-dimension box drift, while a genuine per-query regression
-stands out under all estimators.
+stands out under all estimators. The box-class delta (both probes +
+spreads + uniform drift) prints FIRST so a cross-box capture is
+self-explaining.
 """
 
 from __future__ import annotations
@@ -132,8 +137,16 @@ def main() -> None:
         help="deliberate scope change: exempt QUERY from the gate, "
              "printing REASON beside its ratio",
     )
+    ap.add_argument(
+        "--accept-uniform-drift", metavar="REASON", default=None,
+        help="waive the unexplained-uniform-drift gate (exit 2) after "
+             "running the one-box A/B protocol; REASON must cite the "
+             "A/B evidence (e.g. the bench_captures file)",
+    )
     ns = ap.parse_args()
     threshold = ns.threshold
+    if ns.accept_uniform_drift is not None and not ns.accept_uniform_drift.strip():
+        raise SystemExit("--accept-uniform-drift: empty reason")
     allowed: dict[str, str] = {}
     for item in ns.allow:
         if "=" not in item:
@@ -187,6 +200,45 @@ def main() -> None:
               f"acceptance band (old {spread_o}, new {spread_n}) — "
               "cpu-calibrated ratios are untrusted", file=sys.stderr)
 
+    # --- box-class delta FIRST (VERDICT r12 item 6): the probe pair is
+    # a box fingerprint — leading with it makes a cross-box driver
+    # capture self-explaining instead of needing a bisect doc ---
+    print("== box-class delta (fixed-work probes; >1 = NEW box/run slower) ==")
+    if drift_cpu:
+        spread_txt = "".join(
+            f", spread {s}x" for s in (spread_o, spread_n) if s) or ""
+        print(f"cpu probe:     {cal_o:.3f}s -> {cal_n:.3f}s "
+              f"(drift {drift_cpu:.2f}x{spread_txt}"
+              + ("" if cpu_probe_ok else "; UNSTABLE, excluded from gate")
+              + ")")
+    elif cal_o or cal_n:
+        print("cpu probe:     present in only one artifact")
+    if drift_sched:
+        print(f"shuffle probe: {sch_o:.3f}s -> {sch_n:.3f}s "
+              f"(drift {drift_sched:.2f}x)")
+    if drift_uniform:
+        print(f"uniform drift: {drift_uniform:.2f}x "
+              f"(median per-query raw ratio, n={len(eligible)})")
+    # probe-explained ceiling: the largest TRUSTED probe drift. An
+    # unstable cpu probe is excluded here exactly as it is from the
+    # per-query gate (ADVICE r12: it used to slip back in and suppress
+    # the unexplained-uniform-drift check)
+    probe_best = max(
+        drift_cpu if (drift_cpu and cpu_probe_ok) else 1.0,
+        drift_sched or 1.0,
+    )
+    uniform_unexplained = bool(
+        drift_uniform and drift_uniform > 1.25
+        and drift_uniform > 1.25 * probe_best)
+    if uniform_unexplained:
+        print("NOTE: large uniform wall drift NOT explained by the "
+              "fixed-work probes — per the r12 protocol this now FAILS "
+              "the gate (exit 2) until confirmed by an A/B of old-code "
+              "vs new-code on ONE box (see tools/bench_captures/"
+              "r12_bench_regression_bisect.md); waive with "
+              "--accept-uniform-drift REASON citing the A/B")
+    print()
+
     rows = []
     for q in common:
         o, n = old[q], new[q]
@@ -232,26 +284,6 @@ def main() -> None:
     else:
         print(f"\nno comparable queries between the two runs "
               f"(old={len(old)}, new={len(new)} entries)")
-    if drift:
-        print(f"calibration (codegen cpu): {cal_o:.3f}s -> {cal_n:.3f}s "
-              f"(drift {drift:.2f}x"
-              + ("" if cpu_probe_ok else "; UNSTABLE, excluded from gate")
-              + ")")
-    elif cal_o or cal_n:
-        print("calibration present in only one artifact — raw ratios gate")
-    if drift_sched:
-        print(f"calibration (shuffle/scheduler): {sch_o:.3f}s -> "
-              f"{sch_n:.3f}s (drift {drift_sched:.2f}x)")
-    if drift_uniform:
-        print(f"uniform drift (median per-query ratio, n={len(eligible)}): "
-              f"{drift_uniform:.2f}x")
-        probe_best = max(x for x in (drift_cpu or 1.0, drift_sched or 1.0))
-        if drift_uniform > 1.25 and drift_uniform > 1.25 * probe_best:
-            print("NOTE: large uniform wall drift NOT explained by the "
-                  "fixed-work probes — per the r12 protocol, confirm via "
-                  "an A/B of old-code vs new-code on ONE box before "
-                  "reading this as a code regression (see "
-                  "tools/bench_captures/r12_bench_regression_bisect.md)")
     print("gate: each query must exceed the threshold under EVERY "
           "available drift normalization to flag")
     added = sorted(set(new) - set(old))
@@ -278,6 +310,15 @@ def main() -> None:
         print(f"\n{len(regs)} regression(s) past {threshold}x"
               f"{' (calibrated)' if drift else ''}: {', '.join(regs)}")
         sys.exit(1)
+    if uniform_unexplained:
+        if ns.accept_uniform_drift:
+            print(f"\nuniform-drift gate WAIVED: {ns.accept_uniform_drift}")
+        else:
+            print(f"\nunexplained uniform drift {drift_uniform:.2f}x "
+                  f"(probe-explained ceiling {probe_best:.2f}x) — run the "
+                  "one-box A/B protocol, then re-run with "
+                  "--accept-uniform-drift REASON")
+            sys.exit(2)
 
 
 if __name__ == "__main__":
