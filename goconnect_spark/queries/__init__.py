@@ -41,84 +41,40 @@ from goconnect_spark.queries import (
 
 ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph_queries, curation, dedup, dedup2, filtering, layout, media, mixing, sampling, similarity, similarity2, pq, sketches, text, text2, packing, quality)
 
-# Driver-verification priority: the per-round correctness harness runs the
-# catalog in registration order and may cap the run (~50 of the catalog).
-# Rebuilt for round 12 per VERDICT r11 item 3 — priority = staleness:
-#   tier 0 = changed at HEAD this round: media_classify_counts (NEW —
-#   the first oracle-gated certificate of the multimodal header-routing
-#   layer, VERDICT r11 item 4: parse_media_headers recovers planted
-#   container metadata from real constructed bytes while the DuckDB
-#   oracle aggregates the planted values directly) and
-#   customers_order_presence (the r12 merge of the two r9-certified
-#   semi/anti-join twins into one query, holding the catalog at 177
-#   while media_classify_counts joins — both operator certificates
-#   preserved plus a union); later in the round media_jpeg_dims_profile
-#   (planted variable-position-SOF corpus certifying the bounded-prefix
-#   JPEG dims/profile routing layer) joined, with density held by
-#   folding the exact distinct_users_by_type into
-#   distinct_users_kmv_by_type (whose exact_distinct column already
-#   subsumed it; n_events added, so both certificates survive in one
-#   query — it recertifies in tier 0 because its schema changed).
-#   Then EVERY other query ordered by the ROUND OF ITS NEWEST GREEN
-#   DRIVER ROW, oldest first (computed from CORRECTNESS_r*.json at the
-#   r12 HEAD): the 27-query r8 remainder, then the r9 cohort (its
-#   oldest 21 fill the ~50-slot cap), then the r10- and r11-fresh
-#   certificates. Slots 1-50 = 2 tier-0 + 27 r8 + 21 r9, so after r12
-#   no certificate is older than r9 (max age 3 rounds).
+# Driver-verification priority: the per-round correctness harness runs
+# the catalog in registration order and may cap the run (~50 of the
+# catalog). Rebuilt for round 13 per VERDICT r12 item 1 — priority =
+# staleness, computed from CORRECTNESS_r*.json at the r13 HEAD:
+#   tier 0 = changed at HEAD this round:
+#     - media_animation_metadata (NEW — the third planted-truth media
+#       certificate: with_gif_metadata's GCE-delay/frame-count block
+#       walk and with_mp4_metadata's mvhd v0/v1 + tkhd + stts box walk,
+#       previously pytest-only; VERDICT r12 item 3);
+#     - events_distinct_hll (the r13 fold of events_distinct_kmv into
+#       it — same stream, same 60-bit hash, single-row grain; both
+#       sketch certificates survive as columns, holding the catalog at
+#       177 while media_animation_metadata joins — recertifies because
+#       its schema changed).
+#   Then EVERY query whose newest green driver row is r9 (the full
+#   29-query remainder — after r13 nothing certified before r10
+#   remains), then the r10 cohort alphabetically: slots 1-50 = 2
+#   tier-0 + 29 r9 + the first ~19 of r10; the other r10 entries queue
+#   first for round 14, ahead of the r11/r12 cohorts that follow in
+#   registration order. Max certificate age stays <= 3 rounds.
 _DRIVER_PRIORITY = (
-    # --- tier 0: changed at HEAD in round 12 ---
-    "media_classify_counts",
-    "customers_order_presence",
-    "media_jpeg_dims_profile",
-    "distinct_users_kmv_by_type",
-    # last green: r8
-    "event_hour_contingency",
-    "event_interarrival_gaps",
-    "event_transition_matrix",
-    "events_hourly_anomalies",
-    "events_user_lifecycle",
-    "gopher_quality_rules",
-    "key_skew_profile",
-    "knn_label_accuracy",
-    "label_centroid_shift",
-    "order_fulfillment_latency",
-    "orders_grouping_sets",
-    "phrase_search_top_trigram",
-    "priority_sample",
-    "q11_important_stock",
-    "q16_parts_supplier_counts",
-    "q20_potential_promotion",
-    "q21_late_suppliers",
-    "retention_cohorts",
-    "source_divergence_tv",
-    "source_epoch_plan",
-    "source_length_quantiles",
-    "supplier_concentration_hhi",
-    "tfidf_top_terms",
-    "token_budget_sample",
-    "user_overlap_kmv",
-    "user_sessions",
-    "weekly_active_users",
-    # last green: r9
-    "bpe_doc_tokens",
-    "bpe_tokenize_corpus",
-    "corpus_snapshot_diff",
-    "cosine_topk",
-    "customer_rfm_segments",
-    "customer_spend_ranks",
-    "dedup_exact",
-    "dedup_incremental_new_batch",
-    "dedup_method_agreement",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "dsir_importance_weights",
-    "embedding_dim_covariance",
-    "embedding_quantization_error",
-    "events_value_stats",
-    "hourly_count_autocorr",
-    "lang_id_confusion",
+    # --- tier 0: changed at HEAD in round 13 ---
+    "media_animation_metadata",
+    "events_distinct_hll",
+    # last green: r9 (the full 29-query remainder)
+    "ann_random_projection_recall",
+    "bm25_keyword_topk",
+    "corpus_drop_reasons",
+    "curated_corpus_stats",
+    "customer_name_fuzzy_pairs",
+    "customer_supplier_nations",
+    "dedup_cluster_size_histogram",
+    "dedup_connected_components",
+    "dedup_filtered_corpus",
     "lm_score_deciles",
     "minhash_jaccard_calibration",
     "order_value_pareto",
@@ -139,31 +95,34 @@ _DRIVER_PRIORITY = (
     "word_graph_triangles",
     "word_pagerank",
     "zorder_pruning_stats",
-    "ann_random_projection_recall",
-    "bm25_keyword_topk",
-    "corpus_drop_reasons",
-    "curated_corpus_stats",
-    "customer_name_fuzzy_pairs",
-    "customer_supplier_nations",
-    "dedup_cluster_size_histogram",
-    "dedup_connected_components",
-    "dedup_filtered_corpus",
-    # last green: r10
+    # last green: r10 (alphabetical; the first ~19 fill the ~50-slot cap,
+    # the rest queue for round 14)
+    "ann_ivf_kmeans_topk",
+    "benchmark_contamination",
     "bpe_vocab_deep_tokens",
-    "text_token_stats",
+    "daily_reconciliation",
     "dedup_quality_keepers",
+    "doc_length_buckets",
     "doc_lm_score",
+    "doc_repetition_ratio",
     "epoch_shard_assignment",
     "events_daily_pivot",
-    "events_distinct_hll",
     "events_error_context",
+    "events_hourly",
     "events_hourly_gapfill",
+    "events_in_error_windows",
     "events_json_buckets",
+    "events_latest_per_user",
+    "events_rollup_cascade",
+    "flatmap_word_counts",
+    "fold_global",
+    "funnel_view_click_purchase",
     "hll_sliding_7d_users",
     "hll_sliding_calibration",
     "hourly_seasonal_residuals",
     "ivm_join_view_delta",
     "ivm_merge_hourly_counts",
+    "kv_roundtrip",
     "lineitem_cube",
     "orders_unpivot",
     "purchases_asof_signup",
@@ -183,52 +142,8 @@ _DRIVER_PRIORITY = (
     "source_quality_harmonized",
     "streaming_handoff_counts",
     "streaming_ivm_hourly_counts",
-    "ann_ivf_kmeans_topk",
-    "benchmark_contamination",
-    "daily_reconciliation",
-    "doc_length_buckets",
-    "doc_repetition_ratio",
-    "events_distinct_kmv",
-    "events_hourly",
-    "events_in_error_windows",
-    "events_latest_per_user",
-    "events_rollup_cascade",
-    "flatmap_word_counts",
-    "fold_global",
-    "funnel_view_click_purchase",
-    "kv_roundtrip",
-    # last green: r11
-    "fingerprint_collision_dedup",
-    "source_overlap_jaccard",
-    "limit_events",
-    "map_filter",
-    "ordered_merge",
-    "orders_profile",
-    "orders_rollup",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q1_pricing_summary",
-    "q22_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "referential_integrity",
-    "roundrobin_replay",
-    "semantic_dedup",
-    "sequence_packing",
-    "source_mix_weights",
-    "stratified_sample",
-    "streaming_ann_lookup",
-    "text_quality_score",
-    "top_customers_per_segment",
-    "user_history_scd2",
-    "user_rolling_7d",
-    "value_histogram_quantiles",
-    "value_outliers_mad",
-    "vocab_oov_rate",
-    "xml_extract_fold",
+    "text_token_stats",
+    # last green: r11 (alphabetical)
     "ann_index_comparison",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
@@ -248,6 +163,88 @@ _DRIVER_PRIORITY = (
     "duplicated_ngram_coverage",
     "embedding_near_dup",
     "embedding_outliers",
+    "fingerprint_collision_dedup",
+    "limit_events",
+    "map_filter",
+    "ordered_merge",
+    "orders_profile",
+    "orders_rollup",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "referential_integrity",
+    "roundrobin_replay",
+    "semantic_dedup",
+    "sequence_packing",
+    "source_mix_weights",
+    "source_overlap_jaccard",
+    "stratified_sample",
+    "streaming_ann_lookup",
+    "text_quality_score",
+    "top_customers_per_segment",
+    "user_history_scd2",
+    "user_rolling_7d",
+    "value_histogram_quantiles",
+    "value_outliers_mad",
+    "vocab_oov_rate",
+    "xml_extract_fold",
+    # last green: r12 (alphabetical)
+    "bpe_doc_tokens",
+    "bpe_tokenize_corpus",
+    "corpus_snapshot_diff",
+    "cosine_topk",
+    "customer_rfm_segments",
+    "customer_spend_ranks",
+    "customers_order_presence",
+    "dedup_exact",
+    "dedup_incremental_new_batch",
+    "dedup_method_agreement",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_users_kmv_by_type",
+    "doc_fingerprint",
+    "dsir_importance_weights",
+    "embedding_dim_covariance",
+    "embedding_quantization_error",
+    "event_hour_contingency",
+    "event_interarrival_gaps",
+    "event_transition_matrix",
+    "events_hourly_anomalies",
+    "events_user_lifecycle",
+    "events_value_stats",
+    "gopher_quality_rules",
+    "hourly_count_autocorr",
+    "key_skew_profile",
+    "knn_label_accuracy",
+    "label_centroid_shift",
+    "lang_id_confusion",
+    "media_classify_counts",
+    "media_jpeg_dims_profile",
+    "order_fulfillment_latency",
+    "orders_grouping_sets",
+    "phrase_search_top_trigram",
+    "priority_sample",
+    "q11_important_stock",
+    "q16_parts_supplier_counts",
+    "q20_potential_promotion",
+    "q21_late_suppliers",
+    "retention_cohorts",
+    "source_divergence_tv",
+    "source_epoch_plan",
+    "source_length_quantiles",
+    "supplier_concentration_hhi",
+    "tfidf_top_terms",
+    "token_budget_sample",
+    "user_overlap_kmv",
+    "user_sessions",
+    "weekly_active_users",
 )
 
 

@@ -43,12 +43,6 @@ _WINDOW_US = 300 * 1_000_000  # 5 minutes in microseconds
 
 
 
-_KMV_K = 128
-
-_TWO_60 = 1152921504606846976  # 2^60, exact as a double
-
-
-
 _7D_US = 7 * 86_400 * 1_000_000
 
 
@@ -570,45 +564,10 @@ ORDER BY user_id, run_id
 
 
 
-def events_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV distinct-count sketch over event_id, with the exact count
-    alongside for error inspection.
-
-    The hash is the first 15 hex chars of md5 parsed as a 60-bit
-    integer — identical in both engines; (k-1)*2^60 is exact as a
-    double (7-bit mantissa), so the estimate divides two bit-identical
-    doubles.
-    """
-    ev = load(spark, "events", sf_dir)
-    h = ev.selectExpr(
-        "cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) as hv"
-    ).distinct()
-    kmin = h.orderBy("hv").limit(_KMV_K)
-    agg = kmin.agg(F.count("*").alias("k"), F.max("hv").alias("kth_min"))
-    exact = ev.agg(F.countDistinct("event_id").alias("exact_distinct"))
-    return agg.crossJoin(F.broadcast(exact)).selectExpr(
-        "k",
-        "kth_min",
-        f"cast(k - 1 as double) * {_TWO_60}.0 / cast(kth_min as double) as estimate",
-        "exact_distinct",
-    )
-
-
-
-_KMV_SQL = f"""
-WITH h AS (
-  SELECT DISTINCT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv
-  FROM events
-),
-kmin AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
-agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(hv) AS kth_min FROM kmin),
-ex AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct FROM events)
-SELECT k, kth_min,
-       CAST(k - 1 AS DOUBLE) * {_TWO_60}.0 / CAST(kth_min AS DOUBLE) AS estimate,
-       exact_distinct
-FROM agg, ex
-"""
-
+# events_distinct_kmv (the standalone KMV distinct-count that lived
+# here r1-r12) was folded into sketches.py::events_distinct_hll in
+# round 13 — same stream, same 60-bit md5 hash derivation, same
+# single-row grain; both sketch certificates survive as columns there.
 
 
 def value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,7 +1199,8 @@ GROUP BY 1
 def distinct_users_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group KMV sketch: approximate distinct users per
     event_type from the 64 smallest md5 hashes per group, with exact
-    distincts alongside. The per-key variant of events_distinct_kmv —
+    distincts alongside. The per-key variant of the global KMV sketch
+    (sketches.py::events_distinct_hll's kmv_* columns) —
     the mergeable sketch you'd keep per partition/key at 100 TB and
     fold, instead of a per-key exact distinct.
 
@@ -1579,7 +1539,6 @@ QUERIES = {
     "events_hourly_gapfill": events_hourly_gapfill,
     "events_latest_per_user": events_latest_per_user,
     "user_history_scd2": user_history_scd2,
-    "events_distinct_kmv": events_distinct_kmv,
     "value_histogram_quantiles": value_histogram_quantiles,
     "events_in_error_windows": events_in_error_windows,
     "user_rolling_7d": user_rolling_7d,
@@ -1608,7 +1567,6 @@ ORACLE = {
     "events_hourly_gapfill": _GAPFILL_SQL,
     "events_latest_per_user": _LATEST_SQL,
     "user_history_scd2": _SCD2_SQL,
-    "events_distinct_kmv": _KMV_SQL,
     "value_histogram_quantiles": _HISTQ_SQL,
     "events_in_error_windows": _ERRWIN_SQL,
     "user_rolling_7d": _ROLLING_SQL,

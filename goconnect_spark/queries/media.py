@@ -289,12 +289,224 @@ ORDER BY profile
 """
 
 
+def _animation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, media): one deterministic GIF or MP4 container per
+    document row whose ANIMATION metadata — frame count, GCE delays,
+    mvhd timescale/duration, tkhd 16.16 dims, stts sample counts — is
+    planted from doc_id arithmetic. Variant = doc_id % 6:
+      0 animated GIF: n = doc_id%5+2 frames, each with a GCE delay of
+        doc_id%20+1 centiseconds, global color table present
+      1 static GIF: one frame, local color table, NO GCE
+        (n_frames=1, duration honestly NULL)
+      2 MP4, moov-FIRST, v0 mvhd (u32 timescale/duration), one video
+        trak (16.16 width/height) with a one-entry stts frame count
+      3 MP4, moov-LAST behind an mdat the walk must skip by declared
+        size, v1 mvhd (u64 duration), one AUDIO trak (0x0 dims —
+        width/height/n_frames honestly NULL)
+      4 TRUNCATED animated GIF: doc_id%3+1 complete frames, then a
+        frame whose data sub-block claims more bytes than exist —
+        only the complete frames may count
+      5 MP4 whose mvhd declares timescale=0 (div-by-zero guard:
+        duration honestly NULL) and no trak at all
+
+    The GIF frame units repeat via the SQL repeat() on a per-row hex
+    string, so frame count is data-dependent without leaving
+    whole-stage codegen; the MP4 boxes are fixed-layout with planted
+    values at spec offsets (ISO/IEC 14496-12 §8.2.2 mvhd, §8.3.2
+    tkhd, §8.6.1.2 stts; GIF89a §20/§23)."""
+    d = F.col("doc_id")
+    v = d % 6
+    w = (d % 200 + 3).cast("long")
+    h = (d % 120 + 2).cast("long")
+    nf_gif = (d % 5 + 2).cast("int")
+    delay_cs = (d % 20 + 1).cast("long")
+    nf_trunc = (d % 3 + 1).cast("int")
+    w4 = (d % 640 + 16).cast("long")
+    h4 = (d % 360 + 16).cast("long")
+    ts0 = ((d % 4 + 1) * 1000).cast("long")
+    dur0 = (d % 9000 + 1000).cast("long")
+    nf_mp4 = (d % 50 + 1).cast("long")
+    ts1 = ((d % 3 + 1) * 600).cast("long")
+    dur1 = (d % 250000 + 600).cast("long")
+
+    # --- GIF pieces ---
+    # logical screen descriptor; variant 0 carries a 2-entry GCT
+    gif_hdr = F.concat(F.lit("474946383961"), _le16(w), _le16(h))
+    gct = F.lit("800000000000FFFFFF")   # flags 0x80 | bg | aspect | 6-byte GCT
+    no_gct = F.lit("000000")
+    # GCE (delay planted) + image descriptor (full cover, no LCT) +
+    # LZW min code + one 2-byte data sub-block + terminator
+    frame_unit = F.concat(
+        F.lit("21F90400"), _le16(delay_cs), F.lit("0000"),
+        F.lit("2C00000000"), _le16(w), _le16(h), F.lit("00"),
+        F.lit("02"), F.lit("024C01"), F.lit("00"),
+    )
+    gif_anim = F.concat(gif_hdr, gct,
+                        F.repeat(frame_unit, nf_gif), F.lit("3B"))
+    # static: one frame with a LOCAL color table (iflags 0x80), no GCE
+    gif_static = F.concat(
+        gif_hdr, no_gct,
+        F.lit("2C00000000"), _le16(w), _le16(h), F.lit("80"),
+        F.lit("000000FFFFFF"), F.lit("02"), F.lit("024C01"), F.lit("00"),
+        F.lit("3B"),
+    )
+    # truncated: complete frames, then a descriptor whose first data
+    # sub-block claims 5 bytes with only 2 present and no terminator
+    gif_trunc = F.concat(
+        gif_hdr, no_gct, F.repeat(frame_unit, nf_trunc),
+        F.lit("2C00000000"), _le16(w), _le16(h), F.lit("00"),
+        F.lit("02"), F.lit("054C01"),
+    )
+
+    # --- MP4 pieces (fixed-size boxes, planted values) ---
+    ftyp = F.lit("000000106674797069736F6D00000000")
+    mvhd_v0 = F.concat(F.lit("0000001C6D766864"), F.lit("00000000"),
+                       F.lit("0000000000000000"), _be32(ts0), _be32(dur0))
+    tkhd_video = F.concat(
+        F.lit("0000005C746B6864"), F.lit("00000007"),
+        F.lit("0000000000000000"), F.lit("00000001"), F.lit("00000000"),
+        F.lit("00000000"), F.lit("0000000000000000"),
+        F.lit("0000000000000000"),   # layer/alt-group/volume/reserved
+        F.lit("000100000000000000000000000000000001000000000000"
+              "000000000000000040000000"),  # unity matrix
+        _be16(w4), F.lit("0000"), _be16(h4), F.lit("0000"),
+    )
+    stts = F.concat(F.lit("0000001873747473"), F.lit("00000000"),
+                    F.lit("00000001"), _be32(nf_mp4), F.lit("00000400"))
+    stbl = F.concat(F.lit("000000207374626C"), stts)
+    minf = F.concat(F.lit("000000286D696E66"), stbl)
+    mdia = F.concat(F.lit("000000306D646961"), minf)
+    trak_video = F.concat(F.lit("000000947472616B"), tkhd_video, mdia)
+    moov_v0 = F.concat(F.lit("000000B86D6F6F76"), mvhd_v0, trak_video)
+    mp4_faststart = F.concat(ftyp, moov_v0)
+
+    mdat = F.lit("000000106D646174DEADBEEFDEADBEEF")
+    mvhd_v1 = F.concat(F.lit("000000286D766864"), F.lit("01000000"),
+                       F.lit("0000000000000000"), F.lit("0000000000000000"),
+                       _be32(ts1), F.lit("00000000"), _be32(dur1))
+    tkhd_audio = F.concat(
+        F.lit("0000005C746B6864"), F.lit("00000007"),
+        F.lit("0000000000000000"), F.lit("00000002"), F.lit("00000000"),
+        F.lit("00000000"), F.lit("0000000000000000"),
+        F.lit("0000000000000000"),
+        F.lit("000100000000000000000000000000000001000000000000"
+              "000000000000000040000000"),
+        F.lit("00000000"), F.lit("00000000"),   # 0x0: not a video track
+    )
+    trak_audio = F.concat(F.lit("000000647472616B"), tkhd_audio)
+    moov_v1 = F.concat(F.lit("000000946D6F6F76"), mvhd_v1, trak_audio)
+    mp4_moov_last = F.concat(ftyp, mdat, moov_v1)
+
+    mvhd_ts0 = F.concat(F.lit("0000001C6D766864"), F.lit("00000000"),
+                        F.lit("0000000000000000"), F.lit("00000000"),
+                        _be32((d % 1000).cast("long")))
+    mp4_zero_ts = F.concat(ftyp, F.lit("000000246D6F6F76"), mvhd_ts0)
+
+    hexstr = (
+        F.when(v == 0, gif_anim)
+        .when(v == 1, gif_static)
+        .when(v == 2, mp4_faststart)
+        .when(v == 3, mp4_moov_last)
+        .when(v == 4, gif_trunc)
+        .otherwise(mp4_zero_ts)
+    )
+    return (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", F.unhex(hexstr).alias("media"))
+    )
+
+
+def media_animation_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certificate for the animation-routing metadata layer
+    (with_gif_metadata + with_mp4_metadata — VERDICT r12 item 3, the
+    last pytest-only routing operators): Spark walks REAL GIF block
+    streams and ISO-BMFF box trees built per row and aggregates the
+    RECOVERED frame counts / durations / dimensions per planted
+    variant; the oracle aggregates the planted arithmetic directly.
+    A wrong GCE delay offset, a missed sub-block skip, counting an
+    incomplete frame, a wrong mvhd v0/v1 field width, a missed
+    mdat skip, treating an audio trak as video, or a div-by-zero on
+    timescale=0 each breaks the hash."""
+    from goconnect_spark.operators.multimodal import (
+        with_gif_metadata,
+        with_mp4_metadata,
+    )
+
+    df = with_mp4_metadata(with_gif_metadata(
+        parse_media_headers(_animation_corpus(spark, sf_dir))))
+    m = F.col("media_meta")
+    return (
+        df.groupBy((F.col("doc_id") % 6).cast("int").alias("variant"),
+                   m["format"].alias("format"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(m["n_frames"]).alias("n_with_frames"),
+            F.sum(m["n_frames"].cast("long")).alias("sum_frames"),
+            F.count(m["duration_ms"]).alias("n_with_duration"),
+            F.sum(m["duration_ms"]).alias("sum_duration_ms"),
+            F.sum(m["width"].cast("long")).alias("sum_width"),
+            F.sum(m["height"].cast("long")).alias("sum_height"),
+        )
+        .orderBy("variant")
+    )
+
+
+_MEDIA_ANIMATION_SQL = """
+WITH planted AS (
+    SELECT CAST(doc_id % 6 AS INT) AS variant,
+           doc_id % 200 + 3 AS w,
+           doc_id % 120 + 2 AS h,
+           doc_id % 5 + 2 AS nf_gif,
+           doc_id % 20 + 1 AS delay_cs,
+           doc_id % 3 + 1 AS nf_trunc,
+           doc_id % 640 + 16 AS w4,
+           doc_id % 360 + 16 AS h4,
+           (doc_id % 4 + 1) * 1000 AS ts0,
+           doc_id % 9000 + 1000 AS dur0,
+           doc_id % 50 + 1 AS nf_mp4,
+           (doc_id % 3 + 1) * 600 AS ts1,
+           doc_id % 250000 + 600 AS dur1
+    FROM documents
+), c AS (
+    SELECT variant,
+           CASE WHEN variant IN (0, 1, 4) THEN 'gif' ELSE 'mp4' END AS format,
+           CASE WHEN variant = 0 THEN nf_gif
+                WHEN variant = 1 THEN 1
+                WHEN variant = 2 THEN nf_mp4
+                WHEN variant = 4 THEN nf_trunc END AS n_frames,
+           CASE WHEN variant = 0 THEN nf_gif * delay_cs * 10
+                WHEN variant = 2 THEN dur0 * 1000 // ts0
+                WHEN variant = 3 THEN dur1 * 1000 // ts1
+                WHEN variant = 4 THEN nf_trunc * delay_cs * 10
+                END AS duration_ms,
+           CASE WHEN variant IN (0, 1, 4) THEN w
+                WHEN variant = 2 THEN w4 END AS width,
+           CASE WHEN variant IN (0, 1, 4) THEN h
+                WHEN variant = 2 THEN h4 END AS height
+    FROM planted
+)
+SELECT variant, format,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(n_frames) AS BIGINT) AS n_with_frames,
+       CAST(SUM(n_frames) AS BIGINT) AS sum_frames,
+       CAST(COUNT(duration_ms) AS BIGINT) AS n_with_duration,
+       CAST(SUM(duration_ms) AS BIGINT) AS sum_duration_ms,
+       CAST(SUM(width) AS BIGINT) AS sum_width,
+       CAST(SUM(height) AS BIGINT) AS sum_height
+FROM c
+GROUP BY variant, format
+ORDER BY variant
+"""
+
+
 QUERIES = {
     "media_classify_counts": media_classify_counts,
     "media_jpeg_dims_profile": media_jpeg_dims_profile,
+    "media_animation_metadata": media_animation_metadata,
 }
 
 ORACLE = {
     "media_classify_counts": _MEDIA_CLASSIFY_SQL,
     "media_jpeg_dims_profile": _MEDIA_JPEG_SQL,
+    "media_animation_metadata": _MEDIA_ANIMATION_SQL,
 }

@@ -87,20 +87,35 @@ _HLL_LC = [0.0] + [_HLL_M * _math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
 _HLL_LC_SPARK = "array({})".format(", ".join(repr(x) for x in _HLL_LC))
 _HLL_LC_DUCK = "[{}]".format(", ".join(repr(x) for x in _HLL_LC))
 
+# k for the folded-in KMV estimate (the former events_distinct_kmv,
+# events_series.py r1-r10; 128 kept so the certified estimate is
+# unchanged)
+_KMV_FOLD_K = 128
+_TWO_60 = 1 << 60
+
 
 def events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct-count over event_id with the exact count alongside.
+    """HLL distinct-count over event_id with the exact count alongside
+    — and, since round 13, the KMV (k-minimum-values, k=128) estimate
+    of the SAME stream from the SAME 60-bit hash derivation: the
+    former standalone `events_distinct_kmv` folded in (catalog-density
+    discipline, like the r12 distinct_users_by_type fold) with both
+    operator certificates intact — the HLL register algebra gates
+    zero_registers/harmonic_denom/hll_estimate, the KMV order
+    statistics gate kmv_k/kmv_kth_min/kmv_estimate.
 
     rho is derived from the bit length of the 50-bit remainder via
     the binary string length (conv base-2 in Spark, bin() in DuckDB)
     — no log2 on doubles, whose rounding is not cross-engine-stable.
+    The KMV estimate divides (k-1)*2^60 — exact as a double — by the
+    kth minimum hash, both bit-identical across engines.
     """
     ev = load(spark, "events", sf_dir)
+    hv = ev.selectExpr(
+        "cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) as hv"
+    )
     reg = (
-        ev.selectExpr(
-            "cast(conv(substr(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) as hv"
-        )
-        .selectExpr("shiftright(hv, 50) as bucket", f"hv & {_W_MASK} as w")
+        hv.selectExpr("shiftright(hv, 50) as bucket", f"hv & {_W_MASK} as w")
         .selectExpr(
             "bucket",
             "case when w = 0 then 51 else 51 - length(conv(w, 10, 2)) end as rho",
@@ -120,16 +135,27 @@ def events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zero_registers"
         ),
     )
+    kmin = hv.distinct().orderBy("hv").limit(_KMV_FOLD_K)
+    kagg = kmin.agg(
+        F.count("*").alias("kmv_k"), F.max("hv").alias("kmv_kth_min"))
     exact = ev.agg(F.countDistinct("event_id").alias("exact_distinct"))
-    return agg.crossJoin(F.broadcast(exact)).selectExpr(
-        f"cast({_HLL_M} as bigint) as m",
-        "zero_registers",
-        "harmonic_denom",
-        "case when zero_registers > 0 then"
-        f" element_at({_HLL_LC_SPARK}, cast(zero_registers as int) + 1)"
-        f" else cast({_HLL_SCALE} as double)"
-        " / cast(harmonic_denom as double) end as estimate",
-        "exact_distinct",
+    return (
+        agg.crossJoin(F.broadcast(kagg))
+        .crossJoin(F.broadcast(exact))
+        .selectExpr(
+            f"cast({_HLL_M} as bigint) as m",
+            "zero_registers",
+            "harmonic_denom",
+            "case when zero_registers > 0 then"
+            f" element_at({_HLL_LC_SPARK}, cast(zero_registers as int) + 1)"
+            f" else cast({_HLL_SCALE} as double)"
+            " / cast(harmonic_denom as double) end as hll_estimate",
+            "kmv_k",
+            "kmv_kth_min",
+            f"cast(kmv_k - 1 as double) * {_TWO_60}.0"
+            " / cast(kmv_kth_min as double) as kmv_estimate",
+            "exact_distinct",
+        )
     )
 
 
@@ -153,14 +179,22 @@ agg AS (
          CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_registers
   FROM regs
 ),
+kdist AS (SELECT DISTINCT hv FROM hv),
+kmin AS (SELECT hv FROM kdist ORDER BY hv LIMIT {_KMV_FOLD_K}),
+kagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kmv_k, MAX(hv) AS kmv_kth_min FROM kmin
+),
 ex AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct FROM events)
 SELECT CAST({_HLL_M} AS BIGINT) AS m, zero_registers, harmonic_denom,
        CASE WHEN zero_registers > 0 THEN
               ({_HLL_LC_DUCK})[CAST(zero_registers AS INT) + 1]
             ELSE CAST({_HLL_SCALE} AS DOUBLE) / CAST(harmonic_denom AS DOUBLE)
-       END AS estimate,
+       END AS hll_estimate,
+       kmv_k, kmv_kth_min,
+       CAST(kmv_k - 1 AS DOUBLE) * {_TWO_60}.0
+         / CAST(kmv_kth_min AS DOUBLE) AS kmv_estimate,
        exact_distinct
-FROM agg, ex
+FROM agg, kagg, ex
 """
 
 
@@ -168,7 +202,6 @@ FROM agg, ex
 # KMV set operations across event types.
 # --------------------------------------------------------------------
 _KMV_PAIR_K = 32  # power of two: overlap/k is an exact double
-_TWO_60 = 1 << 60
 
 
 def user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:

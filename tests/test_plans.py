@@ -231,11 +231,10 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         "customer_spend_ranks": {"BroadcastNestedLoopJoin"}, # 1-row global count
         "events_hourly_gapfill": {"BroadcastNestedLoopJoin"},# 1-row min/max bounds
         "q22_sales_opportunity": {"BroadcastNestedLoopJoin"},# 1-row avg balance
-        "events_distinct_kmv": {"BroadcastNestedLoopJoin"},  # 1-row kth-min threshold
         "value_histogram_quantiles": {"BroadcastNestedLoopJoin"},  # 1-row bounds
         "source_epoch_plan": {"BroadcastNestedLoopJoin"},    # 1-row corpus totals
         "key_skew_profile": {"BroadcastNestedLoopJoin"},     # 1-row key-cardinality stats
-        "events_distinct_hll": {"BroadcastNestedLoopJoin"},  # 1-row exact-count scalar
+        "events_distinct_hll": {"BroadcastNestedLoopJoin"},  # 1-row exact-count + kth-min scalars (r13 fold)
         "user_overlap_kmv": {"BroadcastNestedLoopJoin"},     # sketch-sized (|types|*k) pairing
         "bloom_prune_join": {"BroadcastNestedLoopJoin"},     # 1-row 128-word filter + 1-row key count
         "priority_sample": {"BroadcastNestedLoopJoin"},      # 1-row tau threshold
@@ -280,6 +279,12 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         # only jpeg-classified rows' leading 64 KiB cross to Python,
         # never the payload column (multimodal.py:308)
         "media_jpeg_dims_profile": {"EvalPython"},
+        # the FIFTH deliberate Arrow pandas_udf pair: the animation-
+        # routing certificate exercises with_gif_metadata /
+        # with_mp4_metadata, whose DOCUMENTED design is an Arrow box/
+        # block walk over ONLY the gif/mp4-classified rows (others
+        # pass NULL to the worker; multimodal.py with_* scale notes)
+        "media_animation_metadata": {"EvalPython"},
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics

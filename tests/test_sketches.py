@@ -21,11 +21,16 @@ def test_hll_estimate_within_error_bound(spark):
     from goconnect_spark.queries.sketches import events_distinct_hll
 
     row = events_distinct_hll(spark, SF01).collect()[0]
-    rel_err = abs(row.estimate - row.exact_distinct) / row.exact_distinct
+    rel_err = abs(row.hll_estimate - row.exact_distinct) / row.exact_distinct
     # m=1024 -> sigma ~ 1.04/sqrt(1024) = 3.25%; 3 sigma
-    assert rel_err < 0.10, (row.estimate, row.exact_distinct)
+    assert rel_err < 0.10, (row.hll_estimate, row.exact_distinct)
     assert row.zero_registers == 0  # 10k distinct >> 1024 registers
     assert row.m == 1024
+    # the folded-in KMV estimate (r13): k=128 -> sigma ~ 1/sqrt(127) =
+    # 8.9%; 3 sigma
+    kmv_err = abs(row.kmv_estimate - row.exact_distinct) / row.exact_distinct
+    assert kmv_err < 0.27, (row.kmv_estimate, row.exact_distinct)
+    assert row.kmv_k == 128 and row.kmv_kth_min > 0
 
 
 def test_hll_no_distinct_no_expand(spark):
@@ -36,9 +41,11 @@ def test_hll_no_distinct_no_expand(spark):
 
     plan = _plan(events_distinct_hll(spark, SF01))
     assert "Expand" not in plan
-    # the only aggregate keyed on data-sized values is the bucket max;
-    # a distinct on hv would appear as an extra hashpartitioning(hv..)
-    assert "hashpartitioning(hv" not in plan
+    # the only aggregate keyed on data-sized values besides the bucket
+    # max is the ONE distinct the folded-in KMV branch (r13) is defined
+    # by; a distinct sneaking into the HLL register build would show up
+    # as a SECOND hashpartitioning(hv..) exchange
+    assert plan.count("hashpartitioning(hv") == 1, plan
 
 
 def test_overlap_kmv_estimates_track_exact(spark):
