@@ -50,11 +50,19 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 #       certificate: with_gif_metadata's GCE-delay/frame-count block
 #       walk and with_mp4_metadata's mvhd v0/v1 + tkhd + stts box walk,
 #       previously pytest-only; VERDICT r12 item 3);
+#     - media_mp4_sample_ranges (NEW — the fourth planted-truth media
+#       certificate: the parse_mp4_video_samples/sample_frames
+#       demuxer-lite layer, payload bytes checked against planted
+#       constant fills);
 #     - events_distinct_hll (the r13 fold of events_distinct_kmv into
 #       it — same stream, same 60-bit hash, single-row grain; both
 #       sketch certificates survive as columns, holding the catalog at
 #       177 while media_animation_metadata joins — recertifies because
-#       its schema changed).
+#       its schema changed);
+#     - hll_sliding_calibration (the r13 fold of hll_sliding_7d_users
+#       into it — calibration was already a strict superset plan and
+#       now also exposes the zero_registers/harmonic_denom register
+#       internals, holding 177 while media_mp4_sample_ranges joins).
 #   Then EVERY query whose newest green driver row is r9 (the full
 #   29-query remainder — after r13 nothing certified before r10
 #   remains), then the r10 cohort alphabetically: slots 1-50 = 2
@@ -64,7 +72,9 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 _DRIVER_PRIORITY = (
     # --- tier 0: changed at HEAD in round 13 ---
     "media_animation_metadata",
+    "media_mp4_sample_ranges",
     "events_distinct_hll",
+    "hll_sliding_calibration",
     # last green: r9 (the full 29-query remainder)
     "ann_random_projection_recall",
     "bm25_keyword_topk",
@@ -117,8 +127,6 @@ _DRIVER_PRIORITY = (
     "flatmap_word_counts",
     "fold_global",
     "funnel_view_click_purchase",
-    "hll_sliding_7d_users",
-    "hll_sliding_calibration",
     "hourly_seasonal_residuals",
     "ivm_join_view_delta",
     "ivm_merge_hourly_counts",

@@ -499,14 +499,195 @@ ORDER BY variant
 """
 
 
+def _samples_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, media): one MP4 per document row whose SAMPLE TABLES
+    (stsz/stsc/stco|co64, ISO/IEC 14496-12 §8.7) locate planted
+    constant-fill payload bytes inside a real mdat — the demuxer-lite
+    ground truth for parse_media_headers -> sample_frames routing.
+    Variant = doc_id % 4:
+      0 per-sample stsz (4 planted sizes) split 3+1 across TWO chunks
+        by stsc runs, u32 stco — certifies run expansion and the
+        within-chunk size-prefix offset arithmetic
+      1 FIXED-size stsz (sample_size=fx, count n1 = doc_id%6+2, no
+        table) — certifies the fixed-size path
+      2 co64 64-bit chunk offsets — certifies the wide-offset branch
+      3 moov-LAST: the mdat (and every sample offset) sits BEFORE the
+        moov that describes it — certifies offsets are absolute file
+        positions, not moov-relative
+    Sample i of a row is (doc_id + 17i) % 251 repeated size_i times,
+    samples contiguous in the mdat: any off-by-one in offset/size
+    arithmetic bleeds into a neighbor's different fill byte and fails
+    the payload check."""
+    d = F.col("doc_id")
+    v = d % 4
+    w4 = (d % 640 + 16).cast("long")
+    h4 = (d % 360 + 16).cast("long")
+    fx = (d % 5 + 2).cast("long")           # variant-1 fixed sample size
+    n1 = (d % 6 + 2).cast("int")            # variant-1 sample count (2..7)
+    s = [((d + 3 * i) % 7 + 1).cast("long") for i in range(4)]
+    fill = [((d + 17 * i) % 251).cast("long") for i in range(7)]
+
+    ftyp = F.lit("000000106674797069736F6D00000000")
+    mvhd = F.lit("0000001C6D766864" "00000000" "0000000000000000"
+                 "000003E8" "00002710")
+    tkhd = F.concat(
+        F.lit("0000005C746B6864" "00000007" "0000000000000000"
+              "00000001" "00000000" "00000000" "0000000000000000"
+              "0000000000000000"
+              "000100000000000000000000000000000001000000000000"
+              "000000000000000040000000"),
+        _be16(w4), F.lit("0000"), _be16(h4), F.lit("0000"),
+    )
+
+    def boxes(stbl_inner_hex, stbl_size, minf_size, mdia_size, trak_size,
+              moov_size):
+        stbl = F.concat(_be32(F.lit(stbl_size)), F.lit("7374626C"),
+                        stbl_inner_hex)
+        minf = F.concat(_be32(F.lit(minf_size)), F.lit("6D696E66"), stbl)
+        mdia = F.concat(_be32(F.lit(mdia_size)), F.lit("6D646961"), minf)
+        trak = F.concat(_be32(F.lit(trak_size)), F.lit("7472616B"), tkhd,
+                        mdia)
+        return F.concat(_be32(F.lit(moov_size)), F.lit("6D6F6F76"), mvhd,
+                        trak)
+
+    def stts(count_col):
+        return F.concat(F.lit("0000001873747473" "00000000" "00000001"),
+                        _be32(count_col), F.lit("00000400"))
+
+    stsz4 = F.concat(F.lit("000000247374737A" "00000000" "00000000"
+                           "00000004"),
+                     _be32(s[0]), _be32(s[1]), _be32(s[2]), _be32(s[3]))
+    pay4 = F.concat(*[F.repeat(_hx2(fill[i]), s[i].cast("int"))
+                      for i in range(4)])
+    total4 = s[0] + s[1] + s[2] + s[3]
+
+    # --- variant 0: two chunks (3 + 1 samples), u32 stco ---
+    stsc_2runs = F.lit("0000002873747363" "00000000" "00000002"
+                       "00000001" "00000003" "00000001"
+                       "00000002" "00000001" "00000001")
+    stco_2 = F.concat(F.lit("000000187374636F" "00000000" "00000002"),
+                      _be32(F.lit(308)), _be32(F.lit(308) + s[0] + s[1] + s[2]))
+    moov0 = boxes(F.concat(stsz4, stsc_2runs, stco_2, stts(F.lit(4))),
+                  132, 140, 148, 248, 284)
+    mp4_v0 = F.concat(ftyp, moov0, _be32(total4 + 8), F.lit("6D646174"),
+                      pay4)
+
+    # --- variant 1: fixed-size stsz, one chunk ---
+    stsz_fixed = F.concat(F.lit("000000147374737A" "00000000"),
+                          _be32(fx), _be32(n1.cast("long")))
+    stsc_1run_n = F.concat(F.lit("0000001C73747363" "00000000" "00000001"
+                                 "00000001"),
+                           _be32(n1.cast("long")), F.lit("00000001"))
+    stco_1 = F.concat(F.lit("000000147374636F" "00000000" "00000001"),
+                      _be32(F.lit(276)))
+    moov1 = boxes(F.concat(stsz_fixed, stsc_1run_n, stco_1,
+                           stts(n1.cast("long"))),
+                  100, 108, 116, 216, 252)
+    pay_fixed7 = F.concat(*[F.repeat(_hx2(fill[i]), fx.cast("int"))
+                            for i in range(7)])
+    pay1 = F.substring(pay_fixed7, 1, (n1.cast("long") * fx * 2).cast("int"))
+    mp4_v1 = F.concat(ftyp, moov1, _be32(n1.cast("long") * fx + 8),
+                      F.lit("6D646174"), pay1)
+
+    # --- variant 2: co64 wide offsets, one chunk of 4 ---
+    stsc_1run_4 = F.lit("0000001C73747363" "00000000" "00000001"
+                        "00000001" "00000004" "00000001")
+    co64_1 = F.concat(F.lit("00000018636F3634" "00000000" "00000001"
+                            "00000000"), _be32(F.lit(296)))
+    moov2 = boxes(F.concat(stsz4, stsc_1run_4, co64_1, stts(F.lit(4))),
+                  120, 128, 136, 236, 272)
+    mp4_v2 = F.concat(ftyp, moov2, _be32(total4 + 8), F.lit("6D646174"),
+                      pay4)
+
+    # --- variant 3: moov-LAST (mdat first, offsets point backward) ---
+    stco_back = F.concat(F.lit("000000147374636F" "00000000" "00000001"),
+                         _be32(F.lit(24)))
+    moov3 = boxes(F.concat(stsz4, stsc_1run_4, stco_back, stts(F.lit(4))),
+                  116, 124, 132, 232, 268)
+    mp4_v3 = F.concat(ftyp, _be32(total4 + 8), F.lit("6D646174"), pay4,
+                      moov3)
+
+    hexstr = (
+        F.when(v == 0, mp4_v0)
+        .when(v == 1, mp4_v1)
+        .when(v == 2, mp4_v2)
+        .otherwise(mp4_v3)
+    )
+    return (
+        load(spark, "documents", sf_dir)
+        .select("doc_id", F.unhex(hexstr).alias("media"))
+    )
+
+
+def media_mp4_sample_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certificate for the demuxer-lite sample-extraction layer
+    (parse_mp4_video_samples through the sample_frames fan-out — the
+    last pytest-only stage of the media routing stack): Spark demuxes
+    REAL sample tables built per row and the emitted frame PAYLOADS
+    are checked byte-for-byte against the planted constant fills (a
+    wrong chunk offset, run expansion, size-prefix sum, co64 width,
+    or moov-relative-instead-of-absolute offset bleeds into a
+    neighboring sample's different fill and zeroes n_payload_ok); the
+    oracle expands the planted arithmetic. n_payload_ok == n_frames
+    on every variant row is the certificate."""
+    from goconnect_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_samples_corpus(spark, sf_dir),
+                           media_col="media", id_col="doc_id")
+    mid = F.col("media_id")
+    idx = F.col("frame_idx")
+    variant = (mid % 4).cast("int")
+    exp_size = F.when(variant == 1, mid % 5 + 2).otherwise(
+        (mid + 3 * idx) % 7 + 1)
+    exp_hex = F.repeat(_hx2((mid + 17 * idx) % 251), exp_size.cast("int"))
+    ok = (F.length("frame") == exp_size) & (F.hex("frame") == exp_hex)
+    return (
+        frames.groupBy(variant.alias("variant"))
+        .agg(
+            F.countDistinct("media_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(idx.cast("long")).alias("sum_frame_idx"),
+            F.sum(F.length("frame").cast("long")).alias("sum_len"),
+            F.sum(ok.cast("long")).alias("n_payload_ok"),
+        )
+        .orderBy("variant")
+    )
+
+
+_MEDIA_SAMPLES_SQL = """
+WITH p AS (
+    SELECT doc_id, CAST(doc_id % 4 AS INT) AS variant,
+           CASE WHEN doc_id % 4 = 1 THEN doc_id % 6 + 2 ELSE 4 END AS n,
+           doc_id % 5 + 2 AS fx
+    FROM documents
+), f AS (
+    SELECT doc_id, variant, fx, unnest(range(0, n)) AS frame_idx
+    FROM p
+)
+SELECT variant,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(frame_idx) AS BIGINT) AS sum_frame_idx,
+       CAST(SUM(CASE WHEN variant = 1 THEN fx
+                     ELSE (doc_id + 3 * frame_idx) % 7 + 1 END) AS BIGINT)
+         AS sum_len,
+       CAST(COUNT(*) AS BIGINT) AS n_payload_ok
+FROM f
+GROUP BY variant
+ORDER BY variant
+"""
+
+
 QUERIES = {
     "media_classify_counts": media_classify_counts,
     "media_jpeg_dims_profile": media_jpeg_dims_profile,
     "media_animation_metadata": media_animation_metadata,
+    "media_mp4_sample_ranges": media_mp4_sample_ranges,
 }
 
 ORACLE = {
     "media_classify_counts": _MEDIA_CLASSIFY_SQL,
     "media_jpeg_dims_profile": _MEDIA_JPEG_SQL,
     "media_animation_metadata": _MEDIA_ANIMATION_SQL,
+    "media_mp4_sample_ranges": _MEDIA_SAMPLES_SQL,
 }

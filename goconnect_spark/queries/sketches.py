@@ -757,8 +757,10 @@ ORDER BY window_day
 """
 
 
-QUERIES["hll_sliding_7d_users"] = hll_sliding_7d_users
-ORACLE["hll_sliding_7d_users"] = _HLL_SLIDING_SQL
+# hll_sliding_7d_users retired as a standalone catalog entry in round
+# 13: hll_sliding_calibration (below) was already a strict superset
+# plan and now also exposes its zero_registers/harmonic_denom
+# internals — the function stays as the shared register-merge builder.
 
 
 # --------------------------------------------------------------------
@@ -773,8 +775,17 @@ ORACLE["hll_sliding_7d_users"] = _HLL_SLIDING_SQL
 # derived numbers, so the verdict is bit-stable across engines.
 # --------------------------------------------------------------------
 def hll_sliding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Since round 13 this query also carries the register internals
+    (zero_registers, harmonic_denom) that the standalone
+    hll_sliding_7d_users used to certify — that query folded in here
+    (it was already a strict sub-plan: calibration calls it), holding
+    catalog density while media_mp4_sample_ranges joins. Both
+    certificates survive: the register-merge algebra gates the two
+    internals columns, the sketch-error contract gates
+    estimate_users/exact_users/rel_err."""
     ev = load(spark, "events", sf_dir)
-    est = hll_sliding_7d_users(spark, sf_dir).select("window_day", "estimate_users")
+    est = hll_sliding_7d_users(spark, sf_dir).select(
+        "window_day", "zero_registers", "harmonic_denom", "estimate_users")
     days = ev.select(F.to_date("ts").alias("window_day")).distinct()
     exact = (
         ev.select(F.to_date("ts").alias("day"), "user_id")
@@ -789,6 +800,8 @@ def hll_sliding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.join(exact, "window_day")
         .select(
             "window_day",
+            "zero_registers",
+            "harmonic_denom",
             "exact_users",
             "estimate_users",
             (
@@ -809,7 +822,8 @@ exact AS (
   JOIN days d ON e.day <= d.window_day AND e.day >= d.window_day - 6
   GROUP BY 1
 )
-SELECT est.window_day, exact.exact_users, est.estimate_users,
+SELECT est.window_day, est.zero_registers, est.harmonic_denom,
+       exact.exact_users, est.estimate_users,
        (est.estimate_users - CAST(exact.exact_users AS DOUBLE))
          / CAST(exact.exact_users AS DOUBLE) AS rel_err
 FROM est JOIN exact ON exact.window_day = est.window_day

@@ -54,6 +54,8 @@ DOC_QUERIES = [
     # planted-truth match must hold on ANY documents table
     "media_classify_counts",
     "media_jpeg_dims_profile",
+    "media_animation_metadata",
+    "media_mp4_sample_ranges",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]
@@ -280,7 +282,6 @@ def test_relational_queries_hash_match_on_random_star(spark, tmp_path, seed):
 
 
 EVENT_QUERIES = [
-    "hll_sliding_7d_users",
     "hll_sliding_calibration",
     "streaming_ivm_hourly_counts",
     "streaming_handoff_counts",

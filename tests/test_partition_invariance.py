@@ -29,7 +29,7 @@ SAMPLE = [
     "ivm_merge_hourly_counts",     # monoid merge of partials
     "bm25_keyword_topk",           # fixed-point DIV scoring + TakeOrdered
     "salted_segment_activity",     # salt explode must not change the join result
-    "hll_sliding_7d_users",        # register max-merge across windows
+    "hll_sliding_calibration",     # register max-merge across windows (carries the former hll_sliding_7d_users, r13 fold)
     "ann_ivfpq_topk",              # codebook argmax encode + ADC + re-rank
     "bpe_tokenize_corpus",         # frozen-table replace chain + token count
     "bpe_doc_tokens",              # collect_list reassembly: array_sort on (pos, toks) must kill arrival order
