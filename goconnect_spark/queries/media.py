@@ -1,11 +1,24 @@
-"""Multimodal header-routing certification (VERDICT r11 item 4).
+"""Multimodal routing-stack certification (VERDICT r11 item 4 / r12
+item 3): four planted-truth catalog entries that together drive every
+stage of the media routing layer the 100 TB multimodal design leans
+on, each against a DuckDB oracle that only aggregates planted values:
 
-`parse_media_headers` (operators/multimodal.py) is the layer the
-100 TB multimodal design leans on: pure whole-stage-codegen column
-expressions (substring/hex/conv) that classify every blob and extract
-container metadata WITHOUT the payload ever leaving the JVM. Until
-round 12 that layer was pytest-only; this module gives it a driver-
-visible DuckDB-certified catalog entry.
+- media_classify_counts (r12): parse_media_headers — signature
+  classification + fixed-offset container dims/rate/channels, pure
+  whole-stage-codegen column expressions;
+- media_jpeg_dims_profile (r12): with_jpeg_dimensions/_profile — the
+  bounded-prefix SOF marker walk and decoder-routing profile table;
+- media_animation_metadata (r13): with_gif_metadata/with_mp4_metadata
+  — the GIF GCE/frame block walk and the ISO-BMFF mvhd/tkhd/stts box
+  walk that route static vs animated before any decode;
+- media_mp4_sample_ranges (r13): parse_mp4_video_samples via the
+  sample_frames fan-out — the demuxer-lite stsz/stsc/stco|co64 sample
+  extraction, with emitted payloads byte-checked against planted
+  fills (mutation-verified: a one-byte offset defect fails the check;
+  tools/bench_captures/r13_gates_summary.txt).
+
+Until round 12 this stack was pytest-only; these entries make it
+driver-certified.
 
 Oracle design — planted truth, same style as the planted-similarity
 suite: both engines derive a deterministic media corpus from the
