@@ -35,7 +35,12 @@ _ID_STRIDE = 100_000_000
 
 QUERIES = [
     # register-merge sliding distinct: per-day sketches are reused
-    # across the 7 windows each day feeds — the mergeability claim
+    # across the 7 windows each day feeds — the mergeability claim.
+    # Retired as a standalone catalog entry in r13 (folded into
+    # hll_sliding_calibration); the scale axis still measures the
+    # PURE register path, resolved from sketches.py directly below,
+    # because calibration adds the brute-force exact join the sketch
+    # exists to avoid — that would drown the mergeability signal
     "hll_sliding_7d_users",
     # exact trailing-7d per-user counts (range-frame window)
     "user_rolling_7d",
@@ -81,6 +86,9 @@ def main():
     spark = get_spark("events-scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    from goconnect_spark.queries.sketches import hll_sliding_7d_users
+
+    qs.setdefault("hll_sliding_7d_users", hll_sliding_7d_users)
 
     for m in mults:
         work = tempfile.mkdtemp(prefix=f"events_scale_m{m}_")
