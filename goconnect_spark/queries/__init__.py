@@ -59,10 +59,18 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 #       sketch certificates survive as columns, holding the catalog at
 #       177 while media_animation_metadata joins — recertifies because
 #       its schema changed);
+#     - avro_decode_fold (NEW — the Avro wire-format + reader-schema
+#       projection certificate for the pure-Python codec in
+#       functions/avro_py.py, the §2.5 serde.GenericDecoder parity
+#       surface that was unit-tested only; no natural fold remains
+#       whose grain would not be muddied, so the catalog grows to 178
+#       for a genuinely new operator certificate — coverage, not
+#       padding);
 #     - hll_sliding_calibration (the r13 fold of hll_sliding_7d_users
 #       into it — calibration was already a strict superset plan and
 #       now also exposes the zero_registers/harmonic_denom register
-#       internals, holding 177 while media_mp4_sample_ranges joins).
+#       internals, holding density while media_mp4_sample_ranges
+#       joins).
 #   Then EVERY query whose newest green driver row is r9 (the full
 #   29-query remainder — after r13 nothing certified before r10
 #   remains), then the r10 cohort alphabetically: slots 1-50 = 2
@@ -73,6 +81,7 @@ _DRIVER_PRIORITY = (
     # --- tier 0: changed at HEAD in round 13 ---
     "media_animation_metadata",
     "media_mp4_sample_ranges",
+    "avro_decode_fold",
     "events_distinct_hll",
     "hll_sliding_calibration",
     # last green: r9 (the full 29-query remainder)

@@ -187,6 +187,143 @@ FROM parsed WHERE NOT contains(UPPER(name), 'B')
 """
 
 
+# Avro wire-format + reader-projection certificate (round 13): the
+# pure-Python Avro codec (functions/avro_py.py — reference parity
+# coder/serde/decoder.go:85-105 + projector.go:8-32) was unit-tested
+# only; this entry makes the WIRE FORMAT driver-certified with the
+# planted-truth pattern. Spark builds real Avro record bodies per
+# documents row as hex column expressions — zigzag varints (negative
+# ints take the odd path), multi-byte varints, string length+UTF-8,
+# null/int union branch indexes, enum indexes, array blocks with a
+# 0 terminator — decodes them with avro_decode_udf under a READER
+# schema that renames a->a2 via aliases, promotes long b -> double,
+# and injects default f=42 (the projector surface); the DuckDB oracle
+# aggregates only the planted arithmetic. Any varint/zigzag/branch/
+# offset defect, or a broken alias/promotion/default resolution,
+# breaks the hash.
+_AVRO_WRITER = """
+{"type":"record","name":"Ev","fields":[
+ {"name":"a","type":"int"},
+ {"name":"b","type":"long"},
+ {"name":"c","type":"string"},
+ {"name":"d","type":["null","int"]},
+ {"name":"e","type":{"type":"enum","name":"E","symbols":["red","green","blue"]}},
+ {"name":"g","type":{"type":"array","items":"int"}}]}
+"""
+_AVRO_READER = """
+{"type":"record","name":"Ev","fields":[
+ {"name":"a2","aliases":["a"],"type":"int"},
+ {"name":"b","type":"double"},
+ {"name":"c","type":"string"},
+ {"name":"d","type":["null","int"]},
+ {"name":"e","type":{"type":"enum","name":"E","symbols":["red","green","blue"]}},
+ {"name":"g","type":{"type":"array","items":"int"}},
+ {"name":"f","type":"int","default":42}]}
+"""
+
+
+def _hx2p(col):
+    return F.lpad(F.hex(col), 2, "0")
+
+
+def _avro_varint_hex(z):
+    """Hex of the Avro unsigned varint for 0 <= z < 2^21 (7-bit
+    little-endian groups, high bit = continuation)."""
+    b0 = F.when(z < 128, _hx2p(z)).otherwise(_hx2p(z % 128 + 128))
+    r1 = F.floor(z / 128).cast("long")
+    b1 = (
+        F.when(z < 128, F.lit(""))
+        .when(r1 < 128, _hx2p(r1))
+        .otherwise(_hx2p(r1 % 128 + 128))
+    )
+    r2 = F.floor(r1 / 128).cast("long")
+    b2 = F.when(z < 16384, F.lit("")).otherwise(_hx2p(r2))
+    return F.concat(b0, b1, b2)
+
+
+def _avro_zz(n):
+    """Zigzag of a (column) long: 2n for n >= 0, -2n-1 for n < 0."""
+    return F.when(n >= 0, n * 2).otherwise(-n * 2 - 1).cast("long")
+
+
+def avro_decode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.functions.avro_py import avro_decode_udf
+
+    d = F.col("doc_id")
+    a = (d % 1000 - 500).cast("long")          # negative zigzag path
+    b = (d % 100000).cast("long")              # 3-byte varint; long->double
+    c = F.concat(F.lit("s"), (d % 100).cast("string"))
+    dd = (d % 50 - 25).cast("long")            # union int branch value
+    d_null = d % 5 == 0
+    e_idx = (d % 3).cast("long")
+    g0 = (d % 7).cast("long")
+    g1 = (d % 11).cast("long")
+    body_hex = F.concat(
+        _avro_varint_hex(_avro_zz(a)),
+        _avro_varint_hex(_avro_zz(b)),
+        _avro_varint_hex(F.octet_length(c).cast("long") * 2),
+        F.hex(c),
+        F.when(d_null, F.lit("00")).otherwise(
+            F.concat(F.lit("02"), _avro_varint_hex(_avro_zz(dd)))),
+        _avro_varint_hex(e_idx * 2),
+        F.lit("04"),                            # array block: 2 items
+        _avro_varint_hex(g0 * 2),
+        _avro_varint_hex(g1 * 2),
+        F.lit("00"),                            # array terminator
+    )
+    corpus = load(spark, "documents", sf_dir).select(
+        "doc_id", F.unhex(body_hex).alias("body"))
+    dec = avro_decode_udf(
+        _AVRO_WRITER,
+        "a2 int, b double, c string, d int, e string, g array<int>, f int",
+        _AVRO_READER,
+    )
+    rec = corpus.select(dec(F.col("body")).alias("r")).select("r.*")
+    return (
+        rec.groupBy("e")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a2").cast("long")).alias("sum_a2"),
+            F.sum("b").alias("sum_b"),
+            F.sum(F.length("c").cast("long")).alias("sum_len_c"),
+            F.count("d").alias("n_d"),
+            F.sum(F.col("d").cast("long")).alias("sum_d"),
+            F.sum(F.expr(
+                "aggregate(g, cast(0 as bigint), (s, x) -> s + x)")).alias(
+                "sum_g"),
+            F.sum(F.col("f").cast("long")).alias("sum_f"),
+        )
+        .orderBy("e")
+    )
+
+
+_AVRO_SQL = """
+WITH p AS (
+    SELECT doc_id,
+           doc_id % 1000 - 500 AS a,
+           doc_id % 100000 AS b,
+           's' || CAST(doc_id % 100 AS VARCHAR) AS c,
+           CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 50 - 25 END AS d,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'red' WHEN 1 THEN 'green'
+                ELSE 'blue' END AS e,
+           doc_id % 7 + doc_id % 11 AS g_sum
+    FROM documents
+)
+SELECT e,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a) AS BIGINT) AS sum_a2,
+       CAST(SUM(b) AS DOUBLE) AS sum_b,
+       CAST(SUM(LENGTH(c)) AS BIGINT) AS sum_len_c,
+       CAST(COUNT(d) AS BIGINT) AS n_d,
+       CAST(SUM(d) AS BIGINT) AS sum_d,
+       CAST(SUM(g_sum) AS BIGINT) AS sum_g,
+       CAST(COUNT(*) * 42 AS BIGINT) AS sum_f
+FROM p
+GROUP BY e
+ORDER BY e
+"""
+
+
 # RoundRobin list source parity (io.RoundRobin replays a list n times):
 # spark.range + element_at. Uses nation names as the list.
 def roundrobin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,6 +360,7 @@ QUERIES = {
     "ordered_merge": ordered_merge,
     "kv_roundtrip": kv_roundtrip,
     "xml_extract_fold": xml_extract_fold,
+    "avro_decode_fold": avro_decode_fold,
     "roundrobin_replay": roundrobin_replay,
 }
 
@@ -234,5 +372,6 @@ ORACLE = {
     "ordered_merge": _ORDERED_MERGE_SQL,
     "kv_roundtrip": _KV_SQL,
     "xml_extract_fold": _XML_SQL,
+    "avro_decode_fold": _AVRO_SQL,
     "roundrobin_replay": _ROUNDROBIN_SQL,
 }

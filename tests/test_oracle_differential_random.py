@@ -56,6 +56,8 @@ DOC_QUERIES = [
     "media_jpeg_dims_profile",
     "media_animation_metadata",
     "media_mp4_sample_ranges",
+    # Avro wire-format certificate: bodies derive from doc_id only
+    "avro_decode_fold",
 ]
 
 LANGS = ["en", "de", "fr", "es", "zh"]

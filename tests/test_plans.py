@@ -285,6 +285,12 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         # block walk over ONLY the gif/mp4-classified rows (others
         # pass NULL to the worker; multimodal.py with_* scale notes)
         "media_animation_metadata": {"EvalPython"},
+        # the Avro wire-format certificate: the portable decoder's
+        # DOCUMENTED design is an Arrow-batched pandas_udf (the
+        # spark-avro jar is absent from this container — avro_py.py
+        # module docstring); only the constructed record bodies cross
+        # to Python
+        "avro_decode_fold": {"EvalPython"},
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
