@@ -80,11 +80,24 @@ class _Reader:
         if t == "string":
             return self.buf.read(self.read_long()).decode("utf-8")
         if t == "union":
-            return self.read(schema[self.read_long()])
+            # bounds-check BEFORE indexing: a corrupt index (e.g. the
+            # raw byte 0x01, which zigzag-decodes to -1) would
+            # otherwise silently select a branch via Python's negative
+            # list indexing instead of rejecting the record
+            # (mutation-check finding, round 13)
+            i = self.read_long()
+            if not 0 <= i < len(schema):
+                raise ValueError(f"avro union index {i} out of range "
+                                 f"for {len(schema)} branches")
+            return self.read(schema[i])
         if t == "record":
             return {f["name"]: self.read(f["type"]) for f in schema["fields"]}
         if t == "enum":
-            return schema["symbols"][self.read_long()]
+            i = self.read_long()
+            if not 0 <= i < len(schema["symbols"]):
+                raise ValueError(f"avro enum index {i} out of range "
+                                 f"for {len(schema['symbols'])} symbols")
+            return schema["symbols"][i]
         if t == "fixed":
             return self.buf.read(schema["size"])
         if t == "array":

@@ -226,3 +226,25 @@ def test_sr_reencode_udf_rejects_unknown_id_and_bad_magic(spark):
     bad_magic = spark.createDataFrame([(b"\x01garbage",)], "value binary")
     with pytest.raises(Exception, match="magic"):
         bad_magic.select(udf("value")).collect()
+
+
+def test_corrupt_union_and_enum_indexes_rejected():
+    """A corrupt branch/symbol index must raise, never resolve via
+    Python's negative list indexing (round-13 mutation-check finding:
+    the raw byte 0x01 zigzag-decodes to -1 and used to silently select
+    the LAST union branch)."""
+    union_schema = ["null", "int"]
+    # valid: index zigzag(1)=0x02 then int zigzag(5)=0x0A
+    assert avro_py.decode(bytes([0x02, 0x0A]), union_schema) == 5
+    # raw 0x01 -> index -1: out of range, not branch[-1]
+    with pytest.raises(ValueError, match="union index -1"):
+        avro_py.decode(bytes([0x01, 0x0A]), union_schema)
+    # index 2 (zigzag 0x04) on a 2-branch union: out of range
+    with pytest.raises(ValueError, match="union index 2"):
+        avro_py.decode(bytes([0x04, 0x0A]), union_schema)
+    enum_schema = {"type": "enum", "name": "E", "symbols": ["a", "b"]}
+    assert avro_py.decode(bytes([0x02]), enum_schema) == "b"
+    with pytest.raises(ValueError, match="enum index -1"):
+        avro_py.decode(bytes([0x01]), enum_schema)
+    with pytest.raises(ValueError, match="enum index 2"):
+        avro_py.decode(bytes([0x04]), enum_schema)
