@@ -49,6 +49,17 @@ class _Reader:
     def __init__(self, data: bytes):
         self.buf = io.BytesIO(data)
 
+    def read_exact(self, n: int) -> bytes:
+        # BytesIO.read(n) silently returns FEWER bytes at EOF, so a
+        # truncated string/bytes/fixed/float field used to decode to
+        # silently-wrong data (round-13 totality pass); corrupt input
+        # must raise the documented ValueError instead
+        b = self.buf.read(n)
+        if len(b) != n:
+            raise ValueError(
+                f"truncated avro body: wanted {n} bytes, got {len(b)}")
+        return b
+
     def read_long(self) -> int:
         # zigzag varint
         shift, acc = 0, 0
@@ -63,22 +74,37 @@ class _Reader:
             shift += 7
         return (acc >> 1) ^ -(acc & 1)
 
+    def _block_count(self) -> int:
+        """Array/map block count, negative form consumed, clamped to
+        the bytes actually remaining: a corrupt huge count over
+        zero-byte items (null-typed) would otherwise loop without
+        consuming input (round-13 totality pass)."""
+        n = self.read_long()
+        if n < 0:
+            self.read_long()  # block byte size, unused
+            n = -n
+        remaining = len(self.buf.getbuffer()) - self.buf.tell()
+        if n > remaining + 1:
+            raise ValueError(
+                f"avro block count {n} exceeds remaining {remaining} bytes")
+        return n
+
     def read(self, schema: Any) -> Any:
         t = _type_name(schema)
         if t == "null":
             return None
         if t == "boolean":
-            return self.buf.read(1)[0] == 1
+            return self.read_exact(1)[0] == 1
         if t in ("int", "long"):
             return self.read_long()
         if t == "float":
-            return _struct.unpack("<f", self.buf.read(4))[0]
+            return _struct.unpack("<f", self.read_exact(4))[0]
         if t == "double":
-            return _struct.unpack("<d", self.buf.read(8))[0]
+            return _struct.unpack("<d", self.read_exact(8))[0]
         if t == "bytes":
-            return self.buf.read(self.read_long())
+            return self.read_exact(self.read_long())
         if t == "string":
-            return self.buf.read(self.read_long()).decode("utf-8")
+            return self.read_exact(self.read_long()).decode("utf-8")
         if t == "union":
             # bounds-check BEFORE indexing: a corrupt index (e.g. the
             # raw byte 0x01, which zigzag-decodes to -1) would
@@ -99,29 +125,23 @@ class _Reader:
                                  f"for {len(schema['symbols'])} symbols")
             return schema["symbols"][i]
         if t == "fixed":
-            return self.buf.read(schema["size"])
+            return self.read_exact(schema["size"])
         if t == "array":
             out = []
             while True:
-                n = self.read_long()
+                n = self._block_count()
                 if n == 0:
                     break
-                if n < 0:
-                    self.read_long()  # block byte size, unused
-                    n = -n
                 out.extend(self.read(schema["items"]) for _ in range(n))
             return out
         if t == "map":
             out = {}
             while True:
-                n = self.read_long()
+                n = self._block_count()
                 if n == 0:
                     break
-                if n < 0:
-                    self.read_long()
-                    n = -n
                 for _ in range(n):
-                    k = self.buf.read(self.read_long()).decode("utf-8")
+                    k = self.read_exact(self.read_long()).decode("utf-8")
                     out[k] = self.read(schema["values"])
             return out
         raise ValueError(f"unsupported avro type {t!r}")

@@ -248,3 +248,43 @@ def test_corrupt_union_and_enum_indexes_rejected():
         avro_py.decode(bytes([0x01]), enum_schema)
     with pytest.raises(ValueError, match="enum index 2"):
         avro_py.decode(bytes([0x04]), enum_schema)
+
+
+def test_decode_total_on_truncated_and_corrupt_bodies():
+    """Corrupt-input totality (round 13, the decode-fuzz contract the
+    multimodal decoders already carry): every STRICT prefix of a valid
+    record body must raise ValueError/EOFError — never return
+    silently-truncated data (BytesIO.read used to short-read) and
+    never loop on a corrupt block count."""
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "b", "type": "boolean"},
+        {"name": "x", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "u", "type": ["null", "long"]},
+        {"name": "a", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ]}
+    val = {"b": True, "x": 2.5, "s": "héllo", "u": 7,
+           "a": [1, -2, 300], "m": {"k1": "v1", "k2": "v2"}}
+    body = avro_py.encode(val, schema)
+    assert avro_py.decode(body, schema) == val
+    for cut in range(len(body)):
+        with pytest.raises((ValueError, EOFError)):
+            avro_py.decode(body[:cut], schema)
+    # corrupt block count over zero-byte items must raise, not loop:
+    # array<null> with count zigzag(2^40)
+    import io as _io
+    w = avro_py._Writer()
+    w.write_long(1 << 40)
+    huge = w.buf.getvalue()
+    with pytest.raises(ValueError, match="block count"):
+        avro_py.decode(huge, {"type": "array", "items": "null"})
+    # random garbage bodies: documented exceptions only
+    import random
+    rng = random.Random(13)
+    for _ in range(500):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 24)))
+        try:
+            avro_py.decode(blob, schema)
+        except (ValueError, EOFError, UnicodeDecodeError):
+            pass
