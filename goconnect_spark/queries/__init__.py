@@ -63,9 +63,12 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 #       projection certificate for the pure-Python codec in
 #       functions/avro_py.py, the §2.5 serde.GenericDecoder parity
 #       surface that was unit-tested only; no natural fold remains
-#       whose grain would not be muddied, so the catalog grows to 178
-#       for a genuinely new operator certificate — coverage, not
+#       whose grain would not be muddied, so the catalog grows past
+#       177 for genuinely new operator certificates — coverage, not
 #       padding);
+#     - gzip_roundtrip (NEW — the gzip.Encoder/Decoder runtime
+#       roundtrip witness, the last unit-only §2.5 codec row; catalog
+#       lands at 179);
 #     - hll_sliding_calibration (the r13 fold of hll_sliding_7d_users
 #       into it — calibration was already a strict superset plan and
 #       now also exposes the zero_registers/harmonic_denom register
@@ -73,8 +76,8 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 #       joins).
 #   Then EVERY query whose newest green driver row is r9 (the full
 #   29-query remainder — after r13 nothing certified before r10
-#   remains), then the r10 cohort alphabetically: slots 1-50 = 2
-#   tier-0 + 29 r9 + the first ~19 of r10; the other r10 entries queue
+#   remains), then the r10 cohort alphabetically: slots 1-50 = 6
+#   tier-0 + 29 r9 + the first ~15 of r10; the other r10 entries queue
 #   first for round 14, ahead of the r11/r12 cohorts that follow in
 #   registration order. Max certificate age stays <= 3 rounds.
 _DRIVER_PRIORITY = (
@@ -82,6 +85,7 @@ _DRIVER_PRIORITY = (
     "media_animation_metadata",
     "media_mp4_sample_ranges",
     "avro_decode_fold",
+    "gzip_roundtrip",
     "events_distinct_hll",
     "hll_sliding_calibration",
     # last green: r9 (the full 29-query remainder)

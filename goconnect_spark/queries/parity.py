@@ -187,6 +187,48 @@ FROM parsed WHERE NOT contains(UPPER(name), 'B')
 """
 
 
+# gzip coder roundtrip certificate (round 13): the gzip.Encoder/
+# Decoder pair (reference coder/gzip, plans/coders.py Arrow UDFs) was
+# the last unit-only codec row. The certificate is the kv_roundtrip
+# witness pattern: each props string is gzip-compressed and
+# decompressed by the RUNTIME coder UDFs and the md5 of the
+# round-tripped bytes (plus the original's md5 and byte length) is
+# hash-compared against DuckDB computing md5/length of the SAME
+# strings directly — a corrupt compress, a lossy decompress, or a
+# boundary defect on any row changes value_md5_rt and fails the hash.
+# (Compressed size itself is deliberately NOT a column: it depends on
+# the zlib build, which the oracle cannot reproduce.)
+def gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.plans.coders import (
+        _gzip_compress_udf,
+        _gzip_decompress_udf,
+    )
+
+    ev = load(spark, "events", sf_dir)
+    gz, gunz = _gzip_compress_udf(), _gzip_decompress_udf()
+    raw = F.encode(F.col("props"), "UTF-8")
+    rt = gunz(gz(raw))
+    return (
+        ev.select(
+            "event_id",
+            F.octet_length("props").cast("long").alias("len_raw"),
+            F.md5(raw).alias("md5_orig"),
+            F.md5(rt).alias("md5_rt"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+_GZIP_SQL = """
+SELECT event_id,
+       CAST(strlen(props) AS BIGINT) AS len_raw,
+       md5(props) AS md5_orig,
+       md5(props) AS md5_rt
+FROM events ORDER BY event_id LIMIT 200
+"""
+
+
 # Avro wire-format + reader-projection certificate (round 13): the
 # pure-Python Avro codec (functions/avro_py.py — reference parity
 # coder/serde/decoder.go:85-105 + projector.go:8-32) was unit-tested
@@ -359,6 +401,7 @@ QUERIES = {
     "limit_events": limit_events,
     "ordered_merge": ordered_merge,
     "kv_roundtrip": kv_roundtrip,
+    "gzip_roundtrip": gzip_roundtrip,
     "xml_extract_fold": xml_extract_fold,
     "avro_decode_fold": avro_decode_fold,
     "roundrobin_replay": roundrobin_replay,
@@ -371,6 +414,7 @@ ORACLE = {
     "limit_events": _LIMIT_SQL,
     "ordered_merge": _ORDERED_MERGE_SQL,
     "kv_roundtrip": _KV_SQL,
+    "gzip_roundtrip": _GZIP_SQL,
     "xml_extract_fold": _XML_SQL,
     "avro_decode_fold": _AVRO_SQL,
     "roundrobin_replay": _ROUNDROBIN_SQL,

@@ -291,6 +291,9 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         # module docstring); only the constructed record bodies cross
         # to Python
         "avro_decode_fold": {"EvalPython"},
+        # the gzip coder certificate: the codec pair IS a pair of
+        # Arrow pandas_udfs by documented design (plans/coders.py)
+        "gzip_roundtrip": {"EvalPython"},
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
