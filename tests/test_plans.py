@@ -294,12 +294,21 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         # the gzip coder certificate: the codec pair IS a pair of
         # Arrow pandas_udfs by documented design (plans/coders.py)
         "gzip_roundtrip": {"EvalPython"},
+        # the demuxer certificate's 1->N frame fan-out IS mapInPandas
+        # by documented design (sample_frames, multimodal.py) — only
+        # the constructed mp4 rows cross to the Arrow worker
+        "media_mp4_sample_ranges": {"MapInPandas"},
         "orders_grouping_sets": {"Expand"},                  # GROUPING SETS semantics
         "orders_rollup": {"Expand"},                         # ROLLUP semantics
         "lineitem_cube": {"Expand"},                         # CUBE semantics
         "text_token_stats": {"Expand"},                      # distinct+nondistinct agg mix
     }
-    flags = ("CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython", "Expand")
+    # MapInPandas added round 13: mapInPandas-backed operators (the
+    # sample_frames fan-out) slipped past the EvalPython check because
+    # their physical node prints as MapInPandas — same Python-boundary
+    # class, same allowlist-with-reason discipline
+    flags = ("CartesianProduct", "BroadcastNestedLoopJoin", "EvalPython",
+             "Expand", "MapInPandas")
     offenders = {}
     for name, fn in qs.items():
         plan = _plan(fn(spark, sf_dir))
