@@ -44,6 +44,50 @@ def _type_name(schema: Any) -> str:
     return schema["type"]
 
 
+# Per-block iteration cap for array/map items whose encoding is
+# zero bytes (null; records/fixed composed only of zero-byte types):
+# the remaining-bytes bound cannot constrain those, so a corrupt
+# 2^40-style count is caught by this finite cap instead while valid
+# large blocks of zero-byte items (far below it) still decode
+# (ADVICE r13: the old remaining+1 clamp rejected valid array<null>).
+_ZERO_SIZE_ITEM_CAP = 1 << 24
+
+
+def _min_encoded_size(schema: Any, _seen: frozenset = frozenset()) -> int:
+    """Lower bound on the encoded byte size of one value of `schema`.
+
+    Used to bound array/map block counts: n items consume at least
+    n * min_size bytes, so a count exceeding remaining/min_size is
+    provably corrupt. Conservative (never over-estimates): unknown or
+    self-referential named types contribute 0.
+    """
+    t = _type_name(schema)
+    if t == "null":
+        return 0
+    if t in ("boolean", "int", "long", "enum"):
+        return 1  # varint / single byte: at least 1 byte
+    if t == "float":
+        return 4
+    if t == "double":
+        return 8
+    if t in ("bytes", "string"):
+        return 1  # the length varint itself
+    if t in ("array", "map"):
+        return 1  # the terminating zero block count
+    if t == "fixed":
+        return int(schema.get("size", 0))
+    if t == "union":
+        return 1 + min(
+            (_min_encoded_size(b, _seen) for b in schema), default=0)
+    if t == "record":
+        if id(schema) in _seen:
+            return 0  # self-reference guard: stay a valid lower bound
+        inner = _seen | {id(schema)}
+        return sum(_min_encoded_size(f["type"], inner)
+                   for f in schema["fields"])
+    return 0
+
+
 # ---------------- binary decoding ----------------
 class _Reader:
     def __init__(self, data: bytes):
@@ -74,19 +118,28 @@ class _Reader:
             shift += 7
         return (acc >> 1) ^ -(acc & 1)
 
-    def _block_count(self) -> int:
-        """Array/map block count, negative form consumed, clamped to
-        the bytes actually remaining: a corrupt huge count over
-        zero-byte items (null-typed) would otherwise loop without
-        consuming input (round-13 totality pass)."""
+    def _block_count(self, item_min_size: int) -> int:
+        """Array/map block count, negative form consumed, bounded by
+        what the remaining bytes could possibly hold: n items consume
+        at least n * item_min_size bytes, so larger counts are corrupt
+        (round-13 totality pass). Zero-byte item types (null, all-null
+        records) are legitimately unconstrained by remaining bytes
+        (ADVICE r13), so those fall back to a finite iteration cap
+        that still rejects corrupt 2^40-style counts."""
         n = self.read_long()
         if n < 0:
             self.read_long()  # block byte size, unused
             n = -n
-        remaining = len(self.buf.getbuffer()) - self.buf.tell()
-        if n > remaining + 1:
+        if item_min_size > 0:
+            remaining = len(self.buf.getbuffer()) - self.buf.tell()
+            if n * item_min_size > remaining:
+                raise ValueError(
+                    f"avro block count {n} (min {item_min_size} B/item) "
+                    f"exceeds remaining {remaining} bytes")
+        elif n > _ZERO_SIZE_ITEM_CAP:
             raise ValueError(
-                f"avro block count {n} exceeds remaining {remaining} bytes")
+                f"avro block count {n} of zero-byte items exceeds cap "
+                f"{_ZERO_SIZE_ITEM_CAP}")
         return n
 
     def read(self, schema: Any) -> Any:
@@ -128,16 +181,19 @@ class _Reader:
             return self.read_exact(schema["size"])
         if t == "array":
             out = []
+            min_size = _min_encoded_size(schema["items"])
             while True:
-                n = self._block_count()
+                n = self._block_count(min_size)
                 if n == 0:
                     break
                 out.extend(self.read(schema["items"]) for _ in range(n))
             return out
         if t == "map":
             out = {}
+            # each entry carries a key (length varint >= 1 byte) + value
+            min_size = 1 + _min_encoded_size(schema["values"])
             while True:
-                n = self._block_count()
+                n = self._block_count(min_size)
                 if n == 0:
                     break
                 for _ in range(n):

@@ -250,6 +250,36 @@ def test_corrupt_union_and_enum_indexes_rejected():
         avro_py.decode(bytes([0x04]), enum_schema)
 
 
+def test_zero_byte_item_blocks_roundtrip():
+    """ADVICE r13: items of zero encoded size (null; records whose
+    fields are all zero-byte) legitimately consume 0 bytes, so the
+    remaining-bytes clamp must not reject decode(encode(x)) — those
+    fall back to a finite iteration cap instead."""
+    arr_null = {"type": "array", "items": "null"}
+    for n in (0, 1, 3, 7, 100):
+        val = [None] * n
+        assert avro_py.decode(avro_py.encode(val, arr_null), arr_null) == val
+    empty_rec = {"type": "record", "name": "E", "fields": []}
+    arr_rec = {"type": "array", "items": empty_rec}
+    val = [{}, {}, {}, {}]
+    assert avro_py.decode(avro_py.encode(val, arr_rec), arr_rec) == val
+    # a record of only-null fields is also zero-byte
+    null_rec = {"type": "record", "name": "N",
+                "fields": [{"name": "a", "type": "null"}]}
+    arr_nrec = {"type": "array", "items": null_rec}
+    val = [{"a": None}] * 5
+    assert avro_py.decode(avro_py.encode(val, arr_nrec), arr_nrec) == val
+    # map values of null still work: each entry's key costs >= 1 byte
+    map_null = {"type": "map", "values": "null"}
+    val = {"k1": None, "k2": None}
+    assert avro_py.decode(avro_py.encode(val, map_null), map_null) == val
+    # and the corrupt-count protection is retained for zero-byte items
+    w = avro_py._Writer()
+    w.write_long(1 << 40)
+    with pytest.raises(ValueError, match="block count"):
+        avro_py.decode(w.buf.getvalue(), arr_null)
+
+
 def test_decode_total_on_truncated_and_corrupt_bodies():
     """Corrupt-input totality (round 13, the decode-fuzz contract the
     multimodal decoders already carry): every STRICT prefix of a valid
@@ -279,6 +309,15 @@ def test_decode_total_on_truncated_and_corrupt_bodies():
     huge = w.buf.getvalue()
     with pytest.raises(ValueError, match="block count"):
         avro_py.decode(huge, {"type": "array", "items": "null"})
+    # ADVICE r13: a corrupt count over MULTI-byte items is caught by
+    # the n * min_size bound even when n <= remaining (the old clamp
+    # missed this): count 3 doubles (24 B) with only 8 B present
+    w2 = avro_py._Writer()
+    w2.write_long(3)
+    w2.buf.write(b"\x00" * 8)
+    with pytest.raises((ValueError, EOFError)):
+        avro_py.decode(w2.buf.getvalue(),
+                       {"type": "array", "items": "double"})
     # random garbage bodies: documented exceptions only
     import random
     rng = random.Random(13)
