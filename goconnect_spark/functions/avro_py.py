@@ -376,6 +376,90 @@ def project(value: Any, writer_schema: Any, reader_schema: Any) -> Any:
 
 
 # ---------------- Spark surface ----------------
+def _to_native(v: Any) -> Any:
+    """Arrow->pandas values into the plain-Python shapes the writer's
+    union resolution types against (numpy scalars are not `int`/`float`
+    instances, so np.int32(5) would fail _union_index on ["null","int"];
+    numeric nulls can surface as NaN/pd.NA in object columns)."""
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, np.ndarray):
+        return [_to_native(x) for x in v.tolist()]
+    if isinstance(v, dict):
+        return {k: _to_native(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_to_native(x) for x in v]
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and v != v:  # NaN-as-null from pandas
+        return None
+    try:
+        import pandas as pd
+
+        if v is pd.NA or v is pd.NaT:
+            return None
+    except ImportError:
+        pass
+    return v
+
+
+def _coerce(v: Any, sch: Any) -> Any:
+    """Schema-aware leaf coercion for the encode path: pandas widens a
+    nullable int32 column to float64 (NaN-as-null), so a planted int
+    arrives as 2.0 and would fail union type-matching; a GenericRecord
+    builder coerces by the declared schema, and so do we. Single-
+    non-null-branch unions coerce into that branch; wider unions fall
+    back to value-type matching in _union_index."""
+    t = _type_name(sch)
+    if v is None:
+        return None
+    if t == "union":
+        non_null = [b for b in sch if _type_name(b) != "null"]
+        return _coerce(v, non_null[0]) if len(non_null) == 1 else v
+    if t in ("int", "long"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "boolean":
+        return bool(v)
+    if t == "record":
+        return {f["name"]: _coerce(v.get(f["name"]), f["type"])
+                for f in sch["fields"]}
+    if t == "array":
+        return [_coerce(x, sch["items"]) for x in v]
+    if t == "map":
+        return {k: _coerce(x, sch["values"]) for k, x in v.items()}
+    return v
+
+
+def avro_encode_udf(writer_schema: str):
+    """pandas_udf: struct column -> Avro binary record body (the
+    GenericRecord encode side, reference coder/serde/encoder.go:50-96
+    minus the SR framing — compose with serde.sr_prepend_header for
+    the Confluent payload). Arrow-batched like avro_decode_udf."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    wp = parse_schema(writer_schema)
+
+    def enc(s):
+        # Spark hands a STRUCT input to a scalar pandas_udf as a
+        # pd.DataFrame (one column per field); top-level nulls would
+        # arrive as all-NaN rows, which _to_native maps to None fields
+        if isinstance(s, pd.DataFrame):
+            return pd.Series(
+                [encode(_coerce(_to_native(r), wp), wp)
+                 for r in s.to_dict("records")])
+        return s.map(
+            lambda v: None if v is None
+            else encode(_coerce(_to_native(v), wp), wp))
+
+    enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("binary")(enc)
+
+
 def avro_decode_udf(writer_schema: str, spark_schema: str,
                     reader_schema: Optional[str] = None):
     """pandas_udf: binary avro body -> struct column. Decode with the

@@ -366,6 +366,154 @@ ORDER BY e
 """
 
 
+# Avro ENCODER certificate (round 14, VERDICT r13 item 3): the encode
+# path (GenericRecord -> Avro body -> Confluent SR wire framing,
+# functions/avro_py.py _Writer + functions/serde.py:38, reference
+# coder/serde/encoder.go:50-96) was loopback-tested only while the
+# decode side carried avro_decode_fold — and the r13 mutation check
+# found exactly the class of bug an uncertified encoder can hide.
+# This plants the SAME record shapes as avro_decode_fold, encodes them
+# with the runtime avro_encode_udf, frames them with schema id 7, and
+# pins the EXACT wire bytes: the DuckDB oracle rebuilds the expected
+# payload hex from the spec (zigzag, 7-bit varint groups, string
+# length+UTF-8, union branch index, enum index, array blocks, the
+# 0x00+bigendian-id header) and both engines md5 the lowercase hex —
+# a single wrong byte anywhere in the encoder fails 200 rows. The
+# payload is then decoded back through the independently-certified
+# reader (alias a->a2, long b->double promotion, default f=42) so the
+# full GenericRecord -> wire -> GenericProjector loop is one gate.
+def avro_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.functions.avro_py import (
+        avro_decode_udf,
+        avro_encode_udf,
+    )
+    from goconnect_spark.functions.serde import (
+        sr_prepend_header,
+        sr_strip_header,
+    )
+
+    d = F.col("doc_id")
+    a = (d % 1000 - 500).cast("long")
+    b = (d % 100000).cast("long")
+    c = F.concat(F.lit("s"), (d % 100).cast("string"))
+    dd = (d % 50 - 25).cast("long")
+    d_null = d % 5 == 0
+    e_sym = (
+        F.when(d % 3 == 0, F.lit("red"))
+        .when(d % 3 == 1, F.lit("green"))
+        .otherwise(F.lit("blue"))
+    )
+    g0 = (d % 7).cast("long")
+    g1 = (d % 11).cast("long")
+    rec = F.struct(
+        a.cast("int").alias("a"),
+        b.alias("b"),
+        c.alias("c"),
+        F.when(d_null, F.lit(None).cast("int"))
+        .otherwise(dd.cast("int"))
+        .alias("d"),
+        e_sym.alias("e"),
+        F.array(g0.cast("int"), g1.cast("int")).alias("g"),
+    )
+    enc = avro_encode_udf(_AVRO_WRITER)
+    payload = sr_prepend_header(enc(rec), 7)
+    dec = avro_decode_udf(
+        _AVRO_WRITER,
+        "a2 int, b double, c string, d int, e string, g array<int>, f int",
+        _AVRO_READER,
+    )
+    corpus = load(spark, "documents", sf_dir).select(
+        "doc_id", payload.alias("payload"))
+    out = corpus.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("payload_len"),
+        F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
+        dec(sr_strip_header(F.col("payload"))).alias("r"),
+    )
+    return (
+        out.select(
+            "doc_id",
+            "payload_len",
+            "payload_md5",
+            F.col("r.a2").cast("long").alias("rt_a2"),
+            F.col("r.b").alias("rt_b"),
+            F.length("r.c").cast("long").alias("rt_len_c"),
+            F.col("r.d").cast("long").alias("rt_d"),
+            F.col("r.e").alias("rt_e"),
+            F.expr(
+                "aggregate(r.g, cast(0 as bigint), (s, x) -> s + x)"
+            ).alias("rt_g_sum"),
+            F.col("r.f").cast("long").alias("rt_f"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+# the oracle rebuilds the wire bytes from the Avro spec alone: hexb(x)
+# is inlined as lower(lpad(to_hex(x),2,'0')); varints are expanded by
+# range (zza <= 1000 -> <=2 bytes, zzb <= 199998 -> <=3 bytes, every
+# other planted value fits one byte); the string body 's'||digits is
+# hexed digit-by-digit (0x73 's', 0x30+digit)
+_AVRO_ENC_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 1000 - 500 AS a,
+         doc_id % 100000 AS b,
+         doc_id % 100 AS m,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 50 - 25 END AS d,
+         CAST(doc_id % 3 AS INT) AS e_idx,
+         doc_id % 7 AS g0, doc_id % 11 AS g1
+  FROM documents ORDER BY doc_id LIMIT 200
+), z AS (
+  SELECT *,
+         CASE WHEN a >= 0 THEN a*2 ELSE -a*2-1 END AS zza,
+         b*2 AS zzb,
+         CASE WHEN d IS NULL THEN NULL
+              WHEN d >= 0 THEN d*2 ELSE -d*2-1 END AS zzd,
+         CASE WHEN m < 10 THEN 2 ELSE 3 END AS lc
+  FROM p
+), hx AS (
+  SELECT doc_id, a, b, m, d, e_idx, g0, g1, lc,
+    '00' || '00000007'
+    || CASE WHEN zza < 128 THEN lower(lpad(to_hex(zza),2,'0'))
+            ELSE lower(lpad(to_hex(zza%128+128),2,'0'))
+              || lower(lpad(to_hex(zza//128),2,'0')) END
+    || CASE WHEN zzb < 128 THEN lower(lpad(to_hex(zzb),2,'0'))
+            WHEN zzb < 16384 THEN lower(lpad(to_hex(zzb%128+128),2,'0'))
+              || lower(lpad(to_hex(zzb//128),2,'0'))
+            ELSE lower(lpad(to_hex(zzb%128+128),2,'0'))
+              || lower(lpad(to_hex((zzb//128)%128+128),2,'0'))
+              || lower(lpad(to_hex(zzb//16384),2,'0')) END
+    || lower(lpad(to_hex(lc*2),2,'0'))
+    || '73'
+    || CASE WHEN m < 10 THEN lower(lpad(to_hex(48+m),2,'0'))
+            ELSE lower(lpad(to_hex(48+m//10),2,'0'))
+              || lower(lpad(to_hex(48+m%10),2,'0')) END
+    || CASE WHEN d IS NULL THEN '00'
+            ELSE '02' || lower(lpad(to_hex(zzd),2,'0')) END
+    || lower(lpad(to_hex(e_idx*2),2,'0'))
+    || '04'
+    || lower(lpad(to_hex(g0*2),2,'0'))
+    || lower(lpad(to_hex(g1*2),2,'0'))
+    || '00' AS payload_hex
+  FROM z
+)
+SELECT doc_id,
+       CAST(LENGTH(payload_hex)//2 AS BIGINT) AS payload_len,
+       md5(payload_hex) AS payload_md5,
+       CAST(a AS BIGINT) AS rt_a2,
+       CAST(b AS DOUBLE) AS rt_b,
+       CAST(lc AS BIGINT) AS rt_len_c,
+       CAST(d AS BIGINT) AS rt_d,
+       CASE e_idx WHEN 0 THEN 'red' WHEN 1 THEN 'green' ELSE 'blue' END
+         AS rt_e,
+       CAST(g0 + g1 AS BIGINT) AS rt_g_sum,
+       CAST(42 AS BIGINT) AS rt_f
+FROM hx ORDER BY doc_id
+"""
+
+
 # RoundRobin list source parity (io.RoundRobin replays a list n times):
 # spark.range + element_at. Uses nation names as the list.
 def roundrobin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,6 +552,7 @@ QUERIES = {
     "gzip_roundtrip": gzip_roundtrip,
     "xml_extract_fold": xml_extract_fold,
     "avro_decode_fold": avro_decode_fold,
+    "avro_encode_roundtrip": avro_encode_roundtrip,
     "roundrobin_replay": roundrobin_replay,
 }
 
@@ -417,5 +566,6 @@ ORACLE = {
     "gzip_roundtrip": _GZIP_SQL,
     "xml_extract_fold": _XML_SQL,
     "avro_decode_fold": _AVRO_SQL,
+    "avro_encode_roundtrip": _AVRO_ENC_SQL,
     "roundrobin_replay": _ROUNDROBIN_SQL,
 }

@@ -250,6 +250,31 @@ def test_corrupt_union_and_enum_indexes_rejected():
         avro_py.decode(bytes([0x04]), enum_schema)
 
 
+def test_encode_coercion_matches_arrow_pandas_shapes():
+    """The encode UDF path sees Arrow->pandas shapes (numpy scalars,
+    float64-widened nullable ints, ndarray lists); _to_native +
+    _coerce must map them onto the writer schema before encoding."""
+    import numpy as np
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "d", "type": ["null", "int"]},
+        {"name": "x", "type": "double"},
+        {"name": "g", "type": {"type": "array", "items": "int"}},
+    ]}
+    # what a pandas record dict looks like after Arrow conversion
+    row = {"a": np.int32(7), "d": float("nan"), "x": np.float64(2.5),
+           "g": np.array([1, 2], dtype=np.int64)}
+    native = avro_py._coerce(avro_py._to_native(row), schema)
+    body = avro_py.encode(native, schema)
+    assert avro_py.decode(body, schema) == {
+        "a": 7, "d": None, "x": 2.5, "g": [1, 2]}
+    # non-null nullable int arrives float64-widened: 2.0 -> int branch
+    row2 = dict(row, d=2.0)
+    native2 = avro_py._coerce(avro_py._to_native(row2), schema)
+    assert avro_py.decode(avro_py.encode(native2, schema), schema)["d"] == 2
+
+
 def test_zero_byte_item_blocks_roundtrip():
     """ADVICE r13: items of zero encoded size (null; records whose
     fields are all zero-byte) legitimately consume 0 bytes, so the
