@@ -43,98 +43,35 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 
 # Driver-verification priority: the per-round correctness harness runs
 # the catalog in registration order and may cap the run (~50 of the
-# catalog). Rebuilt for round 13 per VERDICT r12 item 1 — priority =
-# staleness, computed from CORRECTNESS_r*.json at the r13 HEAD:
-#   tier 0 = changed at HEAD this round:
-#     - media_animation_metadata (NEW — the third planted-truth media
-#       certificate: with_gif_metadata's GCE-delay/frame-count block
-#       walk and with_mp4_metadata's mvhd v0/v1 + tkhd + stts box walk,
-#       previously pytest-only; VERDICT r12 item 3);
-#     - media_mp4_sample_ranges (NEW — the fourth planted-truth media
-#       certificate: the parse_mp4_video_samples/sample_frames
-#       demuxer-lite layer, payload bytes checked against planted
-#       constant fills);
-#     - events_distinct_hll (the r13 fold of events_distinct_kmv into
-#       it — same stream, same 60-bit hash, single-row grain; both
-#       sketch certificates survive as columns, holding the catalog at
-#       177 while media_animation_metadata joins — recertifies because
-#       its schema changed);
-#     - avro_decode_fold (NEW — the Avro wire-format + reader-schema
-#       projection certificate for the pure-Python codec in
-#       functions/avro_py.py, the §2.5 serde.GenericDecoder parity
-#       surface that was unit-tested only; no natural fold remains
-#       whose grain would not be muddied, so the catalog grows past
-#       177 for genuinely new operator certificates — coverage, not
-#       padding);
-#     - gzip_roundtrip (NEW — the gzip.Encoder/Decoder runtime
-#       roundtrip witness, the last unit-only §2.5 codec row; catalog
-#       lands at 179);
-#     - hll_sliding_calibration (the r13 fold of hll_sliding_7d_users
-#       into it — calibration was already a strict superset plan and
-#       now also exposes the zero_registers/harmonic_denom register
-#       internals, holding density while media_mp4_sample_ranges
-#       joins).
-#   Then EVERY query whose newest green driver row is r9 (the full
-#   29-query remainder — after r13 nothing certified before r10
-#   remains), then the r10 cohort alphabetically: slots 1-50 = 6
-#   tier-0 + 29 r9 + the first ~15 of r10; the other r10 entries queue
-#   first for round 14, ahead of the r11/r12 cohorts that follow in
-#   registration order. Max certificate age stays <= 3 rounds.
+# catalog). Rebuilt for round 14 per VERDICT r13 item 1 — priority =
+# staleness, computed from CORRECTNESS_r*.json at the r14 HEAD:
+#   tier 0 = changed or NEW at HEAD this round:
+#     - avro_encode_roundtrip (NEW — the Avro ENCODER certificate,
+#       VERDICT r13 item 3: GenericRecord -> wire bytes pinned exactly
+#       against a spec-rebuilt DuckDB hex oracle, then decoded back
+#       through the certified reader);
+#     - streaming_heavy_hitters (NEW — VERDICT r13 item 2: the sharded
+#       SpaceSaving sketch driven into its provably-exact regime by a
+#       planted 40-value skewed stream over 4 real micro-batches);
+#     - streaming_budget_admit (NEW — VERDICT r13 item 2: the greedy
+#       per-key weight budget gated on its order-invariant closed
+#       forms, with emitted rows and the state counter cross-checked);
+#     - avro_decode_fold (recertifies: functions/avro_py.py changed
+#       this round — the ADVICE r13 zero-byte-item block-count fix and
+#       the new encoder surface live in the same module).
+#   Then the full 29-query r10 cohort (nothing older remains), then
+#   the r11 cohort alphabetically: slots 1-50 = 4 tier-0 + 29 r10 +
+#   the first 17 of r11 (..duplicated_ngram_coverage); the remaining
+#   33 r11 entries queue first for round 15, ahead of the r12/r13
+#   cohorts that follow. Max certificate age stays <= 3 rounds
+#   (after r14: nothing older than r11).
 _DRIVER_PRIORITY = (
-    # --- tier 0: changed at HEAD in round 13 ---
-    "media_animation_metadata",
-    "media_mp4_sample_ranges",
+    # --- tier 0: changed or NEW at HEAD in round 14 ---
+    "avro_encode_roundtrip",
+    "streaming_heavy_hitters",
+    "streaming_budget_admit",
     "avro_decode_fold",
-    "gzip_roundtrip",
-    "events_distinct_hll",
-    "hll_sliding_calibration",
-    # last green: r9 (the full 29-query remainder)
-    "ann_random_projection_recall",
-    "bm25_keyword_topk",
-    "corpus_drop_reasons",
-    "curated_corpus_stats",
-    "customer_name_fuzzy_pairs",
-    "customer_supplier_nations",
-    "dedup_cluster_size_histogram",
-    "dedup_connected_components",
-    "dedup_filtered_corpus",
-    "lm_score_deciles",
-    "minhash_jaccard_calibration",
-    "order_value_pareto",
-    "price_size_regression",
-    "q12_shipmode_priority",
-    "source_dedup_matrix",
-    "streaming_dedup_keys",
-    "streaming_enrich_cohort",
-    "streaming_error_context_join",
-    "streaming_fold_count",
-    "streaming_session_counts",
-    "streaming_windowed_hourly",
-    "text_lang_id",
-    "train_val_test_split",
-    "word_communities_lpa",
-    "word_cooccurrence",
-    "word_freq_cms",
-    "word_graph_triangles",
-    "word_pagerank",
-    "zorder_pruning_stats",
-    # last green: r10 (alphabetical; the first ~19 fill the ~50-slot cap,
-    # the rest queue for round 14)
-    "ann_ivf_kmeans_topk",
-    "benchmark_contamination",
-    "bpe_vocab_deep_tokens",
-    "daily_reconciliation",
-    "dedup_quality_keepers",
-    "doc_length_buckets",
-    "doc_lm_score",
-    "doc_repetition_ratio",
-    "epoch_shard_assignment",
-    "events_daily_pivot",
-    "events_error_context",
-    "events_hourly",
-    "events_hourly_gapfill",
-    "events_in_error_windows",
-    "events_json_buckets",
+    # last green: r10 (alphabetical)
     "events_latest_per_user",
     "events_rollup_cascade",
     "flatmap_word_counts",
@@ -266,6 +203,56 @@ _DRIVER_PRIORITY = (
     "user_overlap_kmv",
     "user_sessions",
     "weekly_active_users",
+    # last green: r13 (alphabetical)
+    "ann_ivf_kmeans_topk",
+    "ann_random_projection_recall",
+    "benchmark_contamination",
+    "bm25_keyword_topk",
+    "bpe_vocab_deep_tokens",
+    "corpus_drop_reasons",
+    "curated_corpus_stats",
+    "customer_name_fuzzy_pairs",
+    "customer_supplier_nations",
+    "daily_reconciliation",
+    "dedup_cluster_size_histogram",
+    "dedup_connected_components",
+    "dedup_filtered_corpus",
+    "dedup_quality_keepers",
+    "doc_length_buckets",
+    "doc_lm_score",
+    "doc_repetition_ratio",
+    "epoch_shard_assignment",
+    "events_daily_pivot",
+    "events_distinct_hll",
+    "events_error_context",
+    "events_hourly",
+    "events_hourly_gapfill",
+    "events_in_error_windows",
+    "events_json_buckets",
+    "gzip_roundtrip",
+    "hll_sliding_calibration",
+    "lm_score_deciles",
+    "media_animation_metadata",
+    "media_mp4_sample_ranges",
+    "minhash_jaccard_calibration",
+    "order_value_pareto",
+    "price_size_regression",
+    "q12_shipmode_priority",
+    "source_dedup_matrix",
+    "streaming_dedup_keys",
+    "streaming_enrich_cohort",
+    "streaming_error_context_join",
+    "streaming_fold_count",
+    "streaming_session_counts",
+    "streaming_windowed_hourly",
+    "text_lang_id",
+    "train_val_test_split",
+    "word_communities_lpa",
+    "word_cooccurrence",
+    "word_freq_cms",
+    "word_graph_triangles",
+    "word_pagerank",
+    "zorder_pruning_stats",
 )
 
 

@@ -586,3 +586,167 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 
 QUERIES["streaming_handoff_counts"] = streaming_handoff_counts
 ORACLE["streaming_handoff_counts"] = _HANDOFF_SQL
+
+
+# --------------------------------------------------------------------
+# Heavy hitters (sharded SpaceSaving) certificate — round 14, VERDICT
+# r13 item 2: streaming/stateful.heavy_hitters was the last
+# pytest-only bounded-state operator. Planted skewed stream with KNOWN
+# exact counts: value = floor(sqrt(event_id mod 1600)) gives 40
+# distinct values with linearly skewed frequencies (value v appears
+# for 2v+1 residues per 1600-block). 40 distinct values across 8
+# shards is at most 40 per shard < capacity 64, so SpaceSaving is in
+# its EXACT regime BY CONSTRUCTION on any input data — every retained
+# counter equals the true count with err 0, which makes the stochastic
+# sketch deterministically hash-gateable. The stream drains as 4 real
+# micro-batches (maxFilesPerTrigger=1 over a 4-file planted dir), so
+# the certificate covers state carry across triggers, the xxhash64
+# shard routing (a value's counter must live in exactly one sketch —
+# a double-counted value overshoots the oracle), the weighted
+# value_counts update, and the update-mode snapshot emission; est is
+# monotone per value in the exact regime, so max(est) over the drain
+# IS the final snapshot. Eviction-path est/err guarantees stay
+# property-tested in tests/test_streaming.py (eviction order is batch-
+# split dependent, i.e. not oracle-hashable by design).
+# --------------------------------------------------------------------
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from goconnect_spark.streaming.stateful import heavy_hitters
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_id",
+        F.floor(
+            F.sqrt(((F.coalesce(F.col("event_id"), F.lit(0)) % 1600) + 1600)
+                   % 1600)
+        ).cast("string").alias("hh_value"),
+    )
+    work = tempfile.mkdtemp(prefix=f"hh_stream_{uuid.uuid4().hex[:8]}_")
+    name = f"stream_hh_{uuid.uuid4().hex[:8]}"
+    try:
+        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(
+            f"{work}/in"
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/in")
+        )
+        hh = heavy_hitters(stream, "hh_value", k=64, capacity=64, shards=8)
+        q = (
+            hh.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.sql(
+        f"""select value, max(est) as est, max(err) as err_max
+            from {name} group by value order by est desc, value"""
+    )
+
+
+_STREAM_HH_SQL = """
+WITH v AS (
+  SELECT CAST(CAST(FLOOR(SQRT(((COALESCE(event_id, 0) % 1600) + 1600)
+              % 1600)) AS BIGINT) AS VARCHAR) AS value
+  FROM events
+)
+SELECT value, CAST(COUNT(*) AS BIGINT) AS est,
+       CAST(0 AS BIGINT) AS err_max
+FROM v GROUP BY value ORDER BY est DESC, value
+"""
+
+QUERIES["streaming_heavy_hitters"] = streaming_heavy_hitters
+ORACLE["streaming_heavy_hitters"] = _STREAM_HH_SQL
+
+
+# --------------------------------------------------------------------
+# Budget-admission certificate — round 14, VERDICT r13 item 2: the
+# streaming/stateful.budget_admit operator (greedy per-key weight
+# budget, one bigint of state per key) had no catalog entry. Admission
+# is by ARRIVAL order, which a stream cannot replay deterministically,
+# so the certificate gates the arrival-order-INVARIANT observables: a
+# key's weight is uniform (len(key)+1), making the admitted COUNT and
+# consumed WEIGHT per key exact closed forms — admit the m-th row iff
+# (m-1)*w < B, so n_admitted = least(n, (B-1)//w + 1) and weight_used
+# = n_admitted*w regardless of order or batch split. The planted
+# stream drains as 4 real micro-batches over the planted dir, so a
+# state-carry bug is caught arithmetically: without cross-batch state
+# each batch would admit a fresh budget and n_admitted would
+# overshoot the closed form. sum(weight) over emitted rows and
+# max(used_after) must BOTH equal the closed form — the emitted rows
+# and the state counter cross-check each other. WHICH ids are
+# admitted stays covered by tests/test_streaming.py (order-dependent
+# by the operator's documented contract; the batch twin
+# token_budget_sample is the replayable variant).
+# --------------------------------------------------------------------
+def streaming_budget_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from goconnect_spark.streaming.stateful import budget_admit
+
+    budget = 500
+    ev = (
+        load(spark, "events", sf_dir)
+        .select(
+            "event_id",
+            F.coalesce(F.col("event_type"), F.lit("?")).alias("key"),
+        )
+        .withColumn("weight", (F.length("key") + F.lit(1)).cast("long"))
+    )
+    work = tempfile.mkdtemp(prefix=f"budget_stream_{uuid.uuid4().hex[:8]}_")
+    name = f"stream_budget_{uuid.uuid4().hex[:8]}"
+    try:
+        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(
+            f"{work}/in"
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/in")
+        )
+        adm = budget_admit(stream, "key", "weight", budget, "event_id")
+        q = (
+            adm.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.sql(
+        f"""select key, count(*) as n_admitted,
+                   max(used_after) as weight_used,
+                   sum(weight) as sum_w
+            from {name} group by key order by key"""
+    )
+
+
+_STREAM_BUDGET_SQL = """
+WITH e AS (
+  SELECT COALESCE(event_type, '?') AS key FROM events
+), s AS (
+  SELECT key, LENGTH(key) + 1 AS w, COUNT(*) AS n FROM e GROUP BY key
+), a AS (
+  SELECT key, LEAST(n, (500 - 1) // w + 1) AS n_adm, w FROM s
+)
+SELECT key, CAST(n_adm AS BIGINT) AS n_admitted,
+       CAST(n_adm * w AS BIGINT) AS weight_used,
+       CAST(n_adm * w AS BIGINT) AS sum_w
+FROM a ORDER BY key
+"""
+
+QUERIES["streaming_budget_admit"] = streaming_budget_admit
+ORACLE["streaming_budget_admit"] = _STREAM_BUDGET_SQL
