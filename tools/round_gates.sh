@@ -23,6 +23,10 @@
 #                            "gate 4.5" — VERDICT r8 item 8: the only
 #                            value check at the bench-graded scale)
 #   6. differential 0 1    — full catalog on pathological + random data
+#   6.5 mutation_check     — one deliberate defect per planted-truth
+#                            certificate family must break its oracle
+#                            hash (standing since r14 — the discipline
+#                            that found the r13 Avro union-index bug)
 #   (informational: regenerate PLANS.md — formerly "gate 5.5")
 #   7. bench sf0.1         — full-catalog timing, stderr capture kept
 #   8. bench_diff          — per-query wall regression vs prev round
@@ -71,6 +75,14 @@ tail -1 /tmp/round_gates_verify_sf01.out | sed 's/^/verify_sf0.1: /' >> "$SUMMAR
 
 echo "== gate 6/8: randomized differential (seeds 0 1) =="
 python tools/differential_random_full.py 0 1
+
+echo "== gate 6.5/8: certificate mutation sweep =="
+# VERDICT r13 item 4 (standing since r14): one deliberate defect per
+# planted-truth certificate family must BREAK its oracle hash — an
+# insensitive certificate is green-washing and fails the chain
+python tools/mutation_check.py /root/testdata/sf0.001 \
+  | tee /tmp/round_gates_mutation.out
+tail -1 /tmp/round_gates_mutation.out | sed 's/^/mutation_check: /' >> "$SUMMARY"
 
 echo "== informational gate: regenerate PLANS.md =="
 # informational, not failing: the shuffle/join counts land in git diff
