@@ -124,12 +124,35 @@ def main():
     # that would otherwise inflate the spread metric with warm-up
     # decay, not instability (measured: the cpu probe keeps dropping
     # 0.51 -> 0.27 s over its first ~5 runs on an idle 32-thread box)
+    # third probe (VERDICT r13 item 1 "what's wrong": the cpu probe
+    # has been UNSTABLE two driver rounds running, leaving the
+    # uniform-drift gate standing on the shuffle probe alone): a
+    # fixed-work partitioned window sort — 8M rows shuffled to 64
+    # hash partitions, sorted per partition, row_number'd and
+    # reduced — exercises exchange + sort + codegen together, the
+    # blend closest to real query walls. Estimator is the TRIMMED
+    # MEAN of 5 (drop max and min, mean of the middle 3): more
+    # sample-efficient than the median when one straggler lands.
+    def _sort_probe_once():
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .selectExpr("id % 64 as p", "hash(id) as h")
+            .selectExpr(
+                "p", "h",
+                "row_number() over (partition by p order by h) as rn")
+            # bounded summand: |h % 1001 * rn| <= 1000 * 125k over 8M
+            # rows stays ~1e15, far inside ANSI long range
+            .selectExpr("sum((h % 1001) * cast(rn as bigint)) as s")
+            .collect()
+        )
+
     for _ in range(2):
         spark.range(0, 500_000_000, 1, 32).selectExpr(
             "sum(id * 3 + 7) as s").collect()
         spark.range(0, 4_000_000, 1, 64).selectExpr(
             "id % 9973 as k").groupBy("k").count().count()
-    cpu_probes, sched_probes = [], []
+        _sort_probe_once()
+    cpu_probes, sched_probes, sort_probes = [], [], []
     for _ in range(5):
         t0 = time.time()
         spark.range(0, 2_000_000_000, 1, 32).selectExpr(
@@ -141,10 +164,15 @@ def main():
             "id % 9973 as k"
         ).groupBy("k").count().count()
         sched_probes.append(time.time() - t0)
+        t0 = time.time()
+        _sort_probe_once()
+        sort_probes.append(time.time() - t0)
     calib = round(statistics.median(cpu_probes), 3)
     calib_spread = round(max(cpu_probes) / max(1e-9, min(cpu_probes)), 3)
     sched_calib = round(statistics.median(sched_probes), 3)
     sched_spread = round(max(sched_probes) / max(1e-9, min(sched_probes)), 3)
+    sort_calib = round(statistics.mean(sorted(sort_probes)[1:-1]), 3)
+    sort_spread = round(max(sort_probes) / max(1e-9, min(sort_probes)), 3)
     print(f"# calibration_wall {calib}s (2B-row fixed-work aggregate; "
           f"median of 5)", file=sys.stderr)
     print(f"# calibration_spread {calib_spread}x (max/min of 5 probes)",
@@ -152,6 +180,10 @@ def main():
     print(f"# shuffle_calibration_wall {sched_calib}s (4M-row 64-part "
           f"groupBy; median of 5)", file=sys.stderr)
     print(f"# shuffle_calibration_spread {sched_spread}x (max/min of 5)",
+          file=sys.stderr)
+    print(f"# sort_calibration_wall {sort_calib}s (8M-row 64-part window "
+          f"sort; trimmed mean of 5)", file=sys.stderr)
+    print(f"# sort_calibration_spread {sort_spread}x (max/min of 5)",
           file=sys.stderr)
 
     # three passes, keep the per-query MIN: the steady-state cost of
@@ -198,6 +230,8 @@ def main():
                 "calibration_spread": calib_spread,
                 "shuffle_calibration_wall": sched_calib,
                 "shuffle_calibration_spread": sched_spread,
+                "sort_calibration_wall": sort_calib,
+                "sort_calibration_spread": sort_spread,
                 # n_queries pairs with value/metric (the 31-query
                 # legacy total); the queries map carries the wider
                 # 34-query headline set, counted by n_queries_headline

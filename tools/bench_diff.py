@@ -170,12 +170,24 @@ def main() -> None:
     #    genuinely uniform code regression would be absorbed, which is
     #    why a loud warning (not a silent pass) prints whenever the
     #    uniform component is large.
+    #  - drift_sort: fixed-work partitioned-window-sort probe ratio
+    #    (added r14, VERDICT r13 item 5: the cpu probe was unstable two
+    #    driver rounds running, leaving the shuffle probe as the only
+    #    trusted normalization) — exchange + sort + codegen blended,
+    #    trimmed-mean estimator, measured spread ~1.06-1.17x idle.
     drift_cpu = (cal_n / cal_o) if (cal_o and cal_n) else None
     sch_o = load_scalar(ns.old, "shuffle_calibration_wall")
     sch_n = load_scalar(ns.new, "shuffle_calibration_wall")
     drift_sched = (sch_n / sch_o) if (sch_o and sch_n) else None
+    srt_o = load_scalar(ns.old, "sort_calibration_wall")
+    srt_n = load_scalar(ns.new, "sort_calibration_wall")
+    drift_sort = (srt_n / srt_o) if (srt_o and srt_n) else None
     spread_o = load_scalar(ns.old, "calibration_spread")
     spread_n = load_scalar(ns.new, "calibration_spread")
+    sch_spread_o = load_scalar(ns.old, "shuffle_calibration_spread")
+    sch_spread_n = load_scalar(ns.new, "shuffle_calibration_spread")
+    srt_spread_o = load_scalar(ns.old, "sort_calibration_spread")
+    srt_spread_n = load_scalar(ns.new, "sort_calibration_spread")
     common = sorted(set(old) & set(new))
 
     def floored_ratio(o: float, n: float) -> float:
@@ -199,6 +211,22 @@ def main() -> None:
         print("# WARNING: calibration probe spread exceeds the 1.5x "
               f"acceptance band (old {spread_o}, new {spread_n}) — "
               "cpu-calibrated ratios are untrusted", file=sys.stderr)
+    # the same band applies to every probe (r14: the shuffle probe's
+    # own spread hit 1.86x in the r12 capture — a one-legged trust
+    # model was the r13 verdict's standing complaint)
+    sched_probe_ok = not ((sch_spread_o and sch_spread_o > 1.5)
+                          or (sch_spread_n and sch_spread_n > 1.5))
+    if drift_sched and not sched_probe_ok:
+        print("# WARNING: shuffle probe spread exceeds the 1.5x "
+              f"acceptance band (old {sch_spread_o}, new {sch_spread_n})"
+              " — shuffle-calibrated ratios are untrusted",
+              file=sys.stderr)
+    sort_probe_ok = not ((srt_spread_o and srt_spread_o > 1.5)
+                         or (srt_spread_n and srt_spread_n > 1.5))
+    if drift_sort and not sort_probe_ok:
+        print("# WARNING: sort probe spread exceeds the 1.5x acceptance "
+              f"band (old {srt_spread_o}, new {srt_spread_n}) — "
+              "sort-calibrated ratios are untrusted", file=sys.stderr)
 
     # --- box-class delta FIRST (VERDICT r12 item 6): the probe pair is
     # a box fingerprint — leading with it makes a cross-box driver
@@ -214,8 +242,21 @@ def main() -> None:
     elif cal_o or cal_n:
         print("cpu probe:     present in only one artifact")
     if drift_sched:
+        spread_txt = "".join(
+            f", spread {s}x" for s in (sch_spread_o, sch_spread_n) if s) or ""
         print(f"shuffle probe: {sch_o:.3f}s -> {sch_n:.3f}s "
-              f"(drift {drift_sched:.2f}x)")
+              f"(drift {drift_sched:.2f}x{spread_txt}"
+              + ("" if sched_probe_ok else "; UNSTABLE, excluded from gate")
+              + ")")
+    if drift_sort:
+        spread_txt = "".join(
+            f", spread {s}x" for s in (srt_spread_o, srt_spread_n) if s) or ""
+        print(f"sort probe:    {srt_o:.3f}s -> {srt_n:.3f}s "
+              f"(drift {drift_sort:.2f}x{spread_txt}"
+              + ("" if sort_probe_ok else "; UNSTABLE, excluded from gate")
+              + ")")
+    elif srt_o or srt_n:
+        print("sort probe:    present in only one artifact")
     if drift_uniform:
         print(f"uniform drift: {drift_uniform:.2f}x "
               f"(median per-query raw ratio, n={len(eligible)})")
@@ -225,7 +266,8 @@ def main() -> None:
     # the unexplained-uniform-drift check)
     probe_best = max(
         drift_cpu if (drift_cpu and cpu_probe_ok) else 1.0,
-        drift_sched or 1.0,
+        drift_sched if (drift_sched and sched_probe_ok) else 1.0,
+        drift_sort if (drift_sort and sort_probe_ok) else 1.0,
     )
     uniform_unexplained = bool(
         drift_uniform and drift_uniform > 1.25
@@ -255,8 +297,10 @@ def main() -> None:
         cands = [ratio]
         if drift_cpu and cpu_probe_ok:
             cands.append(floored_ratio(o, n / drift_cpu))
-        if drift_sched:
+        if drift_sched and sched_probe_ok:
             cands.append(floored_ratio(o, n / drift_sched))
+        if drift_sort and sort_probe_ok:
+            cands.append(floored_ratio(o, n / drift_sort))
         if drift_uniform:
             cands.append(floored_ratio(o, n / drift_uniform))
         gate = min(cands) if len(cands) > 1 else ratio

@@ -113,7 +113,7 @@ python tools/bench_diff.py "$PREV" "$CAP" --threshold 1.5 "${@:3}" \
 # stale allows) BEFORE gating on the exit code, so the summary alone
 # tells whether and WHY the gate passed or failed — round notes must
 # never need a hand-appended verdict
-grep -E '^(common|cpu probe|shuffle probe|uniform drift|unexplained|uniform-drift gate|[0-9]+ regression|[0-9]+ allowed|stale --allow)' \
+grep -E '^(common|cpu probe|shuffle probe|sort probe|uniform drift|unexplained|uniform-drift gate|[0-9]+ regression|[0-9]+ allowed|stale --allow)' \
   /tmp/round_gates_bench_diff.out >> "$SUMMARY" || true
 if [ "$DIFF_OK" -ne 0 ]; then
   echo "round_gates $TAG: FAILED at gate 8 (bench_diff exit $DIFF_OK)" >> "$SUMMARY"
