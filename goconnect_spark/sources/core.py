@@ -151,6 +151,16 @@ class ParquetSource(Source):
     event_time_col: Optional[str] = None
     streaming: bool = False
     schema: Optional[str] = None
+    # streaming-only pass-through options for FileStreamSource, e.g.
+    # {"maxFilesPerTrigger": 1, "cleanSource": "delete"} or
+    # {"cleanSource": "archive", "sourceArchiveDir": ...,
+    #  "maxFileAge": "14d"}. cleanSource bounds the per-trigger listing
+    # term a long-lived file drain otherwise accumulates (the O(files)
+    # cost the r13 rate-source A/B isolated — SCALING.md): processed
+    # files leave the input dir, so late triggers list a bounded set
+    # instead of the whole history. maxFileAge additionally ages
+    # entries out of the seen-files map. Ignored for batch reads.
+    stream_options: Optional[dict] = None
 
     @property
     def is_streaming(self):
@@ -175,6 +185,8 @@ class ParquetSource(Source):
             reader = spark.readStream.schema(self.schema or spark.read.parquet(self.path).schema)
             if glob:
                 reader = reader.option("pathGlobFilter", glob)
+            for k, v in (self.stream_options or {}).items():
+                reader = reader.option(k, v)
             df = reader.parquet(path)
         else:
             df = spark.read.parquet(self.path)

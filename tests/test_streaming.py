@@ -684,3 +684,48 @@ def test_streaming_bpe_tokenize_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_parquet_source_clean_source_deletes_processed_files(spark, tmp_path):
+    """stream_options pass-through (VERDICT r13 item 6): cleanSource=
+    delete removes processed files from the input dir, which bounds
+    the per-trigger listing term a long-lived file drain otherwise
+    accumulates (the O(files) cost the r13 rate-source A/B isolated).
+    The final batch's file is cleaned on the NEXT commit, which never
+    arrives under availableNow — so at most one file may remain."""
+    import glob
+    import os
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "in_data")
+    os.makedirs(d)
+    for i in range(4):
+        pq.write_table(
+            pa.table({"id": list(range(i * 10, i * 10 + 10)),
+                      "v": [float(x) for x in range(10)]}),
+            f"{d}/p{i}.parquet",
+        )
+    src = ParquetSource(
+        d, seq_col="id", streaming=True,
+        stream_options={"maxFilesPerTrigger": 1, "cleanSource": "delete"},
+    )
+    name = f"t_clean_{uuid.uuid4().hex[:6]}"
+    q = (
+        src.read(spark).select("value.*")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table(name).count() == 40  # cleanup never loses rows
+    for _ in range(40):  # deletion is async (cleaner thread)
+        if len(glob.glob(f"{d}/*.parquet")) <= 1:
+            break
+        time.sleep(0.5)
+    assert len(glob.glob(f"{d}/*.parquet")) <= 1

@@ -81,14 +81,18 @@ def build_corpus(spark, m: int, out_dir: str) -> None:
                 os.utime(os.path.join(p, f), (t0 + i, t0 + i))
 
 
-def read_stream(spark, d: str):
-    return (
+def read_stream(spark, d: str, options: dict | None = None):
+    """`options` mirrors ParquetSource.stream_options (e.g.
+    {"cleanSource": "delete"} for the r14 mitigation twin)."""
+    reader = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
         )
         .option("maxFilesPerTrigger", 1)
-        .parquet(d + "/*")
     )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.parquet(d + "/*")
 
 
 def drain(spark, stream_df, mode: str, ckpt_root: str) -> dict:

@@ -152,16 +152,25 @@ def drain_n_batches(spark, stream_df, mode: str, ckpt_root: str,
     }
 
 
-def file_quartiles(spark, n_batches: int, ckpt_root: str, work: str) -> dict:
+def file_quartiles(spark, n_batches: int, ckpt_root: str, work: str,
+                   clean: bool = False) -> dict:
     """The file-source twin: same operator, m = n_batches/4 replica
-    corpus (4 files per replica), same listener-based quartile stats."""
+    corpus (4 files per replica), same listener-based quartile stats.
+    With clean=True the source runs cleanSource=delete (the r14
+    mitigation, mirroring ParquetSource.stream_options): processed
+    files leave the input dir, so the per-trigger listing term that
+    produced the 1.98x q4/q2 growth is bounded instead of O(total
+    files). Each twin builds its OWN corpus dir because the clean
+    twin consumes its input."""
     from tools.scale_bench_streaming import build_corpus, read_stream
 
     m = max(1, n_batches // 4)
-    build_corpus(spark, m, f"{work}/in")
+    tag = "in_clean" if clean else "in"
+    build_corpus(spark, m, f"{work}/{tag}")
     from goconnect_spark.streaming.run import windowed_counts
 
-    ev = read_stream(spark, f"{work}/in")
+    ev = read_stream(spark, f"{work}/{tag}",
+                     options={"cleanSource": "delete"} if clean else None)
     return drain_n_batches(
         spark,
         windowed_counts(ev, "ts", "1 hour", WATERMARK, keys=("event_type",)),
@@ -174,6 +183,7 @@ def file_quartiles(spark, n_batches: int, ckpt_root: str, work: str) -> dict:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     with_file = "--with-file-twin" in sys.argv
+    with_clean = "--with-file-clean-twin" in sys.argv
     batch_counts = [int(a) for a in args] or [120, 400]
     from goconnect_spark.session import get_spark
     from goconnect_spark.streaming.run import windowed_counts
@@ -183,23 +193,32 @@ def main() -> None:
     for n in batch_counts:
         work = tempfile.mkdtemp(prefix=f"sbrate_{n}b_")
         try:
-            ev = rate_events(spark)
-            res = drain_n_batches(
-                spark,
-                windowed_counts(ev, "ts", "1 hour", WATERMARK,
-                                keys=("event_type",)),
-                "append",
-                f"{work}/ckpt",
-                n,
-            )
-            print(json.dumps(
-                {"query": "windowed_hourly", "source": "rate-micro-batch",
-                 "n_batches": n, **res}), flush=True)
+            if "--skip-rate" not in sys.argv:
+                ev = rate_events(spark)
+                res = drain_n_batches(
+                    spark,
+                    windowed_counts(ev, "ts", "1 hour", WATERMARK,
+                                    keys=("event_type",)),
+                    "append",
+                    f"{work}/ckpt",
+                    n,
+                )
+                print(json.dumps(
+                    {"query": "windowed_hourly",
+                     "source": "rate-micro-batch",
+                     "n_batches": n, **res}), flush=True)
             if with_file:
                 resf = file_quartiles(spark, n, f"{work}/ckpt_f", work)
                 print(json.dumps(
                     {"query": "windowed_hourly", "source": "file",
                      "n_batches": n, **resf}), flush=True)
+            if with_clean:
+                resc = file_quartiles(spark, n, f"{work}/ckpt_c", work,
+                                      clean=True)
+                print(json.dumps(
+                    {"query": "windowed_hourly",
+                     "source": "file+cleanSource=delete",
+                     "n_batches": n, **resc}), flush=True)
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
