@@ -291,6 +291,12 @@ def test_catalog_wide_plan_hygiene(spark, sf_dir, qs):
         # module docstring); only the constructed record bodies cross
         # to Python
         "avro_decode_fold": {"EvalPython"},
+        # the Avro ENCODER certificate (r14): GenericRecord -> wire
+        # bytes -> certified reader is two Arrow pandas_udfs by the
+        # same documented design (avro_py.avro_encode_udf +
+        # avro_decode_udf); only the planted structs/bodies cross to
+        # Python
+        "avro_encode_roundtrip": {"EvalPython"},
         # the gzip coder certificate: the codec pair IS a pair of
         # Arrow pandas_udfs by documented design (plans/coders.py)
         "gzip_roundtrip": {"EvalPython"},
