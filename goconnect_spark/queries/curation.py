@@ -719,3 +719,160 @@ ORDER BY bm25_fp DESC, doc_id LIMIT {_BM25_TOPK}
 
 QUERIES["bm25_keyword_topk"] = bm25_keyword_topk
 ORACLE["bm25_keyword_topk"] = _BM25_SQL
+
+
+# --------------------------------------------------------------------
+# PII scrub certificate (round 14): regex-family PII detection +
+# redaction with a Luhn validity gate (functions/pii.py), the scrub
+# pass an LLM corpus runs before anything else. Planted-truth done
+# the avro/media way, with a twist: the oracle is not a closed form
+# but a SECOND INDEPENDENT DETECTOR — both engines plant the same
+# deterministic PII (emails on doc_id%3=0, phones on %4=1, IPv4 on
+# %5=2, 16-digit cards on %6 in (0,3) whose Luhn check digit is
+# deliberately corrupted on odd doc_ids), then each runs its OWN
+# regex engine (Java regex vs RE2) and its own Luhn arithmetic
+# (codegen'd higher-order aggregate vs list comprehension), and the
+# md5 witness over the redacted text pins byte-identical output.
+# A wrong pattern, a broken Luhn, a placeholder collision, or a
+# redaction that eats a neighboring character all break the hash.
+# Scale: one map stage, no shuffle before the 6-row source rollup.
+# --------------------------------------------------------------------
+def _pii_plant(doc_id):
+    """Planted PII suffix as a column expression (deterministic in
+    doc_id; mirrored verbatim by the oracle's SQL plant)."""
+
+    def s(c):
+        return c.cast("string")
+
+    email = F.when(
+        doc_id % 3 == 0,
+        F.concat(
+            F.lit(" contact user"), s(doc_id),
+            F.lit("@example"), s(doc_id % 7), F.lit(".com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        doc_id % 4 == 1,
+        F.concat(
+            F.lit(" call "), s(doc_id % 700 + 200), F.lit("-"),
+            F.lpad(s(doc_id % 1000), 3, "0"), F.lit("-"),
+            F.lpad(s(doc_id % 10000), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        doc_id % 5 == 2,
+        F.concat(
+            F.lit(" from 10."), s(doc_id % 256),
+            F.lit("."), s((doc_id * 7) % 256),
+            F.lit("."), s((doc_id * 13) % 256),
+        ),
+    ).otherwise(F.lit(""))
+    payload = F.concat(F.lit("4"), F.lpad(s(doc_id % 100000000), 14, "0"))
+
+    def digit(i):
+        return F.substring(payload, i, F.lit(1)).cast("int")
+
+    lsum = F.aggregate(
+        F.sequence(F.lit(1), F.lit(15)), F.lit(0),
+        lambda acc, i: acc + F.when(
+            i % 2 == 1,
+            F.when(digit(i) * 2 > 9, digit(i) * 2 - 9).otherwise(digit(i) * 2),
+        ).otherwise(digit(i)),
+    )
+    check = (F.lit(10) - lsum % 10) % 10
+    check = F.when(doc_id % 2 == 1, (check + 5) % 10).otherwise(check)
+    cc = F.when(
+        (doc_id % 6 == 0) | (doc_id % 6 == 3),
+        F.concat(F.lit(" card "), payload, check.cast("string")),
+    ).otherwise(F.lit(""))
+    return F.concat(email, phone, ip, cc)
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.functions.pii import with_pii_scrub
+    from goconnect_spark.tables import load
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    planted = docs.withColumn(
+        "pt", F.concat(F.col("text"), _pii_plant(F.col("doc_id")))
+    ).drop("text")
+    scrub = with_pii_scrub(planted, "pt", out_col="red")
+    wit = F.conv(F.substring(F.md5(F.col("red")), 1, 10), 16, 10).cast("bigint")
+    return (
+        scrub.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_emails").cast("long").alias("n_emails"),
+            F.sum("n_phones").cast("long").alias("n_phones"),
+            F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+            F.sum("n_cc_candidates").cast("long").alias("n_cc_candidates"),
+            F.sum("n_cc_valid").cast("long").alias("n_cc_valid"),
+            F.sum(wit).cast("long").alias("redact_witness"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pii_sql() -> str:
+    from goconnect_spark.functions.pii import CC_RE, EMAIL_RE, IPV4_RE, PHONE_RE
+
+    dig = "CAST(substr(payload, CAST(i AS INT), 1) AS INT)"
+    luhn15 = f"""list_sum([CASE WHEN i % 2 = 1 THEN
+            CASE WHEN 2*{dig} > 9 THEN 2*{dig} - 9 ELSE 2*{dig} END
+          ELSE {dig} END for i in range(1, 16)])"""
+    digc = "CAST(substr(c, CAST(i AS INT), 1) AS INT)"
+    luhn16 = f"""list_sum([CASE WHEN i % 2 = 1 THEN
+            CASE WHEN 2*{digc} > 9 THEN 2*{digc} - 9 ELSE 2*{digc} END
+          ELSE {digc} END for i in range(1, 17)])"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS payload
+  FROM documents
+), luhn AS (
+  SELECT *, {luhn15} AS lsum FROM base
+), planted AS (
+  SELECT doc_id, source,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 1 THEN ' call ' || CAST(200 + doc_id % 700 AS VARCHAR)
+         || '-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 6 IN (0, 3) THEN ' card ' || payload ||
+         CAST(CASE WHEN doc_id % 2 = 1 THEN ((10 - lsum % 10) % 10 + 5) % 10
+              ELSE (10 - lsum % 10) % 10 END AS VARCHAR)
+       ELSE '' END AS pt
+  FROM luhn
+), det AS (
+  SELECT doc_id, source,
+    len(regexp_extract_all(pt, '{EMAIL_RE}')) AS n_emails,
+    len(regexp_extract_all(pt, '{PHONE_RE}')) AS n_phones,
+    len(regexp_extract_all(pt, '{IPV4_RE}')) AS n_ipv4,
+    len(regexp_extract_all(pt, '{CC_RE}')) AS n_cc_candidates,
+    len(list_filter(regexp_extract_all(pt, '{CC_RE}'),
+        c -> {luhn16} % 10 = 0)) AS n_cc_valid,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(pt,
+      '{EMAIL_RE}', '[EMAIL]', 'g'),
+      '{PHONE_RE}', '[PHONE]', 'g'),
+      '{IPV4_RE}', '[IP]', 'g'),
+      '{CC_RE}', '[CC]', 'g') AS red
+  FROM planted
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+  CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+  CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+  CAST(SUM(n_cc_candidates) AS BIGINT) AS n_cc_candidates,
+  CAST(SUM(n_cc_valid) AS BIGINT) AS n_cc_valid,
+  CAST(SUM(('0x' || substr(md5(red), 1, 10))::BIGINT) AS BIGINT) AS redact_witness
+FROM det GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["pii_redaction_stats"] = pii_redaction_stats
+ORACLE["pii_redaction_stats"] = _pii_sql()

@@ -172,8 +172,23 @@ def _mut_budget_offset():
     return lambda: setattr(stateful, "budget_admit", orig)
 
 
+def _mut_pii_luhn():
+    """Validity gate disabled: every 16-digit candidate counts as
+    Luhn-valid — the oracle's independent RE2+list-comprehension
+    detector pins the exact valid subset, so the certificate must
+    reject a detector whose checksum arithmetic is gone."""
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.functions import pii
+
+    orig = pii.luhn_valid
+    pii.luhn_valid = lambda cc: F.lit(True)
+    return lambda: setattr(pii, "luhn_valid", orig)
+
+
 MUTATIONS = [
     ("avro_decode_fold", "zigzag drops negative mapping", _mut_avro_zz),
+    ("pii_redaction_stats", "Luhn gate disabled", _mut_pii_luhn),
     ("avro_encode_roundtrip", "SR header id little-endian", _mut_sr_header),
     ("media_animation_metadata", "GIF u16 fields byte-swapped",
      _mut_gif_le16),
