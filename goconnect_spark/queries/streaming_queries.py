@@ -58,16 +58,19 @@ def streaming_fold_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goconnect_spark.sources.core import ParquetSource
     from goconnect_spark.streaming.run import streaming_fold
 
+    from goconnect_spark.streaming.run import scoped_shuffle_partitions
+
     src = ParquetSource(f"{sf_dir}/lineitem.parquet", seq_col="l_orderkey",
                         event_time_col="l_shipdate", streaming=True)
     name = f"stream_fold_{uuid.uuid4().hex[:8]}"
-    q = streaming_fold(
-        src.read(spark).select(F.col("value.l_quantity").alias("qty")),
-        [F.count(F.lit(1)).alias("n_rows"), F.sum(F.col("qty").cast(_PRICE)).cast("double").alias("sum_qty")],
-        name,
-        trigger={"availableNow": True},
-    )
-    q.awaitTermination()
+    with scoped_shuffle_partitions(spark, 8):
+        q = streaming_fold(
+            src.read(spark).select(F.col("value.l_quantity").alias("qty")),
+            [F.count(F.lit(1)).alias("n_rows"), F.sum(F.col("qty").cast(_PRICE)).cast("double").alias("sum_qty")],
+            name,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
     return spark.sql(f"select * from {name} order by n_rows desc limit 1")
 
 
@@ -91,7 +94,7 @@ def streaming_windowed_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     agg = windowed_counts(ev, "ts", "1 hour", "2 hours", keys=("event_type",))
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    run_bounded(agg, name, output_mode="complete")
+    run_bounded(agg, name, output_mode="complete", state_partitions=8)
     return spark.sql(
         f"""select date_format(window.start, 'yyyy-MM-dd HH:mm:ss') as hour,
                    event_type, cast(n as bigint) as n_events
@@ -127,7 +130,7 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     sess = session_counts(ev, "ts", "30 minutes", "2 hours", keys=("user_id",))
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    run_bounded(sess, name, output_mode="complete")
+    run_bounded(sess, name, output_mode="complete", state_partitions=8)
     return spark.sql(
         f"""select user_id, cast(count(*) as bigint) as n_sessions,
                    cast(max(session_events) as bigint) as max_session_events
@@ -180,7 +183,8 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drain, so the output is the exact global key set
     dd = streaming_dedup(ev, ["user_id", "event_type"], "ts", watermark="8760 hours")
     name = f"stream_dd_{uuid.uuid4().hex[:8]}"
-    run_bounded(dd.select("user_id", "event_type"), name, output_mode="append")
+    run_bounded(dd.select("user_id", "event_type"), name, output_mode="append",
+                state_partitions=8)
     return spark.sql(
         f"select user_id, event_type from {name} order by user_id, event_type"
     )
@@ -217,7 +221,8 @@ def streaming_error_context_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance="2 hours", watermark="8760 hours",
     )
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-    run_bounded(joined.select("user_id"), name, output_mode="append")
+    run_bounded(joined.select("user_id"), name, output_mode="append",
+                state_partitions=8)
     return spark.sql(
         f"""select user_id, cast(count(*) as bigint) as n_pairs
             from {name} group by user_id order by user_id"""
@@ -260,7 +265,7 @@ def streaming_enrich_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir).select("user_id")
     enriched = enrich_with_dim(ev, dim, ["user_id"], how="inner")
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    run_bounded(enriched, name, output_mode="append")
+    run_bounded(enriched, name, output_mode="append", state_partitions=8)
     return spark.sql(
         f"""select user_id, signup_hour, cast(count(*) as bigint) as n_events
             from {name} group by user_id, signup_hour
@@ -369,7 +374,7 @@ def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.struct(F.col("cosine"), (-F.col("vec_id")).alias("nv"))).alias("b")
     )
     name = f"stream_ann_{uuid.uuid4().hex[:8]}"
-    run_bounded(best, name, output_mode="complete")
+    run_bounded(best, name, output_mode="complete", state_partitions=8)
     return spark.sql(
         f"""select probe_id, -b.nv as nn_vec_id, b.cosine as cosine
             from {name} order by probe_id"""
@@ -463,18 +468,21 @@ def streaming_ivm_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ["n_events", "sum_value"],
                 ).localCheckpoint()
 
-        q = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/events")
-            .writeStream.foreachBatch(merge_batch)
-            .option(
-                "checkpointLocation", f"{work}/chk"
+        from goconnect_spark.streaming.run import scoped_shuffle_partitions
+
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/events")
+                .writeStream.foreachBatch(merge_batch)
+                .option(
+                    "checkpointLocation", f"{work}/chk"
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return state["view"].select(
@@ -554,16 +562,19 @@ def streaming_handoff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ["n_events", "sum_value"],
             ).localCheckpoint()
 
-        q = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/tail")
-            .writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", f"{work}/chk")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from goconnect_spark.streaming.run import scoped_shuffle_partitions
+
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/tail")
+                .writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", f"{work}/chk")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return state["view"].select(
@@ -634,16 +645,19 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{work}/in")
         )
+        from goconnect_spark.streaming.run import scoped_shuffle_partitions
+
         hh = heavy_hitters(stream, "hh_value", k=64, capacity=64, shards=8)
-        q = (
-            hh.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", f"{work}/chk")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                hh.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/chk")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.sql(
@@ -714,16 +728,19 @@ def streaming_budget_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{work}/in")
         )
+        from goconnect_spark.streaming.run import scoped_shuffle_partitions
+
         adm = budget_admit(stream, "key", "weight", budget, "event_id")
-        q = (
-            adm.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{work}/chk")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                adm.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", f"{work}/chk")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.sql(

@@ -21,11 +21,40 @@ watermark lateness, session windows, and streaming dedup.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark, n: Optional[int]):
+    """Temporarily size `spark.sql.shuffle.partitions` around a
+    bounded streaming drain (None = leave the session alone).
+
+    Why this exists: Structured Streaming creates ONE state store per
+    shuffle partition per stateful operator and pays a per-store
+    commit + snapshot cost on EVERY trigger, independent of how many
+    rows the store holds. For a bounded drain over catalog-scale data
+    that fixed cost dominates: the sf0.1 stream-stream join measured
+    8.2s at 32 partitions vs 2.8s at 8 — same rows, same answer, 24
+    empty-ish stores' worth of overhead. Production picks this knob
+    for the TARGET scale (sustained rate x executor count), and the
+    checkpoint pins it at the query's first start; these bounded
+    certificate drains size it to the data they actually carry. The
+    session value is restored even on failure, so the surrounding
+    batch queries keep their own parallelism."""
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def streaming_fold(
@@ -88,17 +117,26 @@ def streaming_dedup(
     return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
 
 
-def run_bounded(stream_df: DataFrame, sink_name: str, output_mode: str = "append") -> None:
+def run_bounded(
+    stream_df: DataFrame,
+    sink_name: str,
+    output_mode: str = "append",
+    state_partitions: Optional[int] = None,
+) -> None:
     """Drain a bounded stream to a memory sink and wait (AvailableNow):
-    the reference's 'bounded source terminates the pipeline' contract."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    the reference's 'bounded source terminates the pipeline' contract.
+    state_partitions sizes the drain's state stores (see
+    scoped_shuffle_partitions for why the default session count is
+    the wrong number for a bounded certificate drain)."""
+    with scoped_shuffle_partitions(stream_df.sparkSession, state_partitions):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 class StreamingLimit:
