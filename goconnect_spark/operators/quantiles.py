@@ -1,0 +1,119 @@
+"""Mergeable quantile summaries — the distributed-percentile
+primitive the sketch family was missing.
+
+An exact percentile needs the whole sorted column in one place; at
+100 TB that is the one aggregation you cannot run. Every production
+engine instead maintains a bounded WEIGHTED SUMMARY per partition
+(GK summaries, t-digest, KLL all share the shape) and merges
+summaries associatively. This module implements the deterministic
+member of that family — the weighted stride sample:
+
+- build(key, block): sort the block's values, keep every m-th by
+  rank where m = ceil(n_block / k); a kept point carries weight m
+  (the rank interval it covers, the last point the remainder).
+  State per block is <= k points regardless of block size.
+- merge(key): union the block summaries, re-sort by value, take the
+  running weight sum; the estimate for quantile q is the first point
+  whose cumulative weight reaches ceil(q * n). Rank error is bounded
+  by the strides: at most sum_b(m_b)/2 ~ n_blocks * max_m / 2,
+  i.e. choose k ~ n_block/eps for rank error eps*n_block per block.
+
+Why THIS member: t-digest and KLL are randomized (or
+arrival-order-dependent), which breaks cross-engine value gates; the
+stride summary is a pure function of the value MULTISET (ties broken
+by an explicit id column), so an independent implementation on
+another engine must reproduce it bit-for-bit — the property the
+catalog certificate exploits. Everything is window + filter +
+conditional aggregation: JVM codegen end to end, one shuffle to
+(key, block), merge input is k * n_blocks rows per key.
+
+Reference parity: the reference has no aggregation surface at all
+(SURVEY §2.8); this extends the Fold family the way a goconnect
+user would need for percentile monitoring over an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def block_summaries(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    block_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-(key, block) weighted stride summaries: <= k rows per
+    block, each (value, weight) with weight = covered rank span.
+    NULL and NaN values are excluded up front (both engines sort
+    them idiosyncratically; a quantile over them is undefined)."""
+    keys = list(key_cols)
+    clean = df.where(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    )
+    w = Window.partitionBy(*keys, block_col).orderBy(value_col, id_col)
+    wb = Window.partitionBy(*keys, block_col)
+    ranked = clean.select(
+        *keys,
+        F.col(block_col).alias("__blk"),
+        F.col(value_col).alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wb).alias("__cnt"),
+    ).withColumn("__m", F.expr(f"(__cnt + {k} - 1) DIV {k}"))
+    return ranked.where((F.col("__rn") - 1) % F.col("__m") == 0).select(
+        *keys,
+        "__blk",
+        "__v",
+        F.least(F.col("__m"), F.col("__cnt") - F.col("__rn") + 1).alias("__w"),
+    )
+
+
+def merge_quantiles(
+    summaries: DataFrame,
+    key_cols: Sequence[str],
+    quantiles: Sequence[tuple[str, int, int]],
+) -> DataFrame:
+    """Merge block summaries per key and read off quantile estimates.
+    quantiles = (out_name, num, den) fractions, evaluated as the
+    first summary point whose running weight reaches
+    ceil(n * num / den) — integer targets, no float rank math."""
+    keys = list(key_cols)
+    wc = Window.partitionBy(*keys).orderBy("__v", "__blk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = summaries.select(
+        *keys, "__v", F.sum("__w").over(wc).alias("__cw")
+    )
+    wn = Window.partitionBy(*keys)
+    cum = cum.withColumn("__n", F.max("__cw").over(wn))
+    aggs = [F.max("__n").cast("long").alias("n")]
+    for name, num, den in quantiles:
+        target = F.expr(f"(__n * {num} + {den} - 1) DIV {den}")
+        aggs.append(
+            F.min(F.when(F.col("__cw") >= target, F.col("__v"))).alias(name)
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+def stride_quantiles(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    block_col: str,
+    k: int,
+    quantiles: Sequence[tuple[str, int, int]],
+) -> DataFrame:
+    """build + merge in one call (the batch convenience form; a
+    streaming deployment keeps block_summaries as its per-shard
+    state and runs merge_quantiles on read)."""
+    return merge_quantiles(
+        block_summaries(df, key_cols, value_col, id_col, block_col, k),
+        key_cols,
+        quantiles,
+    )

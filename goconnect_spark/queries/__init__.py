@@ -59,19 +59,25 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 #     - avro_decode_fold (recertifies: functions/avro_py.py changed
 #       this round — the ADVICE r13 zero-byte-item block-count fix and
 #       the new encoder surface live in the same module).
+#     - quantile_summary_merge (NEW — mergeable weighted stride-
+#       sample quantile summary, the distributed-percentile sketch;
+#       deterministic member of the GK/KLL family so the oracle
+#       re-implements both levels and gates real data, with exact
+#       rank-window percentiles riding along as the error witness).
 #     - pii_redaction_stats (NEW — PII scrub certificate: planted
 #       emails/phones/IPv4/Luhn-gated card numbers detected and
 #       redacted by functions/pii.py, gated against an INDEPENDENT
 #       RE2 + list-comprehension detector in DuckDB with an md5
 #       witness over the redacted text).
 #   Then the full 29-query r10 cohort (nothing older remains), then
-#   the r11 cohort alphabetically: slots 1-50 = 5 tier-0 + 29 r10 +
-#   the first 16 of r11 (..doc_lexical_gini); the remaining
-#   34 r11 entries queue first for round 15, ahead of the r12/r13
+#   the r11 cohort alphabetically: slots 1-50 = 6 tier-0 + 29 r10 +
+#   the first 15 of r11 (..doc_chunking); the remaining
+#   35 r11 entries queue first for round 15, ahead of the r12/r13
 #   cohorts that follow. Max certificate age stays <= 3 rounds
 #   (after r14: nothing older than r11).
 _DRIVER_PRIORITY = (
     # --- tier 0: changed or NEW at HEAD in round 14 ---
+    "quantile_summary_merge",
     "pii_redaction_stats",
     "avro_encode_roundtrip",
     "streaming_heavy_hitters",

@@ -833,3 +833,98 @@ ORDER BY est.window_day
 
 QUERIES["hll_sliding_calibration"] = hll_sliding_calibration
 ORACLE["hll_sliding_calibration"] = _HLL_CALIB_SQL
+
+
+# --------------------------------------------------------------------
+# Mergeable quantile summary certificate (round 14): the distributed-
+# percentile primitive (operators/quantiles.py — the deterministic
+# weighted stride-sample member of the GK/KLL family). Per
+# (event_type, event_id % 8) block the sketch keeps <= k=32 weighted
+# points; blocks merge by value-sorted running weight, and quantile q
+# reads off at integer target ceil(n*q). Unlike t-digest/KLL the
+# summary is a pure function of the value multiset (id-tiebroken), so
+# the DuckDB oracle re-implements BOTH levels independently and the
+# hash gates the real algorithm on real data — no exact-regime plant
+# needed. exact_p50/p90 (explicit rank windows, no builtin
+# percentile-definition risk) ride along so the certificate also
+# exposes the summary's actual rank error. Scale: one shuffle to
+# (key, block), k*blocks rows per key into the merge — the shape
+# that replaces a full sort at 100 TB.
+# --------------------------------------------------------------------
+def quantile_summary_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goconnect_spark.operators.quantiles import stride_quantiles
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    ).withColumn("blk", F.col("event_id") % 8)
+    est = stride_quantiles(
+        ev, ["event_type"], "value", "event_id", "blk", 32,
+        [("est_p50", 1, 2), ("est_p90", 9, 10), ("est_p99", 99, 100)],
+    )
+    clean = ev.where(F.col("value").isNotNull() & ~F.isnan("value"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = clean.select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("cnt"),
+    )
+    exact = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") >= F.expr("(cnt + 1) DIV 2"), F.col("v"))
+        ).alias("exact_p50"),
+        F.min(
+            F.when(F.col("rn") >= F.expr("(cnt * 9 + 9) DIV 10"), F.col("v"))
+        ).alias("exact_p90"),
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+_QSUMMARY_SQL = """
+WITH clean AS (
+  SELECT event_type, event_id, value AS v, event_id % 8 AS blk
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), ranked AS (
+  SELECT event_type, blk, v, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type, blk
+                            ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, blk) AS cnt
+  FROM clean
+), pts AS (
+  SELECT event_type, blk, v,
+         LEAST((cnt + 31) // 32, cnt - rn + 1) AS w
+  FROM ranked WHERE (rn - 1) % ((cnt + 31) // 32) = 0
+), cum AS (
+  SELECT event_type, v,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY v, blk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY event_type) AS n
+  FROM pts
+), est AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cw >= (n + 1) // 2 THEN v END) AS est_p50,
+         MIN(CASE WHEN cw >= (n * 9 + 9) // 10 THEN v END) AS est_p90,
+         MIN(CASE WHEN cw >= (n * 99 + 99) // 100 THEN v END) AS est_p99
+  FROM cum GROUP BY event_type
+), rk2 AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM clean
+), exact AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn >= (cnt + 1) // 2 THEN v END) AS exact_p50,
+         MIN(CASE WHEN rn >= (cnt * 9 + 9) // 10 THEN v END) AS exact_p90
+  FROM rk2 GROUP BY event_type
+)
+SELECT est.event_type, est.n, est.est_p50, est.est_p90, est.est_p99,
+       exact.exact_p50, exact.exact_p90
+FROM est JOIN exact ON exact.event_type = est.event_type
+ORDER BY est.event_type
+"""
+
+
+QUERIES["quantile_summary_merge"] = quantile_summary_merge
+ORACLE["quantile_summary_merge"] = _QSUMMARY_SQL

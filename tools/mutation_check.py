@@ -186,9 +186,32 @@ def _mut_pii_luhn():
     return lambda: setattr(pii, "luhn_valid", orig)
 
 
+def _mut_quantile_weights():
+    """Merge forgets the weights: every summary point merges with
+    weight 1 (the classic distributed-percentile bug — block strides
+    discarded, cumulative targets computed over point COUNTS). The
+    oracle's independent two-level implementation carries the real
+    weights, so upper quantiles shift and the hash breaks."""
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.operators import quantiles
+
+    orig = quantiles.block_summaries
+
+    def bad(df, key_cols, value_col, id_col, block_col, k):
+        return orig(df, key_cols, value_col, id_col, block_col, k).withColumn(
+            "__w", F.lit(1).cast("long")
+        )
+
+    quantiles.block_summaries = bad
+    return lambda: setattr(quantiles, "block_summaries", orig)
+
+
 MUTATIONS = [
     ("avro_decode_fold", "zigzag drops negative mapping", _mut_avro_zz),
     ("pii_redaction_stats", "Luhn gate disabled", _mut_pii_luhn),
+    ("quantile_summary_merge", "merge drops summary weights",
+     _mut_quantile_weights),
     ("avro_encode_roundtrip", "SR header id little-endian", _mut_sr_header),
     ("media_animation_metadata", "GIF u16 fields byte-swapped",
      _mut_gif_le16),
