@@ -117,3 +117,55 @@ def stride_quantiles(
         key_cols,
         quantiles,
     )
+
+
+def compact_summary(
+    summaries: DataFrame,
+    key_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Recompress a weighted summary to <= k+1 points per key — the
+    compaction step that turns the stride summary into a STREAMING
+    sketch (state stays O(k) as batches keep merging in, the KLL
+    compactor's job).
+
+    Deterministic in the summary MULTISET: equal values collapse
+    first (all mass at one value is interchangeable for quantiles,
+    and collapsing removes the only tie ambiguity), then points are
+    re-strided by cumulative weight — a point survives when its
+    weight interval (cw-w, cw] crosses a stride boundary j*s,
+    s = ceil(W/k), and the LAST point always survives (preserves the
+    max and the total mass W). A surviving point's new weight is the
+    gap to the previous survivor, so weights still sum to W exactly.
+
+    Each compaction adds at most s-1 rank error; sequential
+    per-batch compaction over T batches accumulates ~T*s, so a
+    streaming deployment sizes k to its tolerance/batch horizon
+    (the production pattern is per-shard build + ONE merge, where
+    the error stays a single stride per shard).
+    """
+    keys = list(key_cols)
+    g = summaries.groupBy(*keys, "__v").agg(F.sum("__w").alias("__w"))
+    wc = Window.partitionBy(*keys).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(*keys)
+    cum = g.select(*keys, "__v", "__w", F.sum("__w").over(wc).alias("__cw"))
+    # __tw, not __W: Spark resolves column names case-insensitively
+    # by default, so a column named __W would silently REPLACE __w
+    cum = cum.withColumn("__tw", F.max("__cw").over(wn)).withColumn(
+        "__s", F.expr(f"(__tw + {k} - 1) DIV {k}")
+    )
+    kept = cum.where(
+        (F.expr("__cw DIV __s") > F.expr("(__cw - __w) DIV __s"))
+        | (F.col("__cw") == F.col("__tw"))
+    )
+    wk = Window.partitionBy(*keys).orderBy("__v")
+    return kept.select(
+        *keys,
+        F.lit(0).alias("__blk"),
+        "__v",
+        (F.col("__cw") - F.coalesce(
+            F.lag("__cw").over(wk), F.lit(0)
+        )).alias("__w"),
+    )

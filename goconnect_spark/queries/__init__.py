@@ -77,6 +77,7 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 #   (after r14: nothing older than r11).
 _DRIVER_PRIORITY = (
     # --- tier 0: changed or NEW at HEAD in round 14 ---
+    "streaming_quantile_summary",
     "quantile_summary_merge",
     "pii_redaction_stats",
     "avro_encode_roundtrip",

@@ -928,3 +928,197 @@ ORDER BY est.event_type
 
 QUERIES["quantile_summary_merge"] = quantile_summary_merge
 ORACLE["quantile_summary_merge"] = _QSUMMARY_SQL
+
+
+# --------------------------------------------------------------------
+# STREAMING quantile-summary maintenance certificate (round 14): the
+# compaction path (operators/quantiles.compact_summary) that turns
+# the stride summary into an O(k)-state streaming sketch, driven
+# through 4 real micro-batches and replayed step-for-step by the
+# oracle. Batch composition is pinned by construction (batch b =
+# event_id % 4 = b, four single-file writes with strictly increasing
+# mtimes drained maxFilesPerTrigger=1) and ASSERTED at runtime
+# inside foreachBatch — a misordered drain raises instead of
+# producing a plausible wrong answer, because sequential compaction
+# is deliberately order-dependent (that is what makes hash-gating it
+# meaningful). DuckDB replays the exact recursion S_b =
+# compact(S_{b-1} ∪ build(B_b)) as chained CTEs — same collapse-by-
+# value, same ceil(W/k) stride survival rule, same last-point
+# preservation, same gap re-weighting — so any defect in the
+# compactor (a dropped point, a wrong survivor weight, a boundary
+# off-by-one) breaks the hash. Exact p50 over the whole table rides
+# along as the error witness. Scale: state is <= k+1 points per key
+# regardless of stream length — the percentile-monitoring state a
+# 100 TB stream can actually afford.
+# --------------------------------------------------------------------
+_QSTREAM_K = 32
+
+
+def streaming_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from goconnect_spark.operators.quantiles import (
+        block_summaries,
+        compact_summary,
+        merge_quantiles,
+    )
+    from goconnect_spark.streaming.run import scoped_shuffle_partitions
+
+    ev = load(spark, "events", sf_dir).select(
+        "event_id", "event_type", F.col("value").cast("double").alias("v")
+    )
+    work = tempfile.mkdtemp(prefix=f"qstream_{uuid.uuid4().hex[:8]}_")
+    state = {"pts": None, "next": 0}
+    try:
+        os.makedirs(f"{work}/in")
+        now = _time.time()
+        for b in range(4):
+            ev.where(F.col("event_id") % 4 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{work}/stage{b}")
+            part = glob.glob(f"{work}/stage{b}/part-*.parquet")[0]
+            dst = f"{work}/in/b{b}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (now + 10 * b, now + 10 * b))
+
+        def step(bdf: DataFrame, batch_id: int) -> None:
+            b = state["next"]
+            bad = bdf.where(F.col("event_id") % 4 != b).count()
+            if bad:
+                raise AssertionError(
+                    f"batch {batch_id} is not file {b}: {bad} foreign rows "
+                    "(drain order broke; the oracle replay would be invalid)"
+                )
+            pts = block_summaries(
+                bdf.withColumn("blk", F.col("event_id") % 8),
+                ["event_type"], "v", "event_id", "blk", _QSTREAM_K,
+            )
+            allpts = pts if state["pts"] is None else state["pts"].unionByName(pts)
+            state["pts"] = compact_summary(
+                allpts, ["event_type"], _QSTREAM_K
+            ).localCheckpoint()
+            state["next"] = b + 1
+
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/in")
+                .writeStream.foreachBatch(step)
+                .option("checkpointLocation", f"{work}/chk")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    est = merge_quantiles(
+        state["pts"], ["event_type"],
+        [("est_p50", 1, 2), ("est_p90", 9, 10), ("est_p99", 99, 100)],
+    )
+    clean = ev.where(F.col("v").isNotNull() & ~F.isnan("v"))
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    exact = (
+        clean.select(
+            "event_type", "v",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("cnt"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("rn") >= F.expr("(cnt + 1) DIV 2"), F.col("v"))
+            ).alias("exact_p50")
+        )
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+def _qstream_sql() -> str:
+    k = _QSTREAM_K
+    parts = [f"""
+clean AS (
+  SELECT event_type, event_id, value AS v,
+         event_id % 4 AS b, event_id % 8 AS blk
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+)"""]
+    prev = None
+    for b in range(4):
+        union = f"SELECT event_type, v, w FROM bld{b}" if prev is None else (
+            f"SELECT event_type, v, w FROM {prev} "
+            f"UNION ALL SELECT event_type, v, w FROM bld{b}"
+        )
+        parts.append(f"""
+bld{b}_r AS (
+  SELECT event_type, blk, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type, blk
+                            ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, blk) AS cnt
+  FROM clean WHERE b = {b}
+), bld{b} AS (
+  SELECT event_type, v,
+         LEAST((cnt + {k - 1}) // {k}, cnt - rn + 1) AS w
+  FROM bld{b}_r WHERE (rn - 1) % ((cnt + {k - 1}) // {k}) = 0
+), un{b} AS (
+  {union}
+), g{b} AS (
+  SELECT event_type, v, SUM(w) AS w FROM un{b} GROUP BY 1, 2
+), c{b} AS (
+  SELECT event_type, v, w,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY event_type) AS tw
+  FROM g{b}
+), k{b} AS (
+  SELECT event_type, v, cw FROM (
+    SELECT *, (tw + {k - 1}) // {k} AS s FROM c{b}
+  ) WHERE cw // s > (cw - w) // s OR cw = tw
+), s{b} AS (
+  SELECT event_type, v,
+         cw - COALESCE(LAG(cw) OVER (PARTITION BY event_type
+                                     ORDER BY v), 0) AS w
+  FROM k{b}
+)""")
+        prev = f"s{b}"
+    parts.append(f"""
+cum AS (
+  SELECT event_type, v,
+         SUM(w) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY event_type) AS n
+  FROM {prev}
+), est AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cw >= (n + 1) // 2 THEN v END) AS est_p50,
+         MIN(CASE WHEN cw >= (n * 9 + 9) // 10 THEN v END) AS est_p90,
+         MIN(CASE WHEN cw >= (n * 99 + 99) // 100 THEN v END) AS est_p99
+  FROM cum GROUP BY event_type
+), rk AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM clean
+), exact AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn >= (cnt + 1) // 2 THEN v END) AS exact_p50
+  FROM rk GROUP BY event_type
+)
+SELECT est.event_type, est.n, est.est_p50, est.est_p90, est.est_p99,
+       exact.exact_p50
+FROM est JOIN exact ON exact.event_type = est.event_type
+ORDER BY est.event_type""")
+    return "WITH " + ",".join(parts)
+
+
+QUERIES["streaming_quantile_summary"] = streaming_quantile_summary
+ORACLE["streaming_quantile_summary"] = _qstream_sql()

@@ -112,3 +112,64 @@ def test_summary_state_is_bounded(spark):
     # and the merge still answers from that bounded state
     out = merge_quantiles(s, ["key"], _QS).collect()[0]
     assert out.n == 10000
+
+
+def test_compact_preserves_mass_and_bounds(spark):
+    rng = random.Random(5)
+    pts = [("a", 0, rng.uniform(0, 1000), rng.randint(1, 5)) for _ in range(500)]
+    df = spark.createDataFrame(pts, "key string, __blk int, __v double, __w long")
+    from goconnect_spark.operators.quantiles import compact_summary
+
+    out = compact_summary(df, ["key"], 16).collect()
+    assert len(out) <= 17
+    assert sum(r["__w"] for r in out) == sum(p[3] for p in pts)
+    # max value survives (last-point rule)
+    assert max(r["__v"] for r in out) == max(p[2] for p in pts)
+    # every weight positive
+    assert all(r["__w"] >= 1 for r in out)
+
+
+def test_sequential_compaction_error_accumulates_bounded(spark):
+    import math
+
+    rng = random.Random(9)
+    values = [rng.uniform(-50, 50) for _ in range(4000)]
+    k = 64
+    from goconnect_spark.operators.quantiles import (
+        block_summaries,
+        compact_summary,
+        merge_quantiles,
+    )
+
+    state = None
+    T = 4
+    for b in range(T):
+        chunk = values[b::T]
+        rows = [("a", i, float(v)) for i, v in enumerate(chunk)]
+        df = _mk(spark, rows).withColumn("blk", F.col("id") % 8)
+        pts = block_summaries(df, ["key"], "v", "id", "blk", k)
+        allp = pts if state is None else state.unionByName(pts)
+        state = compact_summary(allp, ["key"], k).localCheckpoint()
+    out = merge_quantiles(state, ["key"], _QS).collect()[0]
+    n = len(values)
+    assert out.n == n
+    # each of T compactions adds <= one stride s ~ ceil(n/k); builds
+    # add <= one block stride each — generous envelope 2*T*ceil(n/k)
+    slack = 2 * T * math.ceil(n / k)
+    for name, num, den in _QS:
+        target = math.ceil(n * num / den)
+        r = _rank_of(values, getattr(out, name))
+        assert target - slack <= r <= target + slack, (
+            f"{name}: rank {r} vs {target} +- {slack}"
+        )
+
+
+def test_compact_collapses_equal_values_first(spark):
+    # 10 points of the same value with varying weights must become
+    # exactly ONE point carrying the summed weight
+    pts = [("a", b, 7.0, w) for b, w in enumerate([1, 2, 3, 4, 5, 1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(pts, "key string, __blk int, __v double, __w long")
+    from goconnect_spark.operators.quantiles import compact_summary
+
+    out = compact_summary(df, ["key"], 4).collect()
+    assert len(out) == 1 and out[0]["__v"] == 7.0 and out[0]["__w"] == 30

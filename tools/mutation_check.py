@@ -207,11 +207,50 @@ def _mut_quantile_weights():
     return lambda: setattr(quantiles, "block_summaries", orig)
 
 
+def _mut_compact_gaps():
+    """Compaction re-weights survivors by their own weight instead of
+    the gap to the previous survivor — mass between survivors is
+    silently dropped, total W shrinks, and the streaming recursion's
+    n and upper quantiles drift off the oracle's replay."""
+    import pyspark.sql.functions as F
+
+    from goconnect_spark.operators import quantiles
+
+    orig = quantiles.compact_summary
+
+    def bad(summaries, key_cols, k):
+        keys = list(key_cols)
+        g = summaries.groupBy(*keys, "__v").agg(F.sum("__w").alias("__w"))
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy(*keys).orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wn = Window.partitionBy(*keys)
+        cum = g.select(
+            *keys, "__v", "__w", F.sum("__w").over(wc).alias("__cw")
+        ).withColumn("__tw", F.max("__cw").over(wn)).withColumn(
+            "__s", F.expr(f"(__tw + {k} - 1) DIV {k}")
+        )
+        kept = cum.where(
+            (F.expr("__cw DIV __s") > F.expr("(__cw - __w) DIV __s"))
+            | (F.col("__cw") == F.col("__tw"))
+        )
+        return kept.select(
+            *keys, F.lit(0).alias("__blk"), "__v", F.col("__w")
+        )
+
+    quantiles.compact_summary = bad
+    return lambda: setattr(quantiles, "compact_summary", orig)
+
+
 MUTATIONS = [
     ("avro_decode_fold", "zigzag drops negative mapping", _mut_avro_zz),
     ("pii_redaction_stats", "Luhn gate disabled", _mut_pii_luhn),
     ("quantile_summary_merge", "merge drops summary weights",
      _mut_quantile_weights),
+    ("streaming_quantile_summary", "compaction forgets survivor gaps",
+     _mut_compact_gaps),
     ("avro_encode_roundtrip", "SR header id little-endian", _mut_sr_header),
     ("media_animation_metadata", "GIF u16 fields byte-swapped",
      _mut_gif_le16),
