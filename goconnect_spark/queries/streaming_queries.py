@@ -335,12 +335,24 @@ ORACLE = {
 def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
+    from goconnect_spark.queries.corpus import cached_table
     from goconnect_spark.queries.similarity import _kmeans_member, _norms_cached
     from goconnect_spark.sources.core import ParquetSource
     from goconnect_spark.streaming.run import run_bounded
 
-    emb = load(spark, "embeddings", sf_dir)
-    index = _kmeans_member(emb).join(_norms_cached(spark, sf_dir), "vec_id")
+    # the index side rides the eager session cache so the stream-static
+    # join is planned against its REAL bytes (r11 doctrine) and the
+    # per-batch static-side recompute disappears (measured 5.2s ->
+    # 4.6s at sf0.1; a hard broadcast hint reaches 3.9s but would be
+    # wrong at corpus scale, where the index must shuffle-join on the
+    # cell key — the cell-sharded serving topology — so the
+    # stats-driven choice is kept)
+    index = cached_table(
+        spark, sf_dir, "stream_ann_index",
+        lambda: _kmeans_member(load(spark, "embeddings", sf_dir)).join(
+            _norms_cached(spark, sf_dir), "vec_id"
+        ),
+    )
 
     src = ParquetSource(
         f"{sf_dir}/embeddings.parquet", seq_col="vec_id", streaming=True
