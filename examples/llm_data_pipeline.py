@@ -2,6 +2,9 @@
 families composed the way a real corpus build uses them.
 
     documents (raw corpus)
+      │ 0. PII scrub             (regex + Luhn detectors, redaction —
+      │                           BEFORE anything hashes or learns
+      │                           from the text)
       │ 1. exact dedup           (md5 keeper groups)
       │ 2. near-dup removal      (minhash-LSH pairs -> connected
       │                           components -> quality-aware keeper
@@ -13,6 +16,8 @@ families composed the way a real corpus build uses them.
       │                           sources; greedy md5-order take)
       │ 5. deterministic split   (md5-mod: 90% train / 10% val)
       │ 6. sequence packing      (512-token chunked packs)
+      │ 9. shape report          (per-source length percentiles via
+      │                           the mergeable quantile summary)
       ▼ packed training batches + a stats report
 
 Every stage is the same DataFrame operator exercised by the oracle
@@ -43,8 +48,33 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     spark = get_spark("llm-data-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
-    docs = load(spark, "documents", sf_dir)
-    n0 = docs.count()
+    raw = load(spark, "documents", sf_dir)
+    n0 = raw.count()
+
+    # 0. PII scrub FIRST — nothing downstream (dedup hashes, token
+    # stats, the trained tokenizer) may ever see unredacted text.
+    # Pure codegen column expressions (functions/pii.py): one map
+    # stage, no shuffle, no Python boundary.
+    from goconnect_spark.functions.pii import with_pii_scrub
+
+    scrubbed = with_pii_scrub(raw, "text", out_col="text_red")
+    pii_rates = (
+        scrubbed.groupBy("source")
+        .agg(
+            F.sum("n_emails").alias("emails"),
+            F.sum("n_phones").alias("phones"),
+            F.sum("n_ipv4").alias("ips"),
+            F.sum("n_cc_valid").alias("cards"),
+        )
+        .agg(
+            F.sum("emails").alias("emails"), F.sum("phones").alias("phones"),
+            F.sum("ips").alias("ips"), F.sum("cards").alias("cards"),
+        )
+        .collect()[0]
+    )
+    docs = scrubbed.drop("text").withColumnRenamed("text_red", "text").drop(
+        "n_emails", "n_phones", "n_ipv4", "n_cc_candidates", "n_cc_valid"
+    )
 
     # 1. exact dedup: keep each hash-group's keeper
     keepers = dedup_exact(spark, sf_dir).select(F.col("keeper_doc_id").alias("doc_id"))
@@ -170,8 +200,29 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         )
         shard_stats.append((epoch, per_shard.collect()))
 
+    # 9. corpus-shape report via the mergeable quantile summary
+    # (operators/quantiles.py) — the percentile-monitoring state a
+    # production intake keeps per source without ever sorting the
+    # corpus (exact per-group percentiles hit the single-buffer
+    # memory cliff; see SCALING.md r14)
+    from goconnect_spark.operators.quantiles import stride_quantiles
+
+    len_q = stride_quantiles(
+        docs5.select(
+            "doc_id", "source",
+            F.size(F.split("text", " ")).cast("double").alias("ntok"),
+        ).withColumn("blk", F.col("doc_id") % 8),
+        ["source"], "ntok", "doc_id", "blk", 32,
+        [("p50", 1, 2), ("p99", 99, 100)],
+    ).orderBy("source").collect()
+
     print(f"corpus funnel ({sf_dir}):")
     print(f"  raw documents      : {n0}")
+    print(
+        "  pii redacted       : "
+        f"{pii_rates.emails} emails, {pii_rates.phones} phones, "
+        f"{pii_rates.ips} ips, {pii_rates.cards} valid cards"
+    )
     print(f"  after exact dedup  : {n1}  (-{n0 - n1})")
     print(f"  after near-dedup   : {n2}  (-{n1 - n2})")
     print(f"  after quality      : {n3}  (-{n2 - n3})")
@@ -206,6 +257,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     for epoch, rows in shard_stats:
         layout = ", ".join(f"s{r.shard}:{r.packs}p/{r.tokens}t" for r in rows)
         print(f"  epoch {epoch} shards     : {layout}")
+    for r in len_q:
+        print(
+            f"  len summary {r.source:>6}: n={r.n} p50={r.p50:.0f} "
+            f"p99={r.p99:.0f} tokens"
+        )
     print(f"pipeline completed in {time.time() - t0:.2f} s")
     assert n0 >= n1 >= n2 >= n3 >= n4 >= n5, "funnel must be monotone"
     for _, rows in shard_stats:
