@@ -70,9 +70,9 @@ ALL_MODULES = (parity, tpch, relational, events_series, streaming_queries, graph
 #       RE2 + list-comprehension detector in DuckDB with an md5
 #       witness over the redacted text).
 #   Then the full 29-query r10 cohort (nothing older remains), then
-#   the r11 cohort alphabetically: slots 1-50 = 6 tier-0 + 29 r10 +
-#   the first 15 of r11 (..doc_chunking); the remaining
-#   35 r11 entries queue first for round 15, ahead of the r12/r13
+#   the r11 cohort alphabetically: slots 1-50 = 7 tier-0 + 29 r10 +
+#   the first 14 of r11 (..daily_new_users_cumulative); the remaining
+#   36 r11 entries queue first for round 15, ahead of the r12/r13
 #   cohorts that follow. Max certificate age stays <= 3 rounds
 #   (after r14: nothing older than r11).
 _DRIVER_PRIORITY = (

@@ -173,3 +173,23 @@ def test_compact_collapses_equal_values_first(spark):
 
     out = compact_summary(df, ["key"], 4).collect()
     assert len(out) == 1 and out[0]["__v"] == 7.0 and out[0]["__w"] == 30
+
+
+def test_compact_is_permutation_invariant(spark):
+    # the oracle replay depends on compaction being a pure function
+    # of the summary MULTISET — row arrival order must not matter
+    rng = random.Random(13)
+    pts = [("a", b % 6, round(rng.uniform(0, 100), 2), rng.randint(1, 4))
+           for b in range(300)]
+    from goconnect_spark.operators.quantiles import compact_summary
+
+    outs = []
+    for perm in range(3):
+        shuffled = list(pts)
+        random.Random(perm).shuffle(shuffled)
+        df = spark.createDataFrame(
+            shuffled, "key string, __blk int, __v double, __w long"
+        ).repartition(4 + perm)
+        out = compact_summary(df, ["key"], 12).collect()
+        outs.append(sorted((r["__v"], r["__w"]) for r in out))
+    assert outs[0] == outs[1] == outs[2]
