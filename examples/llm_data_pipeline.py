@@ -73,7 +73,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         .collect()[0]
     )
     docs = scrubbed.drop("text").withColumnRenamed("text_red", "text").drop(
-        "n_emails", "n_phones", "n_ipv4", "n_cc_candidates", "n_cc_valid"
+        "n_emails", "n_phones", "n_ipv4", "n_cc_candidates", "n_cc_valid",
+        "n_ibans", "n_iban_valid",
     )
 
     # 1. exact dedup: keep each hash-group's keeper

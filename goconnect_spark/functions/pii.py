@@ -42,6 +42,16 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 IPV4_RE = "\\b(?:[0-9]{1,3}[.]){3}[0-9]{1,3}\\b"
 CC_RE = "\\b[0-9]{16}\\b"
+# German-format IBAN (DE + 2 check digits + 18 BBAN digits): the
+# fixed-length country form keeps the MOD-97-10 rearrangement a
+# constant 24-digit layout, which is what lets both engines validate
+# with one precomputed power table instead of big-int arithmetic.
+IBAN_RE = "\\bDE[0-9]{20}\\b"
+
+# 10^p mod 97 for p = 0..23 — the ISO 7064 MOD-97-10 checksum of a
+# 24-digit number is sum(digit_i * POW97[len-i]) mod 97; the sum
+# tops out under 21k, so the whole validation is small-int math.
+POW97 = [pow(10, p, 97) for p in range(24)]
 
 # Redaction placeholders: no digits / '@' / '.', so one detector's
 # replacement can never create another detector's match.
@@ -49,6 +59,7 @@ PLACEHOLDERS = {
     EMAIL_RE: "[EMAIL]",
     PHONE_RE: "[PHONE]",
     IPV4_RE: "[IP]",
+    IBAN_RE: "[IBAN]",
     CC_RE: "[CC]",
 }
 
@@ -72,18 +83,47 @@ def luhn_valid(cc: Column) -> Column:
     return total % 10 == 0
 
 
+def mod97_24(digits24: Column) -> Column:
+    """ISO 7064 MOD-97-10 remainder of a 24-digit string column via
+    the precomputed power table — integer column arithmetic only, no
+    big-number type needed (the weighted digit sum stays < 21k)."""
+    pow_arr = F.array(*[F.lit(p) for p in POW97])
+
+    def term(acc, i):
+        d = F.substring(digits24, i, F.lit(1)).cast("int")
+        return acc + d * F.element_at(pow_arr, F.lit(25) - i)
+
+    total = F.aggregate(F.sequence(F.lit(1), F.lit(24)), F.lit(0), term)
+    return total % 97
+
+
+def iban_valid(iban: Column) -> Column:
+    """MOD-97-10 validity of a German-format IBAN (DE + 22): move the
+    first four chars to the end ('DE' maps to '1314'), remainder of
+    the resulting 24-digit number must be 1."""
+    rearranged = F.concat(
+        F.substring(iban, 5, F.lit(18)),
+        F.lit("1314"),
+        F.substring(iban, 3, F.lit(2)),
+    )
+    return mod97_24(rearranged) == 1
+
+
 def pii_counts(text: Column) -> dict[str, Column]:
     """Per-row detector counts: n_emails / n_phones / n_ipv4 /
     n_cc_candidates (16-digit runs) / n_cc_valid (Luhn-passing
     subset). All five are column expressions over ONE pass of each
     pattern."""
     ccs = F.regexp_extract_all(text, F.lit(CC_RE), F.lit(0))
+    ibans = F.regexp_extract_all(text, F.lit(IBAN_RE), F.lit(0))
     return {
         "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))),
         "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))),
         "n_ipv4": F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0))),
         "n_cc_candidates": F.size(ccs),
         "n_cc_valid": F.size(F.filter(ccs, luhn_valid)),
+        "n_ibans": F.size(ibans),
+        "n_iban_valid": F.size(F.filter(ibans, iban_valid)),
     }
 
 

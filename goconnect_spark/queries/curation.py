@@ -729,9 +729,11 @@ ORACLE["bm25_keyword_topk"] = _BM25_SQL
 # but a SECOND INDEPENDENT DETECTOR — both engines plant the same
 # deterministic PII (emails on doc_id%3=0, phones on %4=1, IPv4 on
 # %5=2, 16-digit cards on %6 in (0,3) whose Luhn check digit is
-# deliberately corrupted on odd doc_ids), then each runs its OWN
-# regex engine (Java regex vs RE2) and its own Luhn arithmetic
-# (codegen'd higher-order aggregate vs list comprehension), and the
+# deliberately corrupted on odd doc_ids, German IBANs on %7=5 whose
+# MOD-97-10 check pair is likewise corrupted on odd doc_ids), then
+# each runs its OWN regex engine (Java regex vs RE2) and its own
+# checksum arithmetic (Luhn + the ISO 7064 power-table remainder as
+# codegen'd higher-order aggregates vs list comprehensions), and the
 # md5 witness over the redacted text pins byte-identical output.
 # A wrong pattern, a broken Luhn, a placeholder collision, or a
 # redaction that eats a neighboring character all break the hash.
@@ -785,7 +787,25 @@ def _pii_plant(doc_id):
         (doc_id % 6 == 0) | (doc_id % 6 == 3),
         F.concat(F.lit(" card "), payload, check.cast("string")),
     ).otherwise(F.lit(""))
-    return F.concat(email, phone, ip, cc)
+
+    # German IBAN with a MOD-97-10 check pair computed by the plant
+    # itself (98 - mod97(bban || '1314' || '00')); odd doc_ids get
+    # check+1 (wrapping 98 -> 2), the one guaranteed-invalid neighbor
+    from goconnect_spark.functions.pii import mod97_24
+
+    bban = F.lpad(s(doc_id), 18, "0")
+    ib_check = F.lit(98) - mod97_24(F.concat(bban, F.lit("131400")))
+    ib_check = F.when(
+        doc_id % 2 == 1,
+        F.when(ib_check < 98, ib_check + 1).otherwise(F.lit(2)),
+    ).otherwise(ib_check)
+    iban = F.when(
+        doc_id % 7 == 5,
+        F.concat(
+            F.lit(" iban DE"), F.lpad(ib_check.cast("string"), 2, "0"), bban
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(email, phone, ip, cc, iban)
 
 
 def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -807,6 +827,8 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ipv4").cast("long").alias("n_ipv4"),
             F.sum("n_cc_candidates").cast("long").alias("n_cc_candidates"),
             F.sum("n_cc_valid").cast("long").alias("n_cc_valid"),
+            F.sum("n_ibans").cast("long").alias("n_ibans"),
+            F.sum("n_iban_valid").cast("long").alias("n_iban_valid"),
             F.sum(wit).cast("long").alias("redact_witness"),
         )
         .orderBy("source")
@@ -814,7 +836,14 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pii_sql() -> str:
-    from goconnect_spark.functions.pii import CC_RE, EMAIL_RE, IPV4_RE, PHONE_RE
+    from goconnect_spark.functions.pii import (
+        CC_RE,
+        EMAIL_RE,
+        IBAN_RE,
+        IPV4_RE,
+        PHONE_RE,
+        POW97,
+    )
 
     dig = "CAST(substr(payload, CAST(i AS INT), 1) AS INT)"
     luhn15 = f"""list_sum([CASE WHEN i % 2 = 1 THEN
@@ -824,13 +853,29 @@ def _pii_sql() -> str:
     luhn16 = f"""list_sum([CASE WHEN i % 2 = 1 THEN
             CASE WHEN 2*{digc} > 9 THEN 2*{digc} - 9 ELSE 2*{digc} END
           ELSE {digc} END for i in range(1, 17)])"""
+    pw = "[" + ", ".join(str(p) for p in POW97) + "]"
+    # MOD-97-10 over a 24-digit expression `{r}` via the same
+    # precomputed power table the Spark side embeds
+    mod97 = (
+        "list_sum([CAST(substr({r}, CAST(i AS INT), 1) AS INT)"
+        f" * ({pw})[CAST(25 - i AS INT)] for i in range(1, 25)]) % 97"
+    )
+    iban_rearr = "substr(c, 5, 18) || '1314' || substr(c, 3, 2)"
     return f"""
 WITH base AS (
   SELECT doc_id, source, text,
-         '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS payload
+         '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS payload,
+         lpad(CAST(doc_id AS VARCHAR), 18, '0') AS bban
   FROM documents
 ), luhn AS (
-  SELECT *, {luhn15} AS lsum FROM base
+  SELECT *, {luhn15} AS lsum,
+         98 - ({mod97.format(r="bban || '131400'")}) AS ibc0
+  FROM base
+), ibch AS (
+  SELECT *, CASE WHEN doc_id % 2 = 1
+                 THEN CASE WHEN ibc0 < 98 THEN ibc0 + 1 ELSE 2 END
+                 ELSE ibc0 END AS ibc
+  FROM luhn
 ), planted AS (
   SELECT doc_id, source,
     text
@@ -845,8 +890,10 @@ WITH base AS (
     || CASE WHEN doc_id % 6 IN (0, 3) THEN ' card ' || payload ||
          CAST(CASE WHEN doc_id % 2 = 1 THEN ((10 - lsum % 10) % 10 + 5) % 10
               ELSE (10 - lsum % 10) % 10 END AS VARCHAR)
-       ELSE '' END AS pt
-  FROM luhn
+       ELSE '' END
+    || CASE WHEN doc_id % 7 = 5 THEN ' iban DE'
+         || lpad(CAST(ibc AS VARCHAR), 2, '0') || bban ELSE '' END AS pt
+  FROM ibch
 ), det AS (
   SELECT doc_id, source,
     len(regexp_extract_all(pt, '{EMAIL_RE}')) AS n_emails,
@@ -855,10 +902,15 @@ WITH base AS (
     len(regexp_extract_all(pt, '{CC_RE}')) AS n_cc_candidates,
     len(list_filter(regexp_extract_all(pt, '{CC_RE}'),
         c -> {luhn16} % 10 = 0)) AS n_cc_valid,
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(pt,
+    len(regexp_extract_all(pt, '{IBAN_RE}')) AS n_ibans,
+    len(list_filter(regexp_extract_all(pt, '{IBAN_RE}'),
+        c -> ({mod97.format(r=iban_rearr)}) = 1)) AS n_iban_valid,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(pt,
       '{EMAIL_RE}', '[EMAIL]', 'g'),
       '{PHONE_RE}', '[PHONE]', 'g'),
       '{IPV4_RE}', '[IP]', 'g'),
+      '{IBAN_RE}', '[IBAN]', 'g'),
       '{CC_RE}', '[CC]', 'g') AS red
   FROM planted
 )
@@ -869,6 +921,8 @@ SELECT source,
   CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
   CAST(SUM(n_cc_candidates) AS BIGINT) AS n_cc_candidates,
   CAST(SUM(n_cc_valid) AS BIGINT) AS n_cc_valid,
+  CAST(SUM(n_ibans) AS BIGINT) AS n_ibans,
+  CAST(SUM(n_iban_valid) AS BIGINT) AS n_iban_valid,
   CAST(SUM(('0x' || substr(md5(red), 1, 10))::BIGINT) AS BIGINT) AS redact_witness
 FROM det GROUP BY source ORDER BY source
 """

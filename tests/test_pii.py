@@ -90,3 +90,37 @@ def test_placeholders_do_not_cascade(spark):
     again = spark.createDataFrame([(red,)], "t string")
     c = again.select(*[v.alias(k) for k, v in pii_counts(F.col("t")).items()]).collect()[0]
     assert (c.n_emails, c.n_cc_candidates) == (0, 0)
+
+
+def test_iban_known_valid_and_invalid(spark):
+    from goconnect_spark.functions.pii import iban_valid
+
+    rows = [
+        ("DE44500105175407324931", True),   # ECB's canonical example
+        ("DE45500105175407324931", False),  # check digits off by one
+        ("DE00000000000000000000", False),
+    ]
+    for iban, ok in rows:
+        got = spark.range(1).select(
+            iban_valid(F.lit(iban)).alias("v")
+        ).collect()[0].v
+        assert got is ok, iban
+
+
+def test_iban_detection_boundaries(spark):
+    r = _scrub_one(
+        spark,
+        "pay to DE44500105175407324931 not DE445001051754073249311 "
+        "nor XDE44500105175407324931",
+    )
+    # 21-digit run fails the fixed length; letter-glued prefix breaks \b
+    assert r.n_ibans == 1 and r.n_iban_valid == 1
+    assert "[IBAN]" in r.red and "DE445001051754073249311" in r.red
+
+
+def test_iban_redaction_order_safe(spark):
+    # the 20-digit run inside an IBAN must never partial-match the
+    # 16-digit card pattern (no word boundary inside the run)
+    r = _scrub_one(spark, "DE44500105175407324931 and 4111111111111111")
+    assert r.n_cc_candidates == 1 and r.n_ibans == 1
+    assert r.red == "[IBAN] and [CC]"
