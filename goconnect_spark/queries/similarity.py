@@ -70,6 +70,11 @@ def _quant_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus.cached_table). 64 rows/vector: small next to the corpus."""
     from goconnect_spark.queries.corpus import cached_table
 
+    # r14 note: spreading this cache to session width was measured and
+    # REJECTED — its consumers are cheap integer aggregations, and 32
+    # small tasks per stage cost more than the single-partition scan
+    # (label_centroid_shift 0.38 -> 1.15 s). Width is added only where
+    # per-row compute is dense (see streaming_ann_lookup).
     return cached_table(
         spark, sf_dir, "emb_quant",
         lambda: _quantized(load(spark, "embeddings", sf_dir)),

@@ -977,11 +977,22 @@ def streaming_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         os.makedirs(f"{work}/in")
         now = _time.time()
+        # ONE staging job instead of four (r14, guide §1.2 "don't
+        # compute things you throw away"): the old loop ran four
+        # full scan+filter+write jobs over events; a single
+        # partitionBy("__b") write from one task produces the same
+        # four single-file batch inputs (rows per file identical —
+        # the certificate pins composition by event_id % 4, not row
+        # order). Drain order is still forced by the utime ladder.
+        (
+            ev.withColumn("__b", F.col("event_id") % 4)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("__b")
+            .parquet(f"{work}/stage")
+        )
         for b in range(4):
-            ev.where(F.col("event_id") % 4 == b).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{work}/stage{b}")
-            part = glob.glob(f"{work}/stage{b}/part-*.parquet")[0]
+            part = glob.glob(f"{work}/stage/__b={b}/part-*.parquet")[0]
             dst = f"{work}/in/b{b}.parquet"
             shutil.copyfile(part, dst)
             os.utime(dst, (now + 10 * b, now + 10 * b))

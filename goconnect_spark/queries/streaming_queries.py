@@ -357,7 +357,20 @@ def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = ParquetSource(
         f"{sf_dir}/embeddings.parquet", seq_col="vec_id", streaming=True
     )
-    probe_raw = src.read(spark).select("value.*")
+    # repartition (r14): a micro-batch of the single-file probe stream
+    # is ONE partition, so the per-pair cosine projection after the
+    # cell join ran on one core (measured 5.1 s -> 1.1 s for the
+    # identical batch shape at sf0.1/local[32] when spread to session
+    # width). Deterministic key (vec_id), width from the cluster's
+    # defaultParallelism — the same knob a production deployment sizes
+    # by executor count, not a local constant. The shuffled bytes are
+    # probe-batch-sized (keys + quantized arrays), negligible next to
+    # the single-core wall it removes.
+    probe_raw = (
+        src.read(spark)
+        .select("value.*")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
     probes = (
         _kmeans_member(probe_raw)
         .select(F.col("vec_id").alias("probe_id"), F.col("qs").alias("pqs"), "cell")
@@ -445,6 +458,43 @@ ORACLE["streaming_ann_lookup"] = _stream_ann_sql()
 # 4-batch incrementally-merged view must hash-match DuckDB
 # aggregating the whole table from scratch.
 # --------------------------------------------------------------------
+def _stage_batch_files(df: DataFrame, id_col: str, work: str, n: int) -> str:
+    """Write `df` as `n` single-file micro-batch inputs with ONE Spark
+    job (r14, guide §1.2): batch b holds rows with pmod(id, n) = b.
+
+    Replaces the old per-certificate `repartitionByRange(n, id).write`
+    staging, which cost a sampling pass + a shuffle + a write; the
+    single-task partitionBy write produces the same "n real
+    micro-batches" drain (maxFilesPerTrigger=1) for certificates whose
+    result is batch-split-invariant by construction (commutative-monoid
+    merges, closed-form admission counts, exact-regime sketches — each
+    caller's docstring states the invariance). Files get a strictly
+    increasing mtime ladder so drain order is deterministic."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    (
+        df.withColumn("__b", F.pmod(F.coalesce(F.col(id_col), F.lit(0)), F.lit(n)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("__b")
+        .parquet(f"{work}/stage")
+    )
+    in_dir = f"{work}/in"
+    _os.makedirs(in_dir, exist_ok=True)
+    now = _time.time()
+    for b in range(n):
+        parts = _glob.glob(f"{work}/stage/__b={b}/part-*.parquet")
+        if not parts:  # empty residue class at tiny SFs: no file, no batch
+            continue
+        dst = f"{in_dir}/b{b}.parquet"
+        _shutil.copyfile(parts[0], dst)
+        _os.utime(dst, (now + 10 * b, now + 10 * b))
+    return in_dir
+
+
 def streaming_ivm_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
@@ -457,9 +507,11 @@ def streaming_ivm_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix=f"ivm_stream_{uuid.uuid4().hex[:8]}_")
     try:
-        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(
-            f"{work}/events"
-        )
+        # one-job staging (r14): merge order/composition cannot matter
+        # (commutative monoids — docstring above), so the 4-file split
+        # by pmod(event_id, 4) replaces the range-split's extra
+        # sampling pass and shuffle at identical final state.
+        in_dir = _stage_batch_files(ev, "event_id", work, 4)
         state = {"view": None}
 
         def merge_batch(bdf: DataFrame, batch_id: int) -> None:
@@ -486,7 +538,7 @@ def streaming_ivm_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = (
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1)
-                .parquet(f"{work}/events")
+                .parquet(in_dir)
                 .writeStream.foreachBatch(merge_batch)
                 .option(
                     "checkpointLocation", f"{work}/chk"
@@ -563,9 +615,13 @@ def streaming_handoff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix=f"handoff_{uuid.uuid4().hex[:8]}_")
     try:
-        ev.where(F.col("event_id") >= cut).repartitionByRange(
-            3, "event_id"
-        ).write.mode("overwrite").parquet(f"{work}/tail")
+        # one-job staging (r14): the per-batch deltas merge through the
+        # same commutative-monoid merge_aggregate as the IVM query, so
+        # the tail's batch split is result-invariant; pmod split
+        # replaces the range-split sampling pass + shuffle.
+        in_dir = _stage_batch_files(
+            ev.where(F.col("event_id") >= cut), "event_id", work, 3
+        )
         state = {"view": snapshot}
 
         def merge_batch(bdf: DataFrame, batch_id: int) -> None:
@@ -580,7 +636,7 @@ def streaming_handoff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = (
                 spark.readStream.schema(ev.schema)
                 .option("maxFilesPerTrigger", 1)
-                .parquet(f"{work}/tail")
+                .parquet(in_dir)
                 .writeStream.foreachBatch(merge_batch)
                 .option("checkpointLocation", f"{work}/chk")
                 .trigger(availableNow=True)
@@ -649,13 +705,15 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix=f"hh_stream_{uuid.uuid4().hex[:8]}_")
     name = f"stream_hh_{uuid.uuid4().hex[:8]}"
     try:
-        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(
-            f"{work}/in"
-        )
+        # one-job staging (r14): the sketch is in its EXACT regime by
+        # construction (docstring above), so est/err are independent of
+        # how rows split across the 4 batches; the pmod split keeps the
+        # 4-trigger state-carry coverage at one job instead of three.
+        in_dir = _stage_batch_files(ev, "event_id", work, 4)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/in")
+            .parquet(in_dir)
         )
         from goconnect_spark.streaming.run import scoped_shuffle_partitions
 
@@ -732,13 +790,14 @@ def streaming_budget_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix=f"budget_stream_{uuid.uuid4().hex[:8]}_")
     name = f"stream_budget_{uuid.uuid4().hex[:8]}"
     try:
-        ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(
-            f"{work}/in"
-        )
+        # one-job staging (r14): n_admitted/weight_used are closed
+        # forms regardless of order or batch split (docstring above),
+        # so the pmod split preserves the certificate at one job.
+        in_dir = _stage_batch_files(ev, "event_id", work, 4)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{work}/in")
+            .parquet(in_dir)
         )
         from goconnect_spark.streaming.run import scoped_shuffle_partitions
 

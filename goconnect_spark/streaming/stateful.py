@@ -252,8 +252,14 @@ def heavy_hitters(
 
     import pyspark.sql.functions as F
 
-    sharded = stream.withColumn(
-        "shard", (F.abs(F.xxhash64(F.col(value_col))) % shards).cast("int")
+    # project to (shard, value) BEFORE the stateful exchange (r14,
+    # guide §4.1): applyInPandasWithState ships every column of the
+    # grouped frame across the Arrow boundary, and the sketch reads
+    # only value_col — caller payload columns (ids, timestamps) would
+    # otherwise be shuffled AND serialized to Python per batch.
+    sharded = stream.select(
+        (F.abs(F.xxhash64(F.col(value_col))) % shards).cast("int").alias("shard"),
+        value_col,
     )
     return sharded.groupBy("shard").applyInPandasWithState(
         fn,

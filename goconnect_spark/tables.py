@@ -57,6 +57,34 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, key: str | None = None, factor: int = 1) -> DataFrame:
+    """Raise map-side parallelism of an under-split input (r14
+    optimization, guide §2.5 "input skew ... otherwise repartition
+    immediately after the read").
+
+    A small single-file scan (the 2000-row embeddings table is one
+    parquet split) runs every downstream narrow stage — broadcast
+    joins included — on ONE task, so a CPU-heavy projection (the ANN
+    dot products) is wall-clocked by a single core regardless of
+    cluster size: measured 5.1 s -> 1.1 s on the streaming-ANN join
+    shape at sf0.1/local[32]. When the plan's current partitioning is
+    below the session's default parallelism, hash-repartition on
+    `key` (a deterministic column, never rand() — retried map tasks
+    must reproduce the same row placement, SPARK-38388) to
+    defaultParallelism * factor.
+
+    Scale-adaptive by construction: at 100 TB a scan already carries
+    far more splits than defaultParallelism, so the condition is
+    false and this is a no-op — no shuffle is added on the path where
+    shuffles are expensive. The shuffle it does add locally moves the
+    tiny under-split table once (~MBs) to buy full-width map
+    parallelism for everything downstream."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view so ``spark.sql`` works on them."""
     for name in TABLE_NAMES:
