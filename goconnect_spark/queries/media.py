@@ -45,7 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from goconnect_spark.operators.multimodal import parse_media_headers
-from goconnect_spark.tables import load
+from goconnect_spark.tables import load, spread
 
 
 def _hx2(col):
@@ -127,8 +127,14 @@ def _media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 8, mp4)
         .otherwise(junk)
     )
+    # spread BEFORE the container construction (r14, guide §2.5): the
+    # documents table is one parquet split at bench scale, so the
+    # heavy per-row hex-assembly + every downstream header parse (incl.
+    # the Arrow-UDF consumers' single Python worker) ran on ONE core.
+    # Only doc_id crosses the tiny shuffle (§2.3 project-before-
+    # exchange); no-op once the scan itself is parallel.
     return (
-        load(spark, "documents", sf_dir)
+        spread(load(spark, "documents", sf_dir).select("doc_id"), key="doc_id", factor=0.25)
         .select("doc_id", F.unhex(F.rpad(hexstr, 128, "0")).alias("media"))
     )
 
@@ -236,8 +242,10 @@ def _jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SOS with no preceding SOF: dims/profile must be NULL
         .otherwise(F.concat(soi, app0, tail))
     )
+    # spread before construction — same single-split rationale as
+    # _media_corpus (the Arrow marker-walk downstream is CPU-dense).
     return (
-        load(spark, "documents", sf_dir)
+        spread(load(spark, "documents", sf_dir).select("doc_id"), key="doc_id", factor=0.25)
         .select("doc_id", F.unhex(hexstr).alias("media"))
     )
 
@@ -423,8 +431,10 @@ def _animation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 4, gif_trunc)
         .otherwise(mp4_zero_ts)
     )
+    # spread before construction — same single-split rationale as
+    # _media_corpus (the GIF/MP4 box walk downstream is CPU-dense).
     return (
-        load(spark, "documents", sf_dir)
+        spread(load(spark, "documents", sf_dir).select("doc_id"), key="doc_id", factor=0.25)
         .select("doc_id", F.unhex(hexstr).alias("media"))
     )
 
@@ -626,8 +636,11 @@ def _samples_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 2, mp4_v2)
         .otherwise(mp4_v3)
     )
+    # spread before construction — same single-split rationale as
+    # _media_corpus (the demuxer mapInPandas fan-out downstream ran in
+    # a single Python worker on the unspread scan).
     return (
-        load(spark, "documents", sf_dir)
+        spread(load(spark, "documents", sf_dir).select("doc_id"), key="doc_id", factor=0.25)
         .select("doc_id", F.unhex(hexstr).alias("media"))
     )
 

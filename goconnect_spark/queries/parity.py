@@ -208,15 +208,23 @@ def gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     gz, gunz = _gzip_compress_udf(), _gzip_decompress_udf()
     raw = F.encode(F.col("props"), "UTF-8")
     rt = gunz(gz(raw))
+    # take the 200 witnessed rows BEFORE the codec round trip (r14,
+    # guide §1.2/§4): event_id is unique, so TakeOrdered picks the
+    # identical 200 rows either way — but the old plan shipped the
+    # whole table through the compress+decompress Arrow UDFs and then
+    # discarded 99.8% of the results. The certificate only ever
+    # verified the 200 emitted rows; now only those cross to Python.
     return (
-        ev.select(
+        ev.select("event_id", "props")
+        .orderBy("event_id")
+        .limit(200)
+        .select(
             "event_id",
             F.octet_length("props").cast("long").alias("len_raw"),
             F.md5(raw).alias("md5_orig"),
             F.md5(rt).alias("md5_rt"),
         )
         .orderBy("event_id")
-        .limit(200)
     )
 
 
@@ -313,6 +321,9 @@ def avro_decode_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         _avro_varint_hex(g1 * 2),
         F.lit("00"),                            # array terminator
     )
+    # r14 note: spreading this corpus to quarter-width was measured
+    # and REJECTED (1.07 -> 1.21 s): the single Arrow decode worker
+    # amortizes better than 8 short-lived ones at this row count.
     corpus = load(spark, "documents", sf_dir).select(
         "doc_id", F.unhex(body_hex).alias("body"))
     dec = avro_decode_udf(
@@ -422,8 +433,17 @@ def avro_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a2 int, b double, c string, d int, e string, g array<int>, f int",
         _AVRO_READER,
     )
-    corpus = load(spark, "documents", sf_dir).select(
-        "doc_id", payload.alias("payload"))
+    # take the 200 witnessed rows BEFORE encode/decode (r14, guide
+    # §1.2/§4): doc_id is unique, so the TakeOrdered prefix is the
+    # identical row set — the old plan encoded AND decoded the whole
+    # corpus through two Arrow UDFs, then kept 200 rows.
+    corpus = (
+        load(spark, "documents", sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", payload.alias("payload"))
+    )
     out = corpus.select(
         "doc_id",
         F.octet_length("payload").cast("long").alias("payload_len"),
@@ -446,7 +466,6 @@ def avro_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.f").cast("long").alias("rt_f"),
         )
         .orderBy("doc_id")
-        .limit(200)
     )
 
 

@@ -514,7 +514,20 @@ def ann_index_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides are post-aggregate / derived from session-cached tables
     # whose sizes the static optimizer cannot estimate (AQE would fix
     # them at runtime, but the declared plan should already be right)
-    truth = cosine_topk(spark, sf_dir).select("probe_id", "vec_id")
+    # materialize the probe-sized truth set ONCE (r14, guide §3.3
+    # "materialising an intermediate truncates the plan"): `truth`
+    # appears in all five recall joins plus nt, and without the
+    # checkpoint the assembled plan re-executed the whole brute-force
+    # cosine_topk pipeline at every appearance (6x) — measured 4.9 ->
+    # 4.2 s same-session. 50 rows (|probes| x k), so the
+    # materialization itself is free at any corpus scale. Per-side
+    # materialization + a §2.6 thread pool was ALSO measured (3.5 ->
+    # 5.9 s, rejected): splitting the plan breaks the ReusedExchange
+    # sharing between the five candidate pipelines, which outweighs
+    # the overlap.
+    truth = (
+        cosine_topk(spark, sf_dir).select("probe_id", "vec_id").localCheckpoint()
+    )
     nt = truth.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_truth"))
 
     def recall_of(df: DataFrame, name: str) -> DataFrame:

@@ -409,7 +409,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(conv(substr(md5(bigram), 1, 15), 16, 10) as bigint) % {B}"
         ).alias("b"),
     )
-    docb = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    # materialize ONCE (r14, guide §3.3): docb feeds three consumers
+    # (rawb, tgtb, the doc scorer) and each appearance otherwise
+    # re-ran the md5-bigram explode — the query's dominant cost
+    # (measured 0.68 s per evaluation x3 at sf0.1). (doc, bucket)
+    # grain: |docs| x <=B rows, far smaller than the bigram stream.
+    docb = (
+        feats.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     src = load(spark, "documents", sf_dir).select("doc_id", "source")
     rawb = docb.groupBy("b").agg(F.sum("c").alias("r"))
     tgtb = (

@@ -169,7 +169,13 @@ FROM per_doc ORDER BY doc_id
 # shuffles once on the trigram key.
 # --------------------------------------------------------------------
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
+    from goconnect_spark.tables import spread
+
+    # spread (r14, guide §2.5): the single-split documents scan ran
+    # the per-char trigram HOF explode (~|text| interpreted substr
+    # lambdas per doc, both branches) on one core. Full session width
+    # — pure-JVM compute-dense projection. No-op at scale.
+    docs = spread(load(spark, "documents", sf_dir), key="doc_id")
     # two cheap map-side explodes beat one (doc, tri) pre-aggregation
     # here: trigram occurrences are mostly unique per doc, so the
     # pre-agg shuffles ~the full explode anyway (measured slower)
