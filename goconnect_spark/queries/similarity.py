@@ -777,8 +777,15 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force candidate stage for the IVF cell-partitioned search
     (ann_ivf_topk) and keeps this evaluation layer unchanged.
     """
+    from goconnect_spark.tables import spread
+
     emb = load(spark, "embeddings", sf_dir)
-    quant = _quant_cached(spark, sf_dir)
+    # spread (r14, guide §2.5): the 70-probe broadcast join fans the
+    # single-partition quant cache out to ~9M rows before the partial
+    # aggregate; quarter-width repartition of the corpus side measured
+    # 1.84 -> 1.38 s same-session (full width 1.70 — the agg's
+    # per-task overhead wins at 8). No-op once the input is parallel.
+    quant = spread(_quant_cached(spark, sf_dir), key="vec_id", factor=0.25)
     norms = _norms_cached(spark, sf_dir)
     probe_labels = emb.where(F.col("vec_id") < _KNN_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
