@@ -216,7 +216,7 @@ def fuzzy_self_join_lev1(
     to watch at 100 TB — cap or salt the variant key if a corpus has
     pathological near-identical mass.
 
-    Shuffle-payload design: the variant join and the candidate
+    Shuffle-payload design: the variant stage and the candidate
     dedup carry ONLY (id, key) — the text columns are re-attached
     by an id equi-join against the |input|-sized name table after
     the pair set is deduped to two ints per row (a ~2x wall win at
@@ -225,6 +225,20 @@ def fuzzy_self_join_lev1(
     broadcast for the re-attach when the input's stats allow;
     no hint, so huge inputs degrade to a shuffle join instead of
     OOMing the driver.
+
+    Candidate generation is ONE aggregation, not a self-join (r14,
+    guide §2.1/§3.5): collect_set per variant key shuffles the
+    (id, key) stream once and drops the singleton keys — the vast
+    majority — BEFORE any pair exists; the id-pair expansion is an
+    in-row slice over the sorted id set (id_a < id_b by
+    construction). The old variant-key equi-join shuffled the same
+    stream twice and emitted every cross-pair through the join
+    before filtering; output is identical because collect_set also
+    dedups the (id, key) duplicates that same-variant deletions
+    produce (e.g. "aab" -> "ab" twice), which .distinct() used to
+    absorb. Hot variant keys stay the skew to watch — the in-row
+    expansion bounds them to one |ids| array per key instead of
+    |ids|^2 join rows.
     """
     var = F.explode(
         F.expr(
@@ -233,12 +247,15 @@ def fuzzy_self_join_lev1(
         )
     )
     keyed = df.select(F.col(id_col).alias("__id"), var.alias("__k"))
-    left = keyed.select(F.col("__id").alias("id_a"), "__k")
-    right = keyed.select(F.col("__id").alias("id_b"), "__k")
     cand = (
-        left.join(right, "__k")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        keyed.groupBy("__k")
+        .agg(F.sort_array(F.collect_set("__id")).alias("__ids"))
+        .where(F.size("__ids") > 1)
+        .select(F.posexplode("__ids").alias("__i", "id_a"), "__ids")
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(__ids, __i + 2, size(__ids))")).alias("id_b"),
+        )
         .distinct()
     )
     names_a = df.select(

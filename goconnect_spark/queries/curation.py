@@ -314,6 +314,13 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goconnect_spark.queries.corpus import doc_shingle_arrays
 
     docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    # ONE aggregation replaces distinct + self-join (r14, guide §2.1 /
+    # §3.5): collect_set dedups (source, shingle) in the partial
+    # aggregate and yields the per-shingle source set in the same
+    # shuffle; the pair enumeration the docstring promises ("bounded
+    # by |sources| per shingle, never doc x doc") is then an in-row
+    # slice expansion instead of an inverted-index self-join whose
+    # output is quadratic in per-shingle source frequency.
     sh = (
         doc_shingle_arrays(spark, sf_dir)
         .select("doc_id", F.explode("shset").alias("shingle"))
@@ -322,21 +329,23 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle at scale (an explicit F.broadcast here was the r11
         # audit's one hard-coded corpus-scale broadcast)
         .join(docs, "doc_id")
-        .select("source", "shingle")
-        .distinct()
-        # feeds both pair sides and the size dim — materialize the
-        # source-incidence reduction once, not 3x
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        # feeds both the pair expansion and the size dim — materialize
+        # the source-incidence reduction once, not 2x
         .localCheckpoint()
     )
-    a = sh.select("shingle", F.col("source").alias("s1"))
-    b = sh.select("shingle", F.col("source").alias("s2"))
     common = (
-        a.join(b, "shingle")
-        .where(F.col("s1") < F.col("s2"))
+        sh.select(F.posexplode("ss").alias("i", "s1"), "ss")
+        .select("s1", F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("s2"))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sizes = (
+        sh.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     v1 = sizes.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
     v2 = sizes.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
     return (

@@ -66,21 +66,33 @@ def source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goconnect_spark.queries.dedup import _shingles
 
     docs = load(spark, "documents", sf_dir)
-    src_sh = (
+    # ONE aggregation replaces distinct + self-join (r14, guide §2.1
+    # "shuffle once, not twice" / §3.5 exploding joins): collect_set
+    # dedups (source, shingle) in the partial aggregate AND yields the
+    # per-shingle source set in the same shuffle, so the inverted-
+    # index self-join on the shingle key — whose output is quadratic
+    # in per-shingle source frequency — becomes a bounded in-row pair
+    # expansion (|sources| is the small dimension; a hot shingle
+    # contributes one |S| array, not |S|^2 join rows).
+    per_sh = (
         _shingles(docs)
         .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle")
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .localCheckpoint()
     )
-    sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = (
+        per_sh.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     # unordered shared-shingle counts once; emit both directions after
     pairs = (
-        src_sh.alias("a")
-        .join(src_sh.alias("b"), "shingle")
-        .where(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        per_sh.select(F.posexplode("ss").alias("i", "src_a"), "ss")
+        .select(
+            "src_a", F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("src_b")
         )
+        .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     both = pairs.unionByName(

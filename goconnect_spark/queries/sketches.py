@@ -999,14 +999,29 @@ def streaming_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def step(bdf: DataFrame, batch_id: int) -> None:
             b = state["next"]
-            bad = bdf.where(F.col("event_id") % 4 != b).count()
-            if bad:
-                raise AssertionError(
-                    f"batch {batch_id} is not file {b}: {bad} foreign rows "
-                    "(drain order broke; the oracle replay would be invalid)"
-                )
+            # composition assert FUSED into the summaries job (r14,
+            # guide §1.2): the old standalone where().count() cost one
+            # full batch-scan job per trigger; the guard column raises
+            # from inside the same job that builds the block summaries
+            # (CASE branches evaluate lazily, so conforming rows never
+            # touch raise_error). Same raise-on-violation semantics: a
+            # misordered drain kills the query before the state merge
+            # lands, and the oracle replay stays invalid-proof.
+            guarded = bdf.withColumn(
+                "v",
+                F.when(
+                    F.col("event_id") % 4 != b,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(f"batch {batch_id} is not file {b}: foreign event_id "),
+                            F.col("event_id").cast("string"),
+                            F.lit(" (drain order broke; the oracle replay would be invalid)"),
+                        )
+                    ).cast("double"),
+                ).otherwise(F.col("v")),
+            )
             pts = block_summaries(
-                bdf.withColumn("blk", F.col("event_id") % 8),
+                guarded.withColumn("blk", F.col("event_id") % 8),
                 ["event_type"], "v", "event_id", "blk", _QSTREAM_K,
             )
             allpts = pts if state["pts"] is None else state["pts"].unionByName(pts)
