@@ -140,8 +140,21 @@ def _cb_rows():
     ]
 
 
+_CB_DF: dict[int, DataFrame] = {}
+
+
 def _cb(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_cb_rows(), "m int, k int, d int, cq long")
+    # constant-literal codebook table, memoized per session (r14,
+    # guide §1.2): createDataFrame ships the 1024 rows through py4j on
+    # every call (~45 ms warm), and _pq_lut rebuilds it once per ANN
+    # query — the comparison dashboard paid it five times per bench
+    # pass. The DataFrame (an unexecuted local relation of module
+    # constants) is reusable verbatim within a session.
+    df = _CB_DF.get(id(spark))
+    if df is None:
+        df = spark.createDataFrame(_cb_rows(), "m int, k int, d int, cq long")
+        _CB_DF[id(spark)] = df
+    return df
 
 
 def _pq_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
