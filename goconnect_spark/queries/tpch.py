@@ -973,9 +973,15 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     complaints = load(spark, "supplier", sf_dir).where(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    # no (partkey, suppkey) pre-distinct (r14): countDistinct already
+    # collapses duplicate suppliers per (brand, type, size) group, so
+    # the full-fact distinct exchange bought nothing — and it ran
+    # BEFORE the selective part filter. Joining the broadcast filtered
+    # part dim first means only matching rows reach the (group,
+    # suppkey) partial distinct; 2 exchanges -> 1.
+    pairs = li.select("l_partkey", "l_suppkey")
     return (
-        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
         .join(
             F.broadcast(complaints),
             pairs.l_suppkey == F.col("s_suppkey"),
@@ -1105,12 +1111,21 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pair = fact.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("supp_late")
     )
-    per_order = per_pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late_supp"),
-    ).withColumnRenamed("l_orderkey", "ok")
+    # per-order stats as a window over per_pair instead of the
+    # per_order aggregate + self-join (r14): the self-join re-executed
+    # the whole lineitem-join-orders subtree for each side, and both
+    # sides re-shuffled on l_orderkey. The join's l_orderkey hash
+    # partitioning satisfies the groupBy AND this window, so the
+    # rewritten tail runs shuffle-free until the per-supplier count.
+    # Same filter semantics: every (order, supplier) row sees its
+    # order's full supplier/late counts either way.
+    wo = Window.partitionBy("l_orderkey")
     waiting = (
-        per_pair.join(per_order, per_pair.l_orderkey == F.col("ok"))
+        per_pair.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn(
+            "n_late_supp",
+            F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).over(wo),
+        )
         .where(
             F.col("supp_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
         )
