@@ -414,18 +414,25 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shiftleft(cast(1 as bigint), cast(p & 63 as int)) as bv",
         )
         .groupBy("word")
-        .agg(F.expr("bit_or(bv)").alias("w"))
+        .agg(F.expr("bit_or(bv)").alias("w"), F.count(F.lit(1)).alias("npos"))
     )
-    bloom = (
-        spark.range(_BLOOM_BITS // 64)
-        .select(F.col("id").alias("word"))
-        .join(words, "word", "left")
-        .selectExpr("word", "coalesce(w, cast(0 as bigint)) as w")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(word, w))), s -> s.w)"
-            ).alias("bw")
-        )
+    # one aggregation finishes the whole build (r14): the occupied
+    # words fold into a map, the dense 128-word array is a transform
+    # over sequence(0,127) with empty words defaulting to 0 — no
+    # range() scan, no left join, no sort_array. n_keys rides along:
+    # posed is exactly _BLOOM_K rows per (unique) urgent order key,
+    # so sum(npos) div _BLOOM_K is the key count and the separate
+    # orders re-scan + second 1-row nested-loop join disappear.
+    bloom = words.agg(
+        F.expr("map_from_entries(collect_list(struct(word, w)))").alias("wm"),
+        F.expr(f"sum(npos) div {_BLOOM_K}").alias("n_keys"),
+    ).select(
+        F.expr(
+            "transform(sequence(0, %d), i -> "
+            "coalesce(wm[cast(i as bigint)], cast(0 as bigint)))"
+            % (_BLOOM_BITS // 64 - 1)
+        ).alias("bw"),
+        "n_keys",
     )
     # one lineitem pass: in-row bloom test, broadcast exact-match mark,
     # single aggregation for all diagnostics
@@ -442,10 +449,13 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cand = lp.where(" AND ".join(f"({t})" for t in tests))
     kmark = keys.withColumn("mk", F.lit(1))
-    n_keys = keys.agg(F.count("*").alias("n_keys"))
     agg = (
         cand.join(F.broadcast(kmark), cand["l_orderkey"] == kmark["o_orderkey"], "left")
         .agg(
+            # n_keys is a constant column riding the broadcast bloom
+            # row; max() re-extracts the scalar so the old second
+            # nested-loop join is gone
+            F.max("n_keys").alias("n_keys"),
             F.count("*").alias("bloom_candidates"),
             F.sum(F.when(F.col("mk") == 1, 1).otherwise(0)).alias("tm"),
             F.sum(
@@ -457,8 +467,11 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev"),
         )
     )
-    return agg.crossJoin(F.broadcast(n_keys)).selectExpr(
-        "cast(n_keys as bigint) as n_keys",
+    return agg.selectExpr(
+        # coalesce covers the empty-keys degenerate: the all-zero
+        # bloom rejects every row, max() over the empty candidate set
+        # is NULL, and the old separate count said 0
+        "cast(coalesce(n_keys, 0) as bigint) as n_keys",
         "cast(bloom_candidates as bigint) as bloom_candidates",
         "cast(tm as bigint) as true_matches",
         "cast(bloom_candidates - tm as bigint) as false_positives",
