@@ -283,15 +283,24 @@ ORACLE["ann_pq_adc_rerank"] = _pq_sql()
 def _pq_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(probe_id, m, k, lutdot): each probe's 4x16 integer dot table
     against the codebooks — the per-query precompute ADC scanning
-    amortizes over the whole corpus."""
-    quant = _quant_cached(spark, sf_dir)
-    return (
-        quant.where(F.col("vec_id") < _N_PROBES)
-        .select(F.col("vec_id").alias("probe_id"), "d", "q")
-        .join(F.broadcast(_cb(spark)), "d")
-        .groupBy("probe_id", "m", "k")
-        .agg(F.sum(F.col("q") * F.col("cq")).alias("lutdot"))
-    )
+    amortizes over the whole corpus. Probe-bounded (|probes| x 64
+    rows), session-cached (r14): three catalog consumers (ADC rerank,
+    IVFPQ, the comparison dashboard) each rebuilt the identical
+    two-exchange aggregation (~0.9 s of pure stage overhead at
+    sf0.1)."""
+    from goconnect_spark.queries.corpus import cached_table
+
+    def build():
+        quant = _quant_cached(spark, sf_dir)
+        return (
+            quant.where(F.col("vec_id") < _N_PROBES)
+            .select(F.col("vec_id").alias("probe_id"), "d", "q")
+            .join(F.broadcast(_cb(spark)), "d")
+            .groupBy("probe_id", "m", "k")
+            .agg(F.sum(F.col("q") * F.col("cq")).alias("lutdot"))
+        )
+
+    return cached_table(spark, sf_dir, "pq_lut", build)
 
 
 def _exact_rerank(cand: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,6 +421,11 @@ def ann_ivfpq_topk(
     )
     codes = _pq_codes_cached(spark, sf_dir)
     lut = _pq_lut(spark, sf_dir)
+    # r14 note: broadcasting the probe-bounded cand_cell into the
+    # corpus-resident codes table (to keep the corpus unshuffled) was
+    # measured SLOWER (2.59 vs 2.41 s min-of-3 same box) — the
+    # shuffle ships only the routed candidates while the broadcast
+    # form scans the full codes cache per probe batch. Kept as-is.
     adc = (
         cand_cell.join(codes.withColumnRenamed("code", "k"), "vec_id")
         .join(F.broadcast(lut), ["probe_id", "m", "k"])
