@@ -62,11 +62,20 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = (
         grams.where(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
     )
-    train = grams.where(F.col("doc_id") % _EVAL_MOD != 0).distinct()
+    # r14 (guide §2.3 "shuffle fewer bytes"): the train side used to
+    # .distinct() the full (doc_id, trigram) stream BEFORE the
+    # selective broadcast join — a corpus-sized string shuffle whose
+    # rows the join then mostly discarded. Join first (map-side,
+    # broadcast bench), dedup after: bench.g is unique, so matched
+    # (doc_id, g) multiplicity comes only from train repeats and
+    # count(DISTINCT g) per doc equals the old count over the
+    # pre-distincted stream. The only wide shuffle left is the
+    # post-join aggregate over the (small) contaminated subset.
+    train = grams.where(F.col("doc_id") % _EVAL_MOD != 0)
     return (
         train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .agg(F.countDistinct("g").alias("n_matched"))
         .orderBy("doc_id")
     )
 
