@@ -246,7 +246,20 @@ def fuzzy_self_join_lev1(
             f" i -> concat(substr({text_col}, 1, i - 1), substr({text_col}, i + 1))))"
         )
     )
-    keyed = df.select(F.col(id_col).alias("__id"), var.alias("__k"))
+    # r14 (guide §2.3 narrower types): the variant key crosses the
+    # blocking shuffle as its xxhash64 IMAGE, not the string — the
+    # (id, key) stream drops from ~24 to 16 bytes/row and the
+    # collect_set aggregation hashes/sorts bigints. Correctness is
+    # unchanged BY THE VERIFY STEP: every true lev<=1 pair still
+    # shares a real variant (hashing is a function, completeness
+    # kept), and a 64-bit collision can only ADD a candidate that the
+    # exact levenshtein(text_a, text_b) <= 1 filter (plus the pair
+    # distinct) already absorbs. Measured 9.0 -> 5.0 s cold /
+    # 3.5 -> 2.4 s second pass / neutral fully warm at sf0.1,
+    # identical output.
+    keyed = df.select(F.col(id_col).alias("__id"), var.alias("__v")).select(
+        "__id", F.xxhash64("__v").alias("__k")
+    )
     cand = (
         keyed.groupBy("__k")
         .agg(F.sort_array(F.collect_set("__id")).alias("__ids"))
