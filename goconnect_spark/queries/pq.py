@@ -395,6 +395,58 @@ def _probe_topcells(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
 
 
+def _ivfpq_adc_ranked(
+    spark: SparkSession, sf_dir: str, pmax: int
+) -> DataFrame:
+    """(probe_id, vec_id, cellrk, adc): ADC scores of the nprobe=pmax
+    candidate SUPERSET, carrying the rank of each candidate's cell in
+    the probe's routing list. A candidate's ADC score depends only on
+    the vec's codes and the probe's LUT — it is nprobe-INDEPENDENT —
+    and the top-p cell list is a prefix of the top-pmax list, so the
+    nprobe=p candidate set is exactly the `cellrk <= p` slice. One
+    codes-join + aggregation therefore serves every variant the
+    comparison dashboard reports (r14, guide §7.2 "duplicated
+    subtrees": the dashboard ran this aggregation three times over
+    1+2+4 cells' worth of candidates; now once over 4)."""
+    from goconnect_spark.queries.similarity import (
+        _IVF_CENTROIDS_Q,
+        _kmeans_member,
+        _kmeans_scores_expr,
+    )
+    from goconnect_spark.tables import load
+
+    member = _kmeans_member(load(spark, "embeddings", sf_dir)).select(
+        "vec_id", "cell"
+    )
+    top = (
+        f"slice(array_sort(zip_with({_kmeans_scores_expr()},"
+        f" sequence(0, {len(_IVF_CENTROIDS_Q) - 1}),"
+        " (s, c) -> struct(-s as negs, c as cell))), 1, %d)" % pmax
+    )
+    probes = _probe_qarr_cached(spark, sf_dir).select(
+        F.col("vec_id").alias("probe_id"),
+        F.posexplode(F.expr(f"transform({top}, p -> p.cell)")).alias(
+            "pos", "cell"
+        ),
+    ).select("probe_id", (F.col("pos") + 1).alias("cellrk"), "cell")
+    # each vec has exactly ONE cell and the probe's routing list has
+    # distinct cells, so (probe_id, vec_id) occurs once in cand_cell
+    # and min(cellrk) below is just "its rank"
+    cand_cell = (
+        member.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "cellrk")
+    )
+    codes = _pq_codes_cached(spark, sf_dir)
+    lut = _pq_lut(spark, sf_dir)
+    return (
+        cand_cell.join(codes.withColumnRenamed("code", "k"), "vec_id")
+        .join(F.broadcast(lut), ["probe_id", "m", "k"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("lutdot").alias("adc"), F.min("cellrk").alias("cellrk"))
+    )
+
+
 def ann_ivfpq_topk(
     spark: SparkSession, sf_dir: str, nprobe: int = _NPROBE
 ) -> DataFrame:
@@ -578,11 +630,26 @@ def ann_index_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
         )
     )
+    # r14 (guide §7.2): the three nprobe variants share ONE ADC
+    # aggregation over the nprobe=4 candidate superset (a candidate's
+    # ADC score is nprobe-independent; the nprobe=p set is the
+    # cellrk <= p slice) instead of re-running the codes-join + sum
+    # per variant. Bit-identical per variant: same pairs, same adc
+    # values, same (adc DESC, vec_id ASC) top-R window, same exact
+    # re-rank — gated by the unchanged oracle.
+    adc4 = _ivfpq_adc_ranked(spark, sf_dir, 4)
+    wc = Window.partitionBy("probe_id").orderBy(F.desc("adc"), F.asc("vec_id"))
     for p in (1, 2, 4):
+        cand = (
+            adc4.where(F.col("cellrk") <= p)
+            .withColumn("crk", F.row_number().over(wc))
+            .where(F.col("crk") <= _PQ_R)
+            .select("probe_id", "vec_id")
+        )
         out = out.join(
             F.broadcast(
                 recall_of(
-                    ann_ivfpq_topk(spark, sf_dir, nprobe=p), f"recall_ivfpq_np{p}"
+                    _exact_rerank(cand, spark, sf_dir), f"recall_ivfpq_np{p}"
                 )
             ),
             "probe_id",
