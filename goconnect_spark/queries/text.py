@@ -360,15 +360,28 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang-id query wholesale (prediction is doc-level; this adds one
     language²-bounded aggregation + a broadcast totals join); the
     rate divides identical integers in both engines."""
+    from pyspark.sql import Window
+
     preds = text_lang_id(spark, sf_dir)
     cells = preds.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    totals = preds.groupBy("true_lang").agg(
-        F.count(F.lit(1)).cast("long").alias("true_total")
-    )
+    # true_total = per-true_lang row count of preds = SUM of the cells'
+    # n_docs (every pred row lands in exactly one (true, pred) cell) —
+    # an exact integer identity, so deriving it from `cells` with a
+    # window over the language²-bounded table replaces a SECOND full
+    # execution of the lang-id pipeline (r14, guide §7.2 "duplicated
+    # subtrees": cells and totals each re-ran the explode + profile
+    # window + overlap join; no ReusedExchange fired across the two
+    # aggregations).
+    w_tot = Window.partitionBy("true_lang")
     return (
-        cells.join(F.broadcast(totals), "true_lang")
+        cells.select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            F.sum("n_docs").over(w_tot).cast("long").alias("true_total"),
+        )
         .select(
             "true_lang",
             "pred_lang",
