@@ -221,8 +221,18 @@ def streaming_error_context_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance="2 hours", watermark="8760 hours",
     )
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    # state_partitions=4 (r14): a stream-stream join maintains FOUR
+    # state stores per shuffle partition (left/right x keyToNumValues/
+    # keyWithIndexToValue), so its per-trigger fixed commit cost is 4x
+    # an aggregation drain's at the same partition count. Alternating
+    # same-session A/B at sf0.1 (4 rounds): 8 parts 3.12-3.87 s vs
+    # 4 parts 2.64-3.11 s — 4 wins every round. Same sizing doctrine
+    # as scoped_shuffle_partitions (stores sized to the data the
+    # bounded certificate drain actually carries; production sizes
+    # this knob to sustained rate x executor count); partitioning
+    # never changes the joined row set, oracle-gated as ever.
     run_bounded(joined.select("user_id"), name, output_mode="append",
-                state_partitions=8)
+                state_partitions=4)
     return spark.sql(
         f"""select user_id, cast(count(*) as bigint) as n_pairs
             from {name} group by user_id order by user_id"""
