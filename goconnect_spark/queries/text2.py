@@ -290,6 +290,12 @@ def bigram_cond_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g.w1", "g.w2")
     )
     pair = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # r14 note: deriving c1 from the pair table (sum of c12 over w1 —
+    # an exact identity) was measured and REJECTED at sf0.1: both the
+    # window form (0.62 s) and the re-aggregate+broadcast form (0.69 s)
+    # lose to this second map-side-combining pass over the cached token
+    # stream (0.56 s) — the explode is cheap and fully parallel while
+    # the derived forms serialize on the pair aggregate.
     head = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     return (
         pair.where(F.col("c12") >= _BIGRAM_MIN)

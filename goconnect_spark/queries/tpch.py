@@ -1032,11 +1032,14 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ps = fact.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(_dec("l_quantity")).alias("supp_qty")
     )
-    per_part = fact.groupBy("l_partkey").agg(
-        F.sum(_dec("l_quantity")).alias("part_qty")
-    ).withColumnRenamed("l_partkey", "pk")
+    # part_qty = SUM of the per-(part, supplier) subtotals — decimal
+    # addition at fixed scale is exact, so a window over per_ps equals
+    # the separate per-part aggregate bit-for-bit while removing a
+    # second execution of the lineitem-scan + part-join subtree (r14,
+    # guide §7.2 "duplicated subtrees": `fact` was aggregated twice).
+    per_part_w = Window.partitionBy("l_partkey")
     dominant = (
-        per_ps.join(per_part, per_ps.l_partkey == F.col("pk"))
+        per_ps.withColumn("part_qty", F.sum("supp_qty").over(per_part_w))
         # decimal-exact share test: supp_qty > 0.3 * part_qty, scaled
         # to integers (x10) so neither engine divides
         .where(F.col("supp_qty") * 10 > F.col("part_qty") * 3)
