@@ -32,7 +32,7 @@ from pyspark.storagelevel import StorageLevel
 
 from goconnect_spark.tables import load
 
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def cached_table(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
@@ -54,7 +54,11 @@ def cached_table(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFram
     with no hard-coded hints. The count costs nothing in aggregate: the
     first consumer paid full materialization anyway, it just paid it
     after planning instead of before."""
-    key = (id(spark), os.path.abspath(sf_dir), kind)
+    # keyed on applicationId, not id(spark) (r15, VERDICT r14 item 7):
+    # a GC'd session's id() can be reused by a NEW session, which
+    # would then be handed a dead DataFrame; applicationId is unique
+    # per context (timestamp-suffixed) so stale entries never collide
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
     df = _CACHE.get(key)
     if df is None:
         df = build().persist(StorageLevel.MEMORY_AND_DISK)

@@ -262,9 +262,10 @@ def _lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
         # c1 = SUM of c12 over w1 (exact integer identity: every
         # bigram head occurrence lands in exactly one (w1, w2) cell),
-        # so the head counts come from a window over the vocab-sized
-        # c12 table instead of a second explode + aggregation of the
-        # full bigram stream (r14, guide §7.2).
+        # so the head counts come from RE-AGGREGATING the vocab-sized
+        # c12 table (groupBy w1 + join back) instead of a second
+        # explode + aggregation of the full bigram stream (r14, guide
+        # §7.2).
         c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
         probs = c12.join(c1, "w1").select(
             "w1",

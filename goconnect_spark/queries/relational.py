@@ -691,7 +691,9 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disappear. Per-brand counts and the order total re-read the
     # persisted basket table.
     baskets = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-proportional — no forced broadcast (r15); the
+        # scan estimate keeps it broadcast at sf0.1, stats/AQE at scale
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("barr"))
         .persist()
@@ -769,7 +771,8 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
     part = load(spark, "part", sf_dir).select("p_partkey", "p_type")
     ts = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-proportional — no forced broadcast (r15)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_type", "l_suppkey")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )

@@ -375,11 +375,16 @@ def near_dup_pairs(emb: DataFrame) -> DataFrame:
     na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
     return (
-        cand.join(F.broadcast(qa), "vec_a")
-        .join(F.broadcast(qb), "vec_b")
+        # qa/qb/na/nb are corpus-proportional (full quantized vector /
+        # norm tables) — no forced broadcast (r15, VERDICT r14 item 3):
+        # the scan-derived estimates keep them broadcast at sf0.1
+        # (plan unchanged); at 100 TB stats/AQE pick the size-correct
+        # join for each
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
         .select("vec_a", "vec_b", dot.alias("dot"))
-        .join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
+        .join(na, "vec_a")
+        .join(nb, "vec_b")
         .select("vec_a", "vec_b", (F.col("dot").cast("double") / (F.col("na") * F.col("nb"))).alias("cosine"))
         .where(F.col("cosine") >= _NEAR_T)
         .orderBy("vec_a", "vec_b")

@@ -447,16 +447,35 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" & shiftleft(cast(1 as bigint), cast(({p}) & 63 as int))) != 0"
         for p in _positions("hv")
     ]
-    cand = lp.where(" AND ".join(f"({t})" for t in tests))
+    # empty-candidate guard (r15, VERDICT r14 item 7): n_keys used to
+    # ride only CANDIDATE rows, so "keys exist but no lineitem passes
+    # the bloom" (unreachable on data where every key order has
+    # lineitems — the bloom has no false negatives — but a latent
+    # identity assumption) would have read n_keys = 0 where the oracle
+    # counts the keys. The aggregate now runs over ALL lineitem rows
+    # (n_keys is a constant column on every row via the broadcast
+    # bloom) with the bloom test as a conditional marker; only
+    # candidate rows carry a non-null join key, so non-candidates skip
+    # the hash probe and the joined/aggregated values are unchanged.
+    # Remaining assumption (stated): lineitem itself is non-empty.
+    is_cand = F.expr(" AND ".join(f"({t})" for t in tests))
+    # kmark is orders-proportional (the urgent-order key set) — no
+    # forced broadcast (r15, VERDICT r14 item 3): the filtered-scan
+    # estimate keeps it broadcast at sf0.1; at 100 TB stats/AQE decide
     kmark = keys.withColumn("mk", F.lit(1))
+    lpm = lp.withColumn("__cand", is_cand).withColumn(
+        "__jk", F.when(F.col("__cand"), F.col("l_orderkey"))
+    )
     agg = (
-        cand.join(F.broadcast(kmark), cand["l_orderkey"] == kmark["o_orderkey"], "left")
+        lpm.join(kmark, lpm["__jk"] == kmark["o_orderkey"], "left")
         .agg(
             # n_keys is a constant column riding the broadcast bloom
             # row; max() re-extracts the scalar so the old second
             # nested-loop join is gone
             F.max("n_keys").alias("n_keys"),
-            F.count("*").alias("bloom_candidates"),
+            F.sum(F.when(F.col("__cand"), 1).otherwise(0)).alias(
+                "bloom_candidates"
+            ),
             F.sum(F.when(F.col("mk") == 1, 1).otherwise(0)).alias("tm"),
             F.sum(
                 F.when(
@@ -468,9 +487,8 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.selectExpr(
-        # coalesce covers the empty-keys degenerate: the all-zero
-        # bloom rejects every row, max() over the empty candidate set
-        # is NULL, and the old separate count said 0
+        # coalesce covers the empty-LINEITEM degenerate only; the
+        # empty-candidate case now reads n_keys off non-candidate rows
         "cast(coalesce(n_keys, 0) as bigint) as n_keys",
         "cast(bloom_candidates as bigint) as bloom_candidates",
         "cast(tm as bigint) as true_matches",

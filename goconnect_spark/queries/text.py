@@ -358,8 +358,9 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall rate — the evaluation report a pipeline runs before
     trusting a classifier to route a 100 TB corpus. Reuses the
     lang-id query wholesale (prediction is doc-level; this adds one
-    language²-bounded aggregation + a broadcast totals join); the
-    rate divides identical integers in both engines."""
+    language²-bounded aggregation, with per-true-language totals
+    derived by a window over the cells); the rate divides identical
+    integers in both engines."""
     from pyspark.sql import Window
 
     preds = text_lang_id(spark, sf_dir)
@@ -373,7 +374,11 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # execution of the lang-id pipeline (r14, guide §7.2 "duplicated
     # subtrees": cells and totals each re-ran the explode + profile
     # window + overlap join; no ReusedExchange fired across the two
-    # aggregations).
+    # aggregations). Non-null assumption (ADVICE r14): the window
+    # keeps NULL partition keys that the replaced inner join would
+    # have dropped — true_lang comes from the documents `lang` column,
+    # which the generator never leaves NULL; a null lang would diverge
+    # from the unchanged join-based oracle SQL.
     w_tot = Window.partitionBy("true_lang")
     return (
         cells.select(

@@ -90,8 +90,14 @@ ORDER BY l_returnflag, l_linestatus
 
 # --------------------------------------------------------------------
 # q3: shipping priority (TPC-H Q3 shape) — 3-way join + top-k.
-# customer is the small side at any SF ratio -> broadcast; the
-# orders⋈lineitem join shuffles on o_orderkey (the natural key).
+# customer is the relatively small side at any SF ratio, but it is
+# SF-PROPORTIONAL, so no forced broadcast hint (r15, VERDICT r14 item
+# 3): at sf0.1 the static planner broadcasts it anyway (scan estimate
+# far under the 64 MB threshold — plan unchanged); at 100 TB
+# stats/AQE pick the size-correct strategy instead of a driver-killing
+# forced broadcast. Same rule applied to every customer/supplier/part
+# hint in this module; only genuinely bounded sides (nation, region,
+# 1-row scalars) keep explicit hints.
 # --------------------------------------------------------------------
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
@@ -100,7 +106,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice", _PRICE) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -150,7 +156,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice", _PRICE) * (F.lit(1).cast(_RATE) - _dec("l_discount", _RATE))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .where(cust.c_nationkey == supp.s_nationkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -192,7 +198,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 25))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),
@@ -341,8 +347,8 @@ def q7_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -382,7 +388,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, "nation", sf_dir)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
@@ -418,7 +424,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     part = load(spark, "part", sf_dir)
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     promo = F.when(F.col("p_type").startswith("PROMO"), _disc_price()).otherwise(
         F.lit(0).cast(_PRICE)
     )
@@ -457,7 +463,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, "customer", sf_dir)
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -511,9 +517,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_supp = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     per_nation = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("l_shipdate").alias("l_year"), "supp_nation")
         .agg(F.sum(_disc_price()).alias("rev_dec"))
@@ -570,7 +576,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = per_supp.agg(F.max("rev_dec").alias("mx"))
     return (
         per_supp.join(F.broadcast(max_rev), per_supp.rev_dec == max_rev.mx)
-        .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .join(supp, per_supp.l_suppkey == supp.s_suppkey)
         .select(
             F.col("s_suppkey"),
             F.col("s_name"),
@@ -673,13 +679,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-filter the fact BEFORE the pair aggregation: only mid-size
     # parts (~1/5) offered by EUROPE suppliers (~1/5) contribute, so
     # the (partkey, suppkey) groupBy sees ~1/25 of lineitem. Both
-    # filters are broadcast semi-joins — no exchange added.
+    # filter sides are SF-proportional, so no forced broadcast (r15):
+    # at sf0.1 the planner broadcasts them anyway (file-size estimates
+    # under threshold — semi-joins stay exchange-free); at scale AQE
+    # picks the size-correct strategy.
     li_f = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     ).join(
-        F.broadcast(euro.select("s_suppkey")),
+        euro.select("s_suppkey"),
         F.col("l_suppkey") == F.col("s_suppkey"),
         "left_semi",
     )
@@ -802,8 +811,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * _dec("l_quantity", _PRICE)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -862,7 +871,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_supp = supp.join(
         F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
     ).select("s_suppkey")
-    fact = li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+    # nat_supp is supplier-proportional — no forced broadcast (r15,
+    # VERDICT r14 item 3): at sf0.1 the static planner still
+    # broadcasts it (the post-join estimate stays under threshold);
+    # at 100 TB stats/AQE pick the size-correct strategy. A
+    # localCheckpoint materialization was measured here and REJECTED
+    # (0.91 -> 1.47 s at sf0.1 — the eager barrier costs more than
+    # the estimate risk; AQE's runtime conversion covers the case
+    # where the static estimate inflates past the threshold).
+    fact = li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"))
     per_part = fact.groupBy("l_partkey").agg(
         F.sum(_disc_price()).alias("value_dec")
     )
@@ -979,11 +996,15 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BEFORE the selective part filter. Joining the broadcast filtered
     # part dim first means only matching rows reach the (group,
     # suppkey) partial distinct; 2 exchanges -> 1.
+    # no forced broadcast on part/complaints (r15, VERDICT r14 item 3):
+    # both are SF-proportional scans whose file-size estimates keep
+    # them broadcast at sf0.1 (plan unchanged); at 100 TB stats/AQE
+    # decide.
     pairs = li.select("l_partkey", "l_suppkey")
     return (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(complaints),
+            complaints,
             pairs.l_suppkey == F.col("s_suppkey"),
             "left_anti",
         )
@@ -1014,9 +1035,10 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 # Adapted (no partsupp.availqty): a NATION_3 supplier qualifies when,
 # for some 'small%'-named part, their 1996 shipped quantity exceeds
 # 30% of that part's total 1996 shipped quantity — a dominant-share
-# supplier. Shape: two aggregates at different granularity
-# ((part,supp) vs part) joined on partkey, then a semi-join up to the
-# supplier dimension — the canonical nested-IN chain.
+# supplier. Shape: one (part,supp) aggregate whose per-part totals
+# come from a partkey window over it (r14 — replacing the separate
+# per-part aggregate + join), then a semi-join up to the supplier
+# dimension — the canonical nested-IN chain.
 # --------------------------------------------------------------------
 def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir).where(
@@ -1028,15 +1050,21 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_name").startswith("small"))
         .select("p_partkey")
     )
-    fact = li.join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"))
+    fact = li.join(small_parts, li.l_partkey == F.col("p_partkey"))
     per_ps = fact.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(_dec("l_quantity")).alias("supp_qty")
     )
     # part_qty = SUM of the per-(part, supplier) subtotals — decimal
-    # addition at fixed scale is exact, so a window over per_ps equals
-    # the separate per-part aggregate bit-for-bit while removing a
+    # addition at fixed scale is exact, so a window over per_ps is
+    # VALUE-exact vs the separate per-part aggregate while removing a
     # second execution of the lineitem-scan + part-join subtree (r14,
     # guide §7.2 "duplicated subtrees": `fact` was aggregated twice).
+    # Type note (ADVICE r14): the window sum widens to decimal(32,2)
+    # (the old sum was decimal(22,2)), so `part_qty * 3` takes Spark's
+    # precision-loss adjustment path — exact at any realistic
+    # magnitude, but the identity is value-level, not type-level.
+    # Non-null assumption: the window keeps NULL l_partkey rows the
+    # replaced inner join would drop; l_partkey is never NULL here.
     per_part_w = Window.partitionBy("l_partkey")
     dominant = (
         per_ps.withColumn("part_qty", F.sum("supp_qty").over(per_part_w))
@@ -1050,7 +1078,10 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load(spark, "nation", sf_dir).where(F.col("n_name") == "NATION_3")
     return (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(dominant), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        # dominant is supplier-proportional — no forced broadcast
+        # (r15); at sf0.1 AQE converts the semi-join to broadcast from
+        # the runtime size, at scale it picks the size-correct form
+        .join(dominant, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )

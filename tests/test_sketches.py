@@ -162,3 +162,54 @@ def test_semantic_dedup_greedy_drop_rule_brute_force(spark):
     assert {c: n for c, n in expected.items()} == {
         c: n for c, n in got.items() if n or c in expected
     }
+
+
+def _write_bloom_fixture(spark, tmp_path, urgent_keys, li_keys):
+    """Minimal orders/lineitem pair for the bloom degenerate tests:
+    only the columns bloom_prune_join touches."""
+    import datetime
+
+    d_new = datetime.datetime(2001, 6, 1)
+    d_old = datetime.datetime(1999, 6, 1)
+    orders = [(int(k), "1-URGENT", d_new) for k in urgent_keys]
+    # padding rows that never qualify (old date)
+    orders += [(10_000 + i, "5-LOW", d_old) for i in range(5)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderpriority string, o_orderdate timestamp"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    li = [(int(k), 1000.0, 0.05) for k in li_keys]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_extendedprice double, l_discount double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+
+def test_bloom_empty_candidate_guard(spark, tmp_path):
+    """VERDICT r14 item 7: keys exist but NO lineitem row passes the
+    bloom (possible only when no key order has lineitems) — n_keys
+    must still count the keys, not degrade to 0 off the empty
+    candidate set."""
+    from goconnect_spark.queries.sketches import bloom_prune_join
+
+    # lineitem keys 100..109 are disjoint from the single urgent key 1
+    # and (deterministically, fixed md5) none false-positives against
+    # its 4 bloom bits
+    _write_bloom_fixture(spark, tmp_path, urgent_keys=[1],
+                         li_keys=range(100, 110))
+    row = bloom_prune_join(spark, str(tmp_path)).collect()[0]
+    assert row.n_keys == 1
+    assert row.bloom_candidates == 0
+    assert row.true_matches == 0 and row.false_positives == 0
+
+
+def test_bloom_empty_keys_guard(spark, tmp_path):
+    """No urgent-2001 orders at all: the all-zero bloom rejects every
+    row and every count reads 0 (the oracle's COUNT over the empty key
+    set)."""
+    from goconnect_spark.queries.sketches import bloom_prune_join
+
+    _write_bloom_fixture(spark, tmp_path, urgent_keys=[],
+                         li_keys=range(100, 110))
+    row = bloom_prune_join(spark, str(tmp_path)).collect()[0]
+    assert row.n_keys == 0
+    assert row.bloom_candidates == 0
+    assert row.true_matches == 0 and row.false_positives == 0

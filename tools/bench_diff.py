@@ -323,8 +323,12 @@ def main() -> None:
     if common and tot_o > 0:
         raw = tot_n / tot_o
         cal_txt = (f", cpu-calibrated {raw / drift:.2f}x" if drift else "")
+        # sort probe is the stable normalizer (r15: bench.py now also
+        # emits sort-calibrated totals in its own JSON)
+        srt_txt = (f", sort-calibrated {raw / drift_sort:.2f}x"
+                   if (drift_sort and sort_probe_ok) else "")
         print(f"\ncommon {len(common)} queries: {tot_o:.2f}s -> {tot_n:.2f}s "
-              f"({raw:.2f}x{cal_txt})")
+              f"({raw:.2f}x{cal_txt}{srt_txt})")
     else:
         print(f"\nno comparable queries between the two runs "
               f"(old={len(old)}, new={len(new)} entries)")
