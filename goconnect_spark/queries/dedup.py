@@ -350,14 +350,65 @@ def ngram_jaccard_pairs(
         toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
         ids = shingle_ids_for(shingle_arrays_for(toks)).persist()
     K = 1 + _PREFIX_EXTRA
+    # Candidate-join shape (r15, measured at sf1 where this family is
+    # the catalog's top cost — guide §2.3/§2.5):
+    # 1. LENGTH-BUCKETED join key: J >= 4/5 forces 4*n_a <= 5*n_b and
+    #    4*n_b <= 5*n_a (lengths within +-25%), so folding
+    #    floor(n/W) into the join key prunes length-incompatible
+    #    postings BEFORE a candidate row exists. Measured at sf1: the
+    #    sid-only join enumerated 1.27B rows of which only 428M
+    #    survived the post-join length filter — a 3x cut moved from
+    #    filter to join key. The exact predicates stay as residual
+    #    filters (buckets are a superset), so the candidate set is
+    #    bit-identical.
+    # 2. PARTITION-LOCAL PAIR AGGREGATE (the big one): the planner
+    #    broadcasts the full-incidence side, so every (A, B, sid)
+    #    coincidence row of a given A is produced inside A's map task.
+    #    Hash-repartitioning the prefix side by doc_id makes that
+    #    explicit to the planner: HashPartitioning([doc_id]) satisfies
+    #    the ClusteredDistribution([doc_a, doc_b]) the pair aggregate
+    #    requires (subset rule), so the count-filter aggregate runs as
+    #    ONE partition-local HashAggregate — the candidate-pair
+    #    exchange (at sf1: ~215M distinct pairs, tens of GB of shuffle
+    #    that drove the aggregate into sort-based spill fallback)
+    #    disappears from the plan outright (guide §2.4 "remove
+    #    shuffles"). The repartition moves only the prefix rows
+    #    (corpus-linear) to save shuffling the pair rows
+    #    (corpus-quadratic) — the right trade at every scale, so it is
+    #    unconditional, never width-reducing, and 8x parallelism wide
+    #    to bound each task's aggregate state.
+    _W = 8
     pref = ids.select(
         "doc_id",
         "n",
         F.explode(
             F.expr(f"slice(sids, 1, cast(n - (4*n + 4) DIV 5 + {K} as int))")
         ).alias("sid"),
+    ).select(
+        "doc_id",
+        "n",
+        "sid",
+        F.explode(
+            F.expr(
+                f"sequence(((4*n + 4) DIV 5) DIV {_W}, ((5*n) DIV 4) DIV {_W})"
+            )
+        ).alias("bkt"),
     )
-    full = ids.select("doc_id", "n", F.explode("sids").alias("sid"))
+    # BOTH sides are hash-repartitioned by their own doc column: a
+    # pair's coincidence rows share doc_a AND doc_b, so whichever side
+    # the planner broadcasts, the surviving stream side's partitioning
+    # satisfies the aggregate's clustering and the elision holds. The
+    # broadcast side's repartition is a wasted linear exchange —
+    # corpus-LINEAR rows spent to save the corpus-QUADRATIC pair
+    # shuffle.
+    sc = ids.sparkSession.sparkContext
+    width = max(sc.defaultParallelism * 8, pref.rdd.getNumPartitions())
+    pref = pref.repartition(width, "doc_id")
+    full = (
+        ids.select("doc_id", "n", F.explode("sids").alias("sid"))
+        .withColumn("bkt", F.expr(f"n DIV {_W}"))
+        .repartition(width, "doc_id")
+    )
     # R = o_req - ceil(t*n_a) + min(K, ceil(t*n_a)), o_req = ceil(4(na+nb)/9)
     required = F.expr(
         f"(4*(a.n + b.n) + 8) DIV 9 - (4*a.n + 4) DIV 5"
@@ -365,7 +416,7 @@ def ngram_jaccard_pairs(
     )
     cand = (
         pref.alias("a")
-        .join(full.alias("b"), "sid")
+        .join(full.alias("b"), ["sid", "bkt"])
         .where(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (4 * F.col("a.n") <= 5 * F.col("b.n"))

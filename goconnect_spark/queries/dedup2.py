@@ -96,49 +96,95 @@ def containment_pairs(ids: DataFrame) -> DataFrame:
     pairs. The bijective dictionary preserves set sizes and overlaps
     exactly, so results equal the string-side DuckDB oracle."""
     K = 1 + _PREFIX_EXTRA
+    # Candidate-join shape (r15, measured at sf1 where this query was
+    # the catalog's single largest cost — 200 s, 87.9x its sf0.1 wall;
+    # guide §2.3/§2.5):
+    # 1. nb-THRESHOLD BUCKETS: the pair needs nb >= ceil(0.8*n_a), so
+    #    floor(nb/W) joins against the contained side's exploded
+    #    bucket range [ceil(0.8*n)/W .. max(n)/W] — at sf1 this moves
+    #    0.7B of the 2.54B enumerated rows (the post-join nb-filter
+    #    kill) into join-key pruning. The exact predicate stays as a
+    #    residual filter, so the candidate set is bit-identical. The
+    #    range's upper end is the corpus max(n) — a 1-row aggregate
+    #    over the session-cached ids table, collected once per query
+    #    build (same pattern as word_cooccurrence's n_docs scalar).
+    # 2. hash(doc_id) REPARTITION of the prefix side: establishes the
+    #    partitioning that lets the pair aggregate below run
+    #    partition-local with no exchange (see the aggregate comment).
+    #    Moves corpus-LINEAR prefix rows to avoid shuffling
+    #    corpus-QUADRATIC pair rows — the right trade at every scale,
+    #    so it is unconditional, never width-reducing, and 8x
+    #    parallelism wide to bound per-task aggregate state.
+    _W = 8
+    maxb = ids.agg(F.max("n")).collect()[0][0]
+    maxb = int(maxb or 0) // _W
     pref = ids.select(
         "doc_id",
         "n",
         F.explode(
             F.expr(f"slice(sids, 1, cast(n - (4*n + 4) DIV 5 + {K} as int))")
         ).alias("sid"),
+    ).select(
+        "doc_id",
+        "n",
+        "sid",
+        F.explode(
+            F.expr(f"sequence(least(((4*n + 4) DIV 5) DIV {_W}, {maxb}), {maxb})")
+        ).alias("bkt"),
     )
-    full = ids.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n").alias("nb"),
-        F.explode("sids").alias("sid"),
+    # BOTH sides are hash-repartitioned by their own doc column: a
+    # pair's coincidence rows share doc_a AND doc_b, so whichever side
+    # the planner broadcasts, the surviving stream side's partitioning
+    # satisfies the aggregate's clustering and the elision holds (the
+    # broadcast side's repartition is a wasted linear exchange —
+    # corpus-LINEAR rows spent to save the corpus-QUADRATIC pair
+    # shuffle).
+    sc = ids.sparkSession.sparkContext
+    width = max(sc.defaultParallelism * 8, pref.rdd.getNumPartitions())
+    pref = pref.repartition(width, "doc_id")
+    full = (
+        ids.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n").alias("nb"),
+            F.explode("sids").alias("sid"),
+        )
+        .withColumn("bkt", F.expr(f"nb DIV {_W}"))
+        .repartition(width, "doc_b")
     )
-    # NARROW candidate aggregate (r14, guide §2.2 "shuffle fewer
-    # bytes"): on a low-cardinality shingle dictionary every inverted-
-    # index key is hot, so the join emits |pref_df x full_df| rows per
-    # sid and the (doc_a, doc_b) count is the dominant shuffle. Packing
-    # the pair into ONE bigint key (doc ids are the generator's dense
-    # non-negative ordinals, well under 2^32 — revert to the two-column
-    # key on wider id spaces) and carrying a.n as a cheap max() instead
-    # of keying on it measured 2.27 -> 1.39 s warm at sf0.1 for an
-    # identical candidate set; req is re-derived from the carried a.n,
-    # so no post-agg join is added.
+    # PARTITION-LOCAL candidate aggregate (r15, replacing the r14
+    # packed-bigint key whose win was the narrower EXCHANGE): the
+    # full-incidence side is broadcast, so every (A, B, sid)
+    # coincidence of a given A is produced inside A's map task, and
+    # the prefix side's hash(doc_id) repartition above makes that
+    # visible to the planner — HashPartitioning([doc_id]) satisfies
+    # the pair aggregate's ClusteredDistribution([doc_a, doc_b])
+    # (subset rule), so the count filter runs as ONE partition-local
+    # HashAggregate and the candidate-pair exchange (sf1: ~1.0B
+    # distinct pairs, ~20 GB of shuffle that drove the aggregate into
+    # sort-spill fallback and crashed the r15 sf1 bench's spill
+    # reader) disappears from the plan outright (guide §2.4). The key
+    # must stay the two-column (doc_a, doc_b) — a packed bigint is a
+    # different expression and would force the exchange back in.
     cand = (
         pref.alias("a")
-        .join(full, "sid")
+        .join(full, ["sid", "bkt"])
         .where(
             (F.col("a.doc_id") != F.col("doc_b"))
             & (F.col("nb") >= F.expr("(4 * a.n + 4) DIV 5"))
         )
-        .select(
-            (F.shiftleft(F.col("a.doc_id"), 32) + F.col("doc_b")).alias("pk"),
-            F.col("a.n").alias("an"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("doc_b").alias("doc_b"),
         )
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("pmatch"), F.max("an").alias("an"))
+        .agg(
+            F.count(F.lit(1)).alias("pmatch"),
+            F.max(F.col("a.n")).alias("an"),
+        )
         .where(
             F.col("pmatch")
             >= F.least(F.lit(K).cast("long"), F.expr("(4 * an + 4) DIV 5"))
         )
-        .select(
-            F.shiftright(F.col("pk"), 32).alias("doc_a"),
-            F.expr("pk & 4294967295").alias("doc_b"),
-        )
+        .select("doc_a", "doc_b")
     )
     return (
         cand.join(
